@@ -1,0 +1,1 @@
+"""Relational + dataflow operators of the engine (SURVEY.md §2)."""

@@ -1,0 +1,56 @@
+"""Grouped statistical aggregation (reference A1-A4, ``code/helpers.py:148-204``).
+
+For every numeric column: min/max/avg/stddev (sample stddev, matching
+Spark's ``stddev`` = ``stddev_samp``), aliased ``min_{c}`` etc., plus a
+row count. Executes as a partial+final hash aggregate — map-side combine
+means the shuffle carries one row per (group, partition), not raw data,
+which is what makes this shape survive 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+GROUP_FALLBACK = "unknown"
+
+
+def numeric_columns(df: DataFrame, exclude: Sequence[str] = ()) -> list[str]:
+    """Schema-driven numeric column discovery (reference A2,
+    ``code/helpers.py:173``), generalized to every NumericType incl.
+    decimal."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType) and f.name not in exclude
+    ]
+
+
+def grouped_stats(
+    df: DataFrame,
+    group_col: str,
+    numeric_cols: Sequence[str] | None = None,
+    include_count: bool = True,
+) -> DataFrame:
+    """groupBy(group_col).agg(min/max/avg/stddev per numeric col).
+
+    If the group column is absent a literal 'unknown' key is added
+    (reference A3, ``code/helpers.py:167-170``).
+    """
+    if group_col not in df.columns:
+        df = df.withColumn(group_col, F.lit(GROUP_FALLBACK))
+    cols = list(numeric_cols or numeric_columns(df, exclude=(group_col,)))
+    exprs = []
+    for c in cols:
+        exprs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.avg(c).alias(f"avg_{c}"),
+            F.stddev(c).alias(f"stddev_{c}"),
+        ]
+    if include_count:
+        exprs.append(F.count(F.lit(1)).alias("n_rows"))
+    return df.groupBy(group_col).agg(*exprs)

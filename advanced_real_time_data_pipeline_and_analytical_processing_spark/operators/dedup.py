@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All pure DataFrame compositions — no Python in the hot path. Shapes are
+chosen for 100 TB: everything reduces to explode → hash-aggregate →
+bucket-join, i.e. linear passes plus shuffles on bounded keys, never an
+all-pairs comparison (candidate pairs only, post-LSH).
+
+- exact_dedup:        hash-groupBy on content hash, keep deterministic min-id
+- minhash_near_dup:   shingle → 64-perm minhash → banded LSH → candidate
+                      pairs → exact-Jaccard verify (candidates only)
+- simhash:            64-bit simhash via per-token hash bit votes
+- ngram_jaccard_pairs: exact word-shingle Jaccard for candidate pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), TOKEN_SPLIT)
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the lowercased text, as array<string>.
+
+    Built with sequence+transform (native, codegen'd) — no UDF.
+    """
+    toks = _tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (the min id — deterministic, unlike
+    dropDuplicates) per distinct content. Single hash-aggregate; the
+    shuffle key is the content hash, so 100 TB dedups at the cost of one
+    shuffle of (hash, id) pairs, not row payloads."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in content_cols]
+    content_hash = F.sha2(F.concat_ws("||", *parts), 256)
+    keep = (
+        df.select(F.col(id_col), content_hash.alias("_chash"))
+        .groupBy("_chash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    # Broadcast-join back when the survivor set is small; at scale the
+    # id-only semi join shuffles just (id) pairs.
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<int>) — column j = min over shingles of
+    murmur3(shingle, seed=j). One explode + one hash-aggregate with
+    ``num_hashes`` partial min() aggregates: map-side combine reduces
+    each partition to one row per doc before the shuffle."""
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh")
+    )
+    hashed = shingled.select(
+        id_col, *[F.hash("_sh", F.lit(j)).alias(f"_h{j}") for j in range(num_hashes)]
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{j}").alias(f"_m{j}") for j in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``num_hashes/bands`` rows, hash each band, self-join per
+    (band_idx, band_hash) bucket. Returns distinct (id_a < id_b) pairs.
+
+    The join key is the bucket hash — collisions are rare and bounded,
+    so the self-join never degenerates to a cross product at scale.
+    """
+    rows = num_hashes // bands
+    band_entries = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified with exact
+    shingle Jaccard (computed only for candidate pairs). Returns
+    (id_a, id_b, jaccard_sim) with jaccard_sim >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
+    )
+    return (
+        pairs.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("_shingles", "_sa"), "id_a")
+        .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("_shingles", "_sb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 63) -> DataFrame:
+    """SimHash fingerprint: per-token xxhash64, signed bit votes summed
+    per document, sign of each vote = fingerprint bit. One explode + one
+    hash-aggregate with ``bits`` sum() partials (map-side combined).
+
+    63 bits so the fingerprint fits a non-negative bigint.
+    Returns (id, simhash: bigint).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("_t")
+    )
+    h = toks.select(id_col, F.xxhash64("_t").alias("_h"))
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
+    fingerprint = sum(
+        (F.when(F.col(f"_v{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint") * F.lit(1 << j))
+        for j in range(bits)
+    )
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash bigints (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

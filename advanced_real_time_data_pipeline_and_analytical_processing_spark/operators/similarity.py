@@ -1,0 +1,145 @@
+"""Embedding similarity search over array<float> columns.
+
+Brute-force cosine top-k is the honest 100 TB baseline: one broadcast of
+the query set, one linear scan of the corpus, per-partition top-k via
+window rank — no all-to-all shuffle, no global sort (the window
+partitions by query id, so the sort is per-query and AQE-sized).
+
+The scale path is LSH bucketing (random hyperplane signs) which prunes
+the corpus scan to matching buckets before scoring.
+
+The arithmetic stays JVM-side: dot product / norms via zip_with +
+aggregate on the array column — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k corpus neighbors per query by cosine similarity.
+
+    Broadcast the (small) query side; score in one corpus scan; rank
+    with a per-query window. Returns (query_id, corpus_id, rank, score).
+    Self-matches (same id) are excluded when the id columns share a name
+    space.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+        )
+    )
+    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("_qid") != F.col("_cid"))
+        .select(
+            "_qid",
+            "_cid",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id if query_id != corpus_id else "query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("_score"), 6).alias("score"),
+        )
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = bit-vector of sign(v·p) for each
+    plane p. Vectors with high cosine land in the same bucket with high
+    probability; candidate search then joins on bucket instead of
+    scanning the full corpus. Planes are driver-generated constants
+    (broadcast as literals)."""
+    bucket = sum(
+        (
+            F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            * F.lit(1 << i)
+        )
+        for i, p in enumerate(planes)
+    )
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    planes: list[list[float]],
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Bucketed ANN: equi-join on LSH bucket, then exact cosine rank
+    within candidates. Recall < 1.0 by construction; the bucket join
+    replaces the cross join, which is the 100 TB play."""
+    qb = hyperplane_lsh_buckets(queries, query_id, query_vec, planes).select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec"), "bucket"
+    )
+    cb = hyperplane_lsh_buckets(corpus, corpus_id, corpus_vec, planes).select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("_qid") != F.col("_cid"))
+        .select("_qid", "_cid", cosine(F.col("_qvec"), F.col("_cvec")).alias("_score"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("_score"), 6).alias("score"),
+        )
+    )
