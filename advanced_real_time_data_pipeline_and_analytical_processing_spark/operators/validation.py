@@ -88,7 +88,10 @@ class HeavyNullRule:
         if not cols:
             return []
         null_count = sum(F.col(c).isNull().cast("int") for c in cols)
-        limit = int(len(cols) * self.threshold)
+        # floor(ncols*threshold) like the reference (code/helpers.py:126-133),
+        # but clamped to >=1: at narrow widths floor() hits 0 and would flag
+        # every row (latent reference bug, unreachable at its 22 columns).
+        limit = max(int(len(cols) * self.threshold), 1)
         return [F.when(null_count >= F.lit(limit), F.lit("heavy_null_row"))]
 
 

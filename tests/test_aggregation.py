@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+import math
+
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators.aggregation import (
+    grouped_stats,
+    numeric_columns,
+)
+
+
+def test_numeric_discovery(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, "x", 2)], "i int, d double, s string, l bigint"
+    )
+    assert numeric_columns(df) == ["i", "d", "l"]
+    assert numeric_columns(df, exclude=["i"]) == ["d", "l"]
+
+
+def test_grouped_stats_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "sensor_id string, v double"
+    )
+    out = {r["sensor_id"]: r for r in grouped_stats(df, "sensor_id").collect()}
+    assert out["a"]["min_v"] == 1.0
+    assert out["a"]["max_v"] == 3.0
+    assert out["a"]["avg_v"] == 2.0
+    assert math.isclose(out["a"]["stddev_v"], math.sqrt(2.0))  # sample stddev
+    assert out["a"]["n_rows"] == 2
+    assert out["b"]["stddev_v"] is None  # stddev_samp of 1 row is null
+
+
+def test_missing_group_col_fallback(spark):
+    # reference A3 (code/helpers.py:167-170): lit('unknown') group key
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    out = grouped_stats(df, "sensor_id").collect()
+    assert len(out) == 1 and out[0]["sensor_id"] == "unknown"

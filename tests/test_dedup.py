@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import dedup
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+    (4, "completely different text about spark query engines and columnar storage"),
+    (5, "another unrelated document mentioning streaming watermarks and windows"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = dedup.exact_dedup(docs_df(spark), ["text"], "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # 2 removed, survivor is min id 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(dedup.word_shingles(F.col("text"), 3).alias("sh")).collect()[0]
+    assert sorted(out["sh"]) == ["a b c", "b c d"]
+
+
+def test_minhash_finds_planted_dups(spark):
+    pairs = dedup.minhash_near_dup(
+        docs_df(spark), "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in pairs}
+    assert found[(1, 2)] == 1.0  # exact dup always collides in every band
+    assert (1, 3) in found and found[(1, 3)] > 0.5  # near dup
+    assert (4, 5) not in found  # unrelated docs don't pair
+    assert all(a < b for a, b in found)  # canonical pair order
+
+
+def test_minhash_signature_shape(spark):
+    sigs = dedup.minhash_signatures(docs_df(spark), "doc_id", "text", num_hashes=8)
+    rows = sigs.collect()
+    assert all(len(r["sig"]) == 8 for r in rows)
+    by_id = {r["doc_id"]: r["sig"] for r in rows}
+    assert by_id[1] == by_id[2]  # identical text -> identical signature
+
+
+def test_simhash_identical_and_different(spark):
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df(spark), "doc_id", "text").collect()}
+    assert out[1] == out[2]  # identical text
+    df = spark.createDataFrame(
+        [(1, out[1]), (4, out[4])], "id bigint, h bigint"
+    )
+    ham = df.select(
+        dedup.simhash_hamming(F.lit(out[1]), F.col("h")).alias("d")
+    ).collect()
+    assert ham[0]["d"] == 0
+    assert ham[1]["d"] > 10  # unrelated text far away

@@ -1,0 +1,161 @@
+"""End-to-end streaming ingest: staged file drops, availableNow drain,
+good/quarantine/audit outputs (replicates the reference's golden-record
+semantics: total = good + bad; reference audit sample
+code/audit/audit_date=2025-08-19/part-00011-*.json)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import validation as V
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.ingest import (
+    IngestConfig,
+    run_ingest_once,
+)
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.windows import (
+    session_windows,
+    sliding_avg,
+    tumbling_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("temperature_C", T.DoubleType()),
+        T.StructField("humidity", T.DoubleType()),
+    ]
+)
+
+CSV_GOOD = "sensor_id,temperature_C,humidity\ns1,21.5,40\ns2,19.0,50\n"
+CSV_MIXED = "sensor_id,temperature_C,humidity\ns3,61.79,30\ns4,25.0,45\n,22.0,33\n"
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        k: str(tmp_path / k)
+        for k in ("source", "good", "quarantine", "audit", "checkpoint")
+    }
+    os.makedirs(d["source"])
+    return d
+
+
+def write_file(dirs, name, content):
+    with open(os.path.join(dirs["source"], name), "w") as fh:
+        fh.write(content)
+
+
+def make_cfg(dirs):
+    return IngestConfig(
+        source_dir=dirs["source"],
+        fmt="csv",
+        schema=SCHEMA,
+        rules=V.RuleSet(
+            rules=[
+                V.NotNullRule(["sensor_id"]),
+                V.NumericRule(["temperature_C"]),
+                V.RangeRule("temperature_C", -50, 50),
+                V.HeavyNullRule(0.5),
+            ]
+        ),
+        good_dir=dirs["good"],
+        quarantine_dir=dirs["quarantine"],
+        audit_dir=dirs["audit"],
+        checkpoint_dir=dirs["checkpoint"],
+    )
+
+
+def test_ingest_end_to_end(spark, dirs):
+    write_file(dirs, "a.csv", CSV_GOOD)
+    write_file(dirs, "b.csv", CSV_MIXED)
+    run_ingest_once(spark, make_cfg(dirs))
+
+    good = spark.read.parquet(dirs["good"])
+    assert good.count() == 3  # s1, s2, s4
+    assert {"file_path", "ingestion_ts", "row_hash"} <= set(good.columns)
+
+    bad = spark.read.parquet(dirs["quarantine"])
+    bad_rows = {r["error_reason"] for r in bad.collect()}
+    assert bad.count() == 2
+    assert "out_of_range:temperature_C" in bad_rows  # s3 at 61.79
+    assert "null_key:sensor_id" in bad_rows
+
+    audit = spark.read.parquet(dirs["audit"]).collect()
+    total = sum(r["total_rows"] for r in audit)
+    goodc = sum(r["good_rows"] for r in audit)
+    badc = sum(r["bad_rows"] for r in audit)
+    assert (total, goodc, badc) == (5, 3, 2)
+    assert all(r["status"] == "SUCCESS" for r in audit)
+
+
+def test_ingest_exactly_once_on_rerun(spark, dirs):
+    write_file(dirs, "a.csv", CSV_GOOD)
+    cfg = make_cfg(dirs)
+    run_ingest_once(spark, cfg)
+    run_ingest_once(spark, cfg)  # same checkpoint: no files re-processed
+    assert spark.read.parquet(dirs["good"]).count() == 2
+
+    write_file(dirs, "c.csv", "sensor_id,temperature_C,humidity\ns9,10.0,1\n")
+    run_ingest_once(spark, cfg)  # only the new file
+    assert spark.read.parquet(dirs["good"]).count() == 3
+
+
+def _events(spark):
+    rows = [
+        ("2024-01-01 00:05:00", "u1", "click", 1.0),
+        ("2024-01-01 00:20:00", "u1", "click", 2.0),
+        ("2024-01-01 01:10:00", "u1", "view", 3.0),
+        ("2024-01-01 02:30:00", "u2", "click", 4.0),
+    ]
+    return spark.createDataFrame(
+        rows, "ts_s string, user_id string, event_type string, value double"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value")
+
+
+def test_tumbling_counts_batch(spark):
+    out = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_counts(_events(spark), width="1 hour").collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+
+
+def test_session_windows_batch(spark):
+    # u1: events at 00:05 and 00:20 (gap 15m < 30m -> one session), then 01:10 (new session)
+    out = session_windows(_events(spark), gap="30 minutes").collect()
+    u1 = sorted(
+        [r for r in out if r["user_id"] == "u1"], key=lambda r: r["session_start"]
+    )
+    assert len(u1) == 2
+    assert u1[0]["n_events"] == 2
+
+
+def test_streaming_tumbling_with_watermark(spark, tmp_path):
+    """Drive the SAME builder through a real streaming query (memory sink)."""
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    _events(spark).write.parquet(src + "/batch1.parquet")
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id string, event_type string, value double"
+        )
+        .parquet(src + "/*.parquet")
+    )
+    agg = tumbling_counts(stream, width="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumb_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only watermark-closed windows; with max ts 02:30 and
+    # 2h watermark nothing closes — switch to complete-mode check instead
+    rows = spark.sql("SELECT * FROM tumb_out").collect()
+    assert rows == []  # nothing finalized yet: correct append-mode semantics
