@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.catalog import load_table
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import (
     aggregation,
+    asof,
     dedup,
     similarity,
     text,
@@ -305,6 +306,206 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "jaccard_sim")
 
 
+def q_window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface (SURVEY.md §2.6): lag/lead, rank, running
+    frame sum — one shuffle on the partition key, per-group sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.rank().over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+            )
+        ).alias("price_rank"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-min-gap sessions per user via lag +
+    conditional cumsum (the classic Spark shape; streaming equivalent is
+    session_window in streaming/windows.py)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    with_sessions = events.select(
+        "user_id", new_session.alias("new_s")
+    )
+    return with_sessions.groupBy("user_id").agg(
+        F.sum("new_s").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively; operators/asof.py):
+    for each purchase, the value of the user's latest click at-or-before
+    the purchase time. Union+window composition — one shuffle, no range
+    blow-up."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = asof.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_value"],
+    )
+    return joined.select(
+        "purchase_id", "user_id", F.round("click_value", 4).alias("click_value")
+    )
+
+
+def q_distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + conditional aggregates."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+def q_pivot_event_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per type × day-of-month columns."""
+    events = _t(spark, sf_dir, "events")
+    days = list(range(1, 32))
+    pivoted = (
+        events.select("event_type", F.dayofmonth("ts").alias("d"))
+        .groupBy("event_type")
+        .pivot("d", days)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "event_type",
+        *[F.coalesce(F.col(str(d)), F.lit(0)).alias(f"d{d:02d}") for d in days],
+    )
+
+
+def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) of per-flag aggregate metrics."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("quantity"),
+        F.round(F.sum("l_discount"), 2).alias("discount"),
+        F.round(F.sum("l_tax"), 2).alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["quantity", "discount", "tax"], "metric", "total"
+    )
+
+
+def q_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: nations with customers but no suppliers (EXCEPT),
+    and with both (INTERSECT), tagged and unioned."""
+    cust_nations = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nations = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    only_cust = cust_nations.subtract(supp_nations).withColumn(
+        "tag", F.lit("customers_only")
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    return only_cust.unionByName(both)
+
+
+def q_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median aggregate per brand."""
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.round(F.median("p_retailprice"), 6).alias("median_price"),
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: parts bucketed into literal price bands.
+    The band dim is broadcast → a BroadcastNestedLoopJoin over 4 rows,
+    which is the right physical plan for tiny-dim range joins."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 925.0), ("mid", 925.0, 950.0), ("high", 950.0, 975.0), ("lux", 975.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram frequency top-k: explode word bigrams, hash-agg count,
+    TakeOrderedAndProject top 20 (per-partition heap, no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality signal aggregated per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", text.stopword_ratio(F.col("text")).alias("swr")
+        )
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("swr"), 6).alias("avg_stopword_ratio"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def q_vector_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-native vector math: avg L2 norm per label (zip_with /
+    aggregate fold — JVM-side, no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", similarity.l2_norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -338,6 +539,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "events_hourly": q_events_hourly,
     "minhash_near_dup": q_minhash_near_dup,
+    "window_order_analytics": q_window_order_analytics,
+    "sessionization": q_sessionization,
+    "asof_purchase_click": q_asof_purchase_click,
+    "distinct_agg_orders": q_distinct_agg_orders,
+    "pivot_event_type_by_day": q_pivot_event_type_by_day,
+    "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
+    "setops_nations": q_setops_nations,
+    "median_price_by_brand": q_median_price_by_brand,
+    "range_join_price_bands": q_range_join_price_bands,
+    "top_bigrams": q_top_bigrams,
+    "stopword_profile": q_stopword_profile,
+    "vector_norms_by_label": q_vector_norms_by_label,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -555,4 +768,141 @@ def oracle_sql() -> dict[str, str]:
         # minhash_near_dup: intentionally no oracle — LSH banding is not
         # SQL-expressible; the driver records a rows-only check and
         # tests/test_dedup.py verifies planted duplicates exactly.
+        "window_order_analytics": """
+            SELECT o_custkey, o_orderkey,
+                   round(lag(o_totalprice) OVER w, 2) AS prev_price,
+                   round(lead(o_totalprice) OVER w, 2) AS next_price,
+                   rank() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS price_rank,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_total
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC)
+        """,
+        "sessionization": """
+            SELECT user_id,
+                   CAST(sum(new_s) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN prev_ts IS NULL
+                              OR epoch(ts) - epoch(prev_ts) > 1800.0
+                            THEN 1 ELSE 0 END AS new_s
+                FROM (
+                    SELECT user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                    FROM events
+                )
+            ) GROUP BY user_id
+        """,
+        "asof_purchase_click": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   round(c.value, 4) AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "distinct_agg_orders": """
+            SELECT o_orderstatus,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders,
+                   count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+                   round(sum(o_totalprice), 2) AS total_value
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "pivot_event_type_by_day": "SELECT event_type, "
+        + ", ".join(
+            f"count(*) FILTER (WHERE day(ts) = {d}) AS d{d:02d}" for d in range(1, 32)
+        )
+        + " FROM events GROUP BY event_type",
+        "unpivot_lineitem_metrics": """
+            WITH wide AS (
+                SELECT l_returnflag,
+                       round(sum(l_quantity), 2) AS quantity,
+                       round(sum(l_discount), 2) AS discount,
+                       round(sum(l_tax), 2) AS tax
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'quantity' AS metric, quantity AS total FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'discount', discount FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'tax', tax FROM wide
+        """,
+        "setops_nations": """
+            SELECT nationkey, 'customers_only' AS tag FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                EXCEPT
+                SELECT s_nationkey FROM supplier
+            )
+            UNION ALL
+            SELECT nationkey, 'both' AS tag FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT s_nationkey FROM supplier
+            )
+        """,
+        "median_price_by_brand": """
+            SELECT p_brand,
+                   round(median(p_retailprice), 6) AS median_price,
+                   round(min(p_retailprice), 2) AS min_price,
+                   round(max(p_retailprice), 2) AS max_price,
+                   count(*) AS n_parts
+            FROM part GROUP BY p_brand
+        """,
+        "range_join_price_bands": """
+            SELECT band,
+                   count(*) AS n_parts,
+                   round(avg(p_retailprice), 6) AS avg_price
+            FROM part
+            JOIN (VALUES ('low', 0.0, 925.0), ('mid', 925.0, 950.0),
+                         ('high', 950.0, 975.0), ('lux', 975.0, 1e12))
+                 bands(band, lo, hi)
+              ON p_retailprice >= lo AND p_retailprice < hi
+            GROUP BY band
+        """,
+        "top_bigrams": """
+            SELECT bigram, count(*) AS n FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1]
+                )) AS bigram
+                FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                      FROM documents)
+            )
+            GROUP BY bigram
+            ORDER BY n DESC, bigram ASC
+            LIMIT 20
+        """,
+        "stopword_profile": f"""
+            SELECT source,
+                   round(avg(swr), 6) AS avg_stopword_ratio,
+                   count(*) AS n_docs
+            FROM (
+                SELECT source,
+                       CASE WHEN len({_TOKENS}) > 0 THEN
+                           CAST(len(list_filter({_TOKENS},
+                               t -> list_contains({text.STOPWORDS!r}, t))) AS DOUBLE)
+                           / len({_TOKENS})
+                       ELSE 0.0 END AS swr
+                FROM documents
+            ) GROUP BY source
+        """,
+        "vector_norms_by_label": """
+            SELECT label,
+                   round(avg(nrm), 6) AS avg_norm,
+                   count(*) AS n_vectors
+            FROM (
+                SELECT label,
+                       sqrt(list_sum(list_transform(
+                           CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+                FROM embeddings
+            ) GROUP BY label
+        """,
     }

@@ -1,0 +1,72 @@
+"""As-of (backward) join — an operator Spark lacks natively.
+
+Implemented as the union+window composition (preference (a) from the
+build rules: composition of existing DataFrame ops):
+
+    tag left/right → unionByName → window per key ordered by (ts, tag)
+    → last(right payload, ignoreNulls) over unbounded-preceding frame
+    → keep left rows.
+
+This is the scale-correct shape: ONE shuffle + sort per key (same cost
+as a sort-merge join), no range cross-product, no per-group pandas. Ties
+(equal ts) resolve right-before-left, i.e. a right row AT the left ts
+matches (<= semantics, like pandas merge_asof / DuckDB ASOF JOIN).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """For each left row, attach `value_cols` from the latest right row
+    with right_ts <= left_ts, matching on `on` keys. Left columns are
+    preserved; unmatched left rows get nulls."""
+    on = list(on)
+    lcols = left.columns
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # left sorts after right at equal ts
+        *[F.col(c) for c in lcols if c not in on and c != left_ts],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on and c != left_ts],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+    )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *on,
+            F.col("_ts").alias(left_ts),
+            *[c for c in lcols if c not in on and c != left_ts],
+            *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+        )
+    )
