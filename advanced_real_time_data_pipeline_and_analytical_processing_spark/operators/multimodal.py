@@ -1,0 +1,138 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema contract, Arrow
+batch shape, mapInPandas partition flow, partitioning discipline. The
+actual media decoding is STUBBED (image/audio libs are not in this
+container): ``decode_image_features`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic hash-derived feature vector
+stands in for real decoder output so the distributed plumbing can be
+exercised end-to-end.
+
+Design for 100 TB of media:
+- binary payloads stay in parquet (no driver round-trip); metadata is a
+  typed struct column so pruning/filtering never touches payload bytes —
+  Parquet's columnar layout means a metadata-only query does NOT read
+  the blob column at all.
+- feature extraction is mapInPandas (Arrow batches), so each task
+  decodes a partition's worth of blobs without per-row Python overhead.
+- ``repartition_for_decode`` sizes partitions by estimated payload bytes,
+  not row count — decode cost follows bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def attach_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Backfill meta.n_bytes from the payload (metadata repair path)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def repartition_for_decode(
+    df: DataFrame, target_bytes_per_partition: int = 256 * 1024 * 1024
+) -> DataFrame:
+    """Partition by payload VOLUME, not row count: decode cost follows
+    bytes. One exact byte-sum pass (cheap metadata-only scan) sizes the
+    shuffle."""
+    total = df.select(F.sum(F.length("payload")).alias("b")).collect()[0]["b"] or 0
+    n = max(1, int(total / target_bytes_per_partition) + 1)
+    return df.repartition(n)
+
+
+def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real decoder: sha256-seeded floats.
+    Stable across runs/machines so tests can assert exact values."""
+    if payload is None:
+        return [0.0] * dim
+    digest = hashlib.sha256(payload).digest()
+    return [digest[i % 32] / 255.0 for i in range(dim)]
+
+
+def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Real decode (PIL/ffmpeg) is unavailable in this container — STUB:
+    raises NotImplementedError unless fake=True, which substitutes the
+    deterministic hash-derived vector. The mapInPandas flow (batch
+    iterator in, batch iterator out, FEATURES_SCHEMA contract) is the
+    real production shape either way.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires PIL/ffmpeg, not present in this "
+            "environment; call with fake=True to exercise the plumbing"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "features": [_fake_features(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: computes per-row frame timestamps to
+    decode (metadata-only — no payload read; the decode itself is the
+    stubbed step). Shows the pruning discipline: plan on metadata,
+    touch bytes late."""
+    n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
+    return df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+            lambda i: i * every_ms,
+        ).alias("frame_ts_ms"),
+    )

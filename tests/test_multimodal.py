@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import multimodal as M
+
+
+def media_df(spark):
+    rows = [
+        (1, "image", bytearray(b"imgbytes-1"), ("image/png", 64, 64, None, None)),
+        (2, "image", bytearray(b"imgbytes-2"), ("image/png", 32, 32, None, None)),
+        (3, "video", bytearray(b"vidbytes"), ("video/mp4", 640, 480, 3500, None)),
+        (4, "audio", None, ("audio/wav", None, None, 2000, None)),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_attach_meta_backfills_bytes(spark):
+    out = {r["media_id"]: r["meta"]["n_bytes"] for r in M.attach_meta(media_df(spark)).collect()}
+    assert out[1] == 10
+    assert out[4] is None  # null payload -> null n_bytes
+
+
+def test_decode_stub_raises_without_fake(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_image_features(media_df(spark))
+
+
+def test_fake_decode_deterministic_shape(spark):
+    out = M.decode_image_features(media_df(spark), fake=True)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert out.schema == M.FEATURES_SCHEMA
+    assert len(rows[1]["features"]) == M.FEATURE_DIM
+    assert rows[1]["features"] != rows[2]["features"]  # payload-dependent
+    # deterministic across runs
+    again = {r["media_id"]: r for r in M.decode_image_features(media_df(spark), fake=True).collect()}
+    assert rows[1]["features"] == again[1]["features"]
+    assert rows[4]["features"] == [0.0] * M.FEATURE_DIM  # null payload
+
+
+def test_metadata_only_query_does_not_read_payload(spark, tmp_path):
+    """Columnar discipline: a meta-only projection must not scan the
+    payload column (check the optimized plan's ReadSchema)."""
+    path = str(tmp_path / "media")
+    media_df(spark).write.parquet(path)
+    df = spark.read.parquet(path).select("media_id", "meta.width")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan
+
+
+def test_frame_sample_plan(spark):
+    out = M.frame_sample_plan(media_df(spark), every_ms=1000).collect()
+    assert len(out) == 1  # only the video row
+    assert out[0]["frame_ts_ms"] == [0, 1000, 2000]  # 3500ms -> 3 frames
