@@ -252,13 +252,23 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-lexicon language ID, aggregated to prediction counts."""
+    """Marker-lexicon language ID, aggregated to prediction counts.
+    Staged projections (tokens → scores → argmax) keep the expression
+    tree linear: tokenize once per row, score columns computed once."""
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select(text.lang_id(F.col("text")).alias("lang_pred"))
-        .groupBy("lang_pred")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    tokenized = docs.select(text.tokens(F.col("text")).alias("_toks"))
+    scored = tokenized.select(
+        *[
+            c.alias(f"s_{lang}")
+            for lang, c in text.lang_scores_from_tokens(F.col("_toks")).items()
+        ]
     )
+    pred = scored.select(
+        text.lang_id_from_scores(
+            {lang: F.col(f"s_{lang}") for lang in text.LANG_MARKERS}
+        ).alias("lang_pred")
+    )
+    return pred.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

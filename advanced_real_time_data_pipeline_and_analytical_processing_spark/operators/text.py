@@ -69,25 +69,43 @@ def quality_score(text: Column) -> Column:
     return F.round(0.6 * length_component + 0.4 * punct_component, 6)
 
 
-def lang_id(text: Column) -> Column:
-    """Marker-word vote: language with the most lexicon hits; 'und'
-    (undetermined) when nothing matches."""
-    toks = tokens(text)
-    scores = []
+def lang_scores_from_tokens(toks: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over a pre-tokenized column.
+    Project the token array into a real column first so tokenization
+    runs once per row, not once per language."""
+    out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
-        scores.append(
-            (lang, F.size(F.filter(toks, lambda t: F.array_contains(arr, t))))
-        )
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # Left-to-right argmax with strict > keeps first-wins tie-breaking
-    # stable across engines.
-    for lang, score in scores:
-        is_better = score > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (tokenizes inline)."""
+    return lang_scores_from_tokens(tokens(text))
+
+
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """First-wins argmax over score columns: the first language (in
+    LANG_MARKERS order) attaining the max; 'und' when max <= 0.
+
+    Use after projecting ``lang_scores`` into real columns — comparing
+    plain columns keeps the expression tree linear instead of nesting
+    every earlier score into every later comparison."""
+    langs = list(scores)
+    best = F.greatest(*[scores[l] for l in langs]) if len(langs) > 1 else scores[langs[0]]
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word vote: language with the most lexicon hits; 'und'
+    (undetermined) when nothing matches. Single-expression form; for
+    wide scans prefer projecting lang_scores first (see
+    lang_id_from_scores)."""
+    return lang_id_from_scores(lang_scores(text))
 
 
 def fingerprint(text: Column) -> Column:
