@@ -53,29 +53,45 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def _sig_from_shingles(shingle_col: str, num_hashes: int) -> Column:
+    """array<int> signature: element j = min over shingles of
+    murmur3(shingle, seed=j). Pure per-row expression — no explode, no
+    shuffle, no aggregate."""
+
+    def _min_hash(seed: int) -> Column:
+        return F.array_min(
+            F.transform(F.col(shingle_col), lambda s: F.hash(s, F.lit(seed)))
+        )
+
+    return F.array(*[_min_hash(j) for j in range(num_hashes)])
+
+
+def _spread(df: DataFrame, id_col: str, num_partitions: int | None) -> DataFrame:
+    """Hash-repartition on id so per-row signature work uses the whole
+    cluster even when the source has few splits (one small parquet file
+    locally; at 100 TB the scan already yields thousands of splits). The
+    exchange is also reused by every consumer of the lineage — the LSH
+    self-join and the verify join read it instead of re-scanning."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 64,
     shingle_n: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """(id, sig: array<int>) — column j = min over shingles of
-    murmur3(shingle, seed=j). One explode + one hash-aggregate with
-    ``num_hashes`` partial min() aggregates: map-side combine reduces
-    each partition to one row per doc before the shuffle."""
-    shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh")
+    """(id, sig: array<int>) — per-row minhash signatures. A 100 TB
+    corpus gets its signatures in one map stage; the only shuffle is the
+    parallelism-spreading repartition of (id, text) pairs."""
+    base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
+    shingled = base.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
     )
-    hashed = shingled.select(
-        id_col, *[F.hash("_sh", F.lit(j)).alias(f"_h{j}") for j in range(num_hashes)]
-    )
-    agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"_h{j}").alias(f"_m{j}") for j in range(num_hashes)]
-    )
-    return agg.select(
-        id_col, F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("sig")
-    )
+    return shingled.select(id_col, _sig_from_shingles("_sh", num_hashes).alias("sig"))
 
 
 def minhash_candidate_pairs(
@@ -136,12 +152,19 @@ def minhash_near_dup(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact
     shingle Jaccard (computed only for candidate pairs). Returns
-    (id_a, id_b, jaccard_sim) with jaccard_sim >= threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
-    shingled = df.select(
+    (id_a, id_b, jaccard_sim) with jaccard_sim >= threshold.
+
+    Every stage hangs off one spread (id, shingles) lineage, so the
+    signature build, the LSH self-join, and the verify join all reuse
+    the same exchange instead of re-shingling the corpus."""
+    base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, None)
+    shingled = base.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
     )
+    sigs = shingled.select(
+        id_col, _sig_from_shingles("_shingles", num_hashes).alias("sig")
+    )
+    pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
     return (
         pairs.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("_shingles", "_sa"), "id_a")
         .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("_shingles", "_sb"), "id_b")
