@@ -19,11 +19,13 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators 
     aggregation,
     asof,
     dedup,
+    multimodal,
     similarity,
     text,
     topk,
     validation,
 )
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import stateful
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators.enrichment import row_hash_expr
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.session import configure_session
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.windows import tumbling_counts
@@ -473,6 +475,9 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram frequency top-k: explode word bigrams, hash-agg count,
     TakeOrderedAndProject top 20 (per-partition heap, no global sort)."""
     docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # spread the explode across all cores (local parquet has few splits)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
@@ -513,6 +518,154 @@ def q_vector_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nrm"), 6).alias("avg_norm"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
+    )
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable (md5-hex-digit) 32-bit simhash per document — the
+    oracle-checkable variant of operators/dedup.simhash (the xxhash64
+    fast path has no cross-engine hash to compare against). Staged
+    projections: md5 array once, then 32 vote columns, then the
+    fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    md5s = docs.select("doc_id", dedup.token_md5s(F.col("text")).alias("_md5s"))
+    bits = dedup.PORTABLE_SIMHASH_BITS
+    voted = md5s.select(
+        "doc_id",
+        *[
+            dedup.simhash_vote(F.col("_md5s"), j).alias(f"_v{j}")
+            for j in range(bits)
+        ],
+    )
+    return voted.select(
+        "doc_id",
+        dedup.simhash_from_votes([F.col(f"_v{j}") for j in range(bits)]).alias(
+            "simhash"
+        ),
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, first-shingle blocking.
+    Corpus = documents ∪ planted copies(id+100000): every doc must pair
+    with its copy at jaccard 1.0; organic same-opening pairs score
+    lower and are filtered by the 0.8 threshold."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(copies)
+    pairs = dedup.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_n=3, threshold=0.8
+    )
+    return pairs.select("id_a", "id_b", "jaccard_sim")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked exact compare.
+    Corpus = embeddings ∪ exact copies(id+100000) → each vector pairs
+    with its copy at cos 1.0; organic pairs max out near 0.47 on this
+    data so the 0.999 threshold keeps exactly the planted dups. At
+    corpus scale the block key becomes an LSH bucket
+    (similarity.hyperplane_lsh_buckets) instead of a label."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    pairs = similarity.cosine_near_dup(
+        corpus, id_col="vec_id", vec_col="embedding", block_col="label",
+        threshold=0.999,
+    )
+    return pairs.select("id_a", "id_b", "cos_sim")
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH bucket join instead of the brute
+    cross join (no SQL oracle — bucket membership depends on 512
+    md5-derived plane literals; tests/test_similarity.py checks planted
+    copies are retrieved with score 1.0 and recall vs brute force).
+    Corpus = embeddings ∪ exact copies; queries = vec_id < 8."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(copies)
+    queries = emb.filter(F.col("vec_id") < 8)
+    planes = similarity.deterministic_planes(n_planes=8, dim=64)
+    return similarity.lsh_cosine_topk(
+        queries, corpus, query_id="vec_id", corpus_id="vec_id", planes=planes, k=3
+    )
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over status × priority (SURVEY.md §2.5 noted
+    these as built-ins the reference lacks)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg
+    quantity) decorrelated into an aggregate + equi-join on partkey —
+    the join carries only (partkey, threshold), so the fact table
+    shuffles once on its natural key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): per-user
+    running (count, sum) maintained in the state store, drained with an
+    availableNow trigger. Final state per user equals the batch
+    aggregate, which is the oracle. max_by picks each key's latest
+    update if the drain ran over multiple micro-batches."""
+    import os as _os
+    import tempfile as _tempfile
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file stream source wants a directory to watch; stage the
+    # (read-only) parquet file into one via symlink.
+    stage_dir = _tempfile.mkdtemp(prefix="stream_events_")
+    _os.symlink(path, _os.path.join(stage_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage_dir)
+        .select("user_id", "value")
+    )
+    updates = stateful.running_user_stats(stream, key_col="user_id")
+    drained = stateful.drain_to_memory_table(spark, updates)
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
+    )
+
+
+def q_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end: documents → binary payload +
+    typed metadata (media_from_documents) → Arrow-batched feature
+    extraction (mapInPandas, deterministic sha256 stand-in for the
+    stubbed decoder) → per-kind feature aggregate. The oracle recomputes
+    the sha256-derived features hex-digit-by-hex-digit in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.decode_image_features(media, fake=True)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+        F.round(F.avg(F.element_at("features", 8)), 6).alias("avg_f7"),
     )
 
 
@@ -561,6 +714,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_bigrams": q_top_bigrams,
     "stopword_profile": q_stopword_profile,
     "vector_norms_by_label": q_vector_norms_by_label,
+    "simhash_docs": q_simhash_docs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "cube_order_stats": q_cube_order_stats,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "stateful_running_counts": q_stateful_running_counts,
+    "multimodal_feature_stats": q_multimodal_feature_stats,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -589,6 +750,30 @@ _PUNCT = (
     "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
     " / length(text) ELSE 0.0 END"
 )
+
+
+def _simhash_oracle() -> str:
+    """DuckDB replica of the portable md5-hex-digit simhash: one signed
+    vote per hex digit position, bit set iff the vote is positive."""
+    odd = "('1','3','5','7','9','b','d','f')"
+    terms = []
+    for j in range(dedup.PORTABLE_SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform(md5s, m -> CASE WHEN substr(m, {j + 1}, 1) "
+            f"IN {odd} THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    fingerprint = "\n                 + ".join(terms)
+    return f"""
+        SELECT doc_id, ({fingerprint}) AS simhash
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                       t -> md5(t)) AS md5s
+            FROM documents
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -914,5 +1099,93 @@ def oracle_sql() -> dict[str, str]:
                            CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
                 FROM embeddings
             ) GROUP BY label
+        """,
+        "simhash_docs": _simhash_oracle(),
+        "ngram_jaccard_pairs": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       array_to_string(toks[1:3], ' ') AS blk,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 2, 1)),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS shingles
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                      FROM corpus)
+            )
+            SELECT id_a, id_b, jaccard_sim FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(
+                         CAST(len(list_filter(a.shingles,
+                                  x -> list_contains(b.shingles, x))) AS DOUBLE)
+                         / (len(a.shingles) + len(b.shingles)
+                            - len(list_filter(a.shingles,
+                                  x -> list_contains(b.shingles, x)))),
+                         6) AS jaccard_sim
+                FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            ) WHERE jaccard_sim >= 0.8
+        """,
+        "embedding_near_dup": """
+            WITH corpus AS (
+                SELECT vec_id, embedding, label FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding, label FROM embeddings
+            )
+            SELECT id_a, id_b, cos_sim FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+                FROM corpus a
+                JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.999
+        """,
+        # lsh_ann_topk: intentionally no oracle — bucket membership
+        # depends on 512 md5-derived hyperplane literals; the driver
+        # records a rows-only check and tests/test_similarity.py checks
+        # planted-copy retrieval and recall vs brute force.
+        "cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_value
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN (SELECT l_partkey AS pk, avg(l_quantity) * 0.5 AS qty_threshold
+                  FROM lineitem GROUP BY l_partkey) t ON t.pk = l_partkey
+            WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold
+        """,
+        "stateful_running_counts": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   coalesce(round(sum(value), 4), 0.0) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "multimodal_feature_stats": """
+            SELECT kind, count(*) AS n_media,
+                   round(avg(f0), 6) AS avg_f0,
+                   round(avg(f7), 6) AS avg_f7
+            FROM (
+                SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                                       WHEN 1 THEN 'audio'
+                                       ELSE 'video' END AS kind,
+                       CAST(CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) / 255.0
+                         AS FLOAT) AS DOUBLE) AS f0,
+                       CAST(CAST(((strpos('0123456789abcdef', substr(h, 15, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(h, 16, 1)) - 1)) / 255.0
+                         AS FLOAT) AS DOUBLE) AS f7
+                FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+            ) GROUP BY kind
         """,
     }

@@ -207,3 +207,78 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 63) -> DataFr
 def simhash_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two simhash bigints (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# Portable (md5-hex-digit) simhash: bit j votes on the parity of hex
+# digit j of md5(token). Slower than the xxhash64 variant above but
+# reproducible in any engine with md5() — which makes it oracle-checkable
+# value-for-value against DuckDB.
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+PORTABLE_SIMHASH_BITS = 32  # md5 hex has 32 digits → one vote per digit
+
+
+def token_md5s(text_col: Column) -> Column:
+    """array<string>: md5 hex digest of each distinct token."""
+    return F.transform(F.array_distinct(_tokens(text_col)), lambda t: F.md5(t))
+
+
+def simhash_vote(md5s_col: Column, bit: int) -> Column:
+    """Signed vote for one fingerprint bit: +1 per token whose md5 hex
+    digit ``bit`` is odd, -1 otherwise, summed over the token array —
+    per-row fold, no shuffle."""
+    return F.aggregate(
+        md5s_col,
+        F.lit(0),
+        lambda acc, m: acc
+        + F.when(F.substring(m, bit + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1),
+    )
+
+
+def simhash_from_votes(votes: list[Column]) -> Column:
+    """bigint fingerprint: bit j set iff votes[j] > 0."""
+    return sum(
+        (F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint") * F.lit(1 << j))
+        for j, v in enumerate(votes)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact word-shingle Jaccard near-dup pairs with first-shingle
+    blocking: only documents that open with the same ``shingle_n`` words
+    are compared, so the self-join key is a bounded block id, never an
+    all-pairs cross product. (Skewed blocks — boilerplate headers — are
+    the known failure mode at scale; salt the block key or add a length
+    bucket to the key when a corpus has them.)
+
+    Returns (id_a, id_b, jaccard_sim) with jaccard_sim >= threshold.
+    """
+    base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
+    blocked = base.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
+    ).select(
+        id_col, "_shingles", F.element_at("_shingles", 1).alias("_blk")
+    )
+    a = blocked.select(
+        F.col("_blk"), F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sa")
+    )
+    b = blocked.select(
+        F.col("_blk"), F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sb")
+    )
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

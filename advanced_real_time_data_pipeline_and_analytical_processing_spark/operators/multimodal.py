@@ -123,6 +123,36 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(extract, FEATURES_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents fixture:
+    payload = utf-8 bytes of the text, kind cycles image/audio/video by
+    doc_id. Exists so the multimodal plumbing (binary payload column,
+    typed metadata struct, Arrow decode path) can run — and be
+    oracle-checked — against driver testdata without real media files."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    mime = (
+        F.when(kind == "image", F.lit("image/png"))
+        .when(kind == "audio", F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: computes per-row frame timestamps to
     decode (metadata-only — no payload read; the decode itself is the

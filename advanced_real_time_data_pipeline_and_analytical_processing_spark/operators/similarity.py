@@ -85,6 +85,58 @@ def cosine_topk(
     )
 
 
+def deterministic_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
+    """Hyperplanes with md5-derived components in [-1, 1) — stable
+    across runs/machines (no RNG state), so LSH bucket assignments are
+    reproducible and testable."""
+    import hashlib
+
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[:8], "big"
+            )
+            row.append(h / float(2**63) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def cosine_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks: the
+    self-join key is ``block_col`` (a label, a coarse cluster id, or an
+    LSH bucket from hyperplane_lsh_buckets), so pair generation is
+    bounded per block instead of corpus². Exact cosine is computed only
+    for in-block pairs. Returns (id_a, id_b, cos_sim >= threshold)."""
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str,

@@ -60,3 +60,40 @@ def test_simhash_identical_and_different(spark):
     ).collect()
     assert ham[0]["d"] == 0
     assert ham[1]["d"] > 10  # unrelated text far away
+
+
+def test_ngram_jaccard_planted_copies(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact copy of 1
+        (3, "alpha beta gamma something else entirely here"),  # same block, low sim
+        (4, "totally different opening words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_portable_simhash_matches_and_differs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "entirely unrelated words list")],
+        "doc_id bigint, text string",
+    )
+    md5s = df.select("doc_id", dedup.token_md5s(F.col("text")).alias("m"))
+    bits = dedup.PORTABLE_SIMHASH_BITS
+    voted = md5s.select(
+        "doc_id", *[dedup.simhash_vote(F.col("m"), j).alias(f"v{j}") for j in range(bits)]
+    )
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in voted.select(
+            "doc_id",
+            dedup.simhash_from_votes([F.col(f"v{j}") for j in range(bits)]).alias("sh"),
+        ).collect()
+    }
+    assert out[1] == out[2]          # identical text -> identical fingerprint
+    assert out[1] != out[3]          # different text -> different fingerprint
+    assert 0 <= out[1] < (1 << bits)

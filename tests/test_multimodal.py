@@ -53,3 +53,18 @@ def test_frame_sample_plan(spark):
     out = M.frame_sample_plan(media_df(spark), every_ms=1000).collect()
     assert len(out) == 1  # only the video row
     assert out[0]["frame_ts_ms"] == [0, 1000, 2000]  # 3500ms -> 3 frames
+
+
+def test_media_from_documents_contract(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world", "en", "web", 11), (1, "bonjour", "fr", "web", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    media = M.media_from_documents(docs)
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[0]["kind"] == "image" and rows[1]["kind"] == "audio"
+    assert bytes(rows[0]["payload"]) == b"hello world"
+    assert rows[0]["meta"]["n_bytes"] == 11
+    assert rows[0]["meta"]["mime"] == "image/png"
+    feats = M.decode_image_features(media, fake=True).collect()
+    assert all(len(r["features"]) == M.FEATURE_DIM for r in feats)

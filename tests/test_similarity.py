@@ -62,3 +62,44 @@ def test_lsh_topk_finds_identical(spark):
     ).collect()
     neighbors = {r["neighbor_id"]: r["score"] for r in out}
     assert neighbors.get(1) == 1.0  # identical vector found in same bucket
+
+
+def test_cosine_near_dup_planted(spark):
+    rows = [
+        (0, [1.0, 2.0, 3.0], "a"),
+        (100, [1.0, 2.0, 3.0], "a"),    # exact copy, same block
+        (1, [-3.0, 1.0, 0.5], "a"),     # same block, dissimilar
+        (200, [1.0, 2.0, 3.0], "b"),    # copy but different block -> unseen
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.cosine_near_dup(
+            df, "vec_id", "embedding", "label", threshold=0.999
+        ).collect()
+    }
+    assert pairs == {(0, 100): 1.0}
+
+
+def test_deterministic_planes_stable():
+    p1 = similarity.deterministic_planes(4, 8)
+    p2 = similarity.deterministic_planes(4, 8)
+    assert p1 == p2
+    assert len(p1) == 4 and len(p1[0]) == 8
+    assert all(-1.0 <= x < 1.0 for row in p1 for x in row)
+
+
+def test_lsh_ann_recall_on_planted_copies(spark):
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["lsh_ann_topk"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == set(range(8))
+    for qid, hits in by_query.items():
+        top = min(hits, key=lambda r: r["rank"])
+        # the planted exact copy lands in the same bucket always and wins
+        assert top["neighbor_id"] == qid + 100000
+        assert top["score"] == 1.0

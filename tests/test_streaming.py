@@ -159,3 +159,38 @@ def test_streaming_tumbling_with_watermark(spark, tmp_path):
     # 2h watermark nothing closes — switch to complete-mode check instead
     rows = spark.sql("SELECT * FROM tumb_out").collect()
     assert rows == []  # nothing finalized yet: correct append-mode semantics
+
+
+def test_stateful_running_counts_across_batches(spark, tmp_path):
+    """State must accumulate across micro-batches: two files drained one
+    per trigger; the final per-key totals cover both."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import stateful
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df1 = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], "user_id bigint, value double")
+    df2 = spark.createDataFrame([(1, 2.0), (3, 7.0)], "user_id bigint, value double")
+    df1.coalesce(1).write.parquet(str(src / "f1"))
+    df2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    updates = stateful.running_user_stats(stream)
+    final = stateful.drain_to_memory_table(
+        spark, updates, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    from pyspark.sql import functions as F2
+
+    rows = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in final.groupBy("user_id")
+        .agg(
+            F2.max("n_events").alias("n_events"),
+            F2.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert rows == {1: (3, 17.0), 2: (1, 1.0), 3: (1, 7.0)}
