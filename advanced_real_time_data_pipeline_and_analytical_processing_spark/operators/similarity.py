@@ -103,27 +103,48 @@ def deterministic_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[fl
     return planes
 
 
+def unit_normalize(vec: Column) -> Column:
+    """Scale to unit L2 norm (zero vectors stay zero), as array<double>.
+    Normalizing ONCE per row turns every later cosine into a plain dot
+    product — the decisive rewrite for pairwise workloads, where naive
+    cosine recomputes both norms per PAIR instead of per row."""
+    n = l2_norm(vec)
+    return F.transform(
+        vec, lambda x: F.when(n > 0, x.cast("double") / n).otherwise(F.lit(0.0))
+    )
+
+
 def cosine_near_dup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     block_col: str,
     threshold: float = 0.99,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks: the
     self-join key is ``block_col`` (a label, a coarse cluster id, or an
     LSH bucket from hyperplane_lsh_buckets), so pair generation is
-    bounded per block instead of corpus². Exact cosine is computed only
-    for in-block pairs. Returns (id_a, id_b, cos_sim >= threshold)."""
-    a = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
+    bounded per block instead of corpus². Vectors are unit-normalized
+    once per row before the join (cosine = dot thereafter), and the
+    normalized projection is spread across the cluster so the pair
+    scoring parallelizes regardless of source splits. Returns
+    (id_a, id_b, cos_sim >= threshold)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    normed = (
+        df.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+        )
+        .repartition(n, F.col("_id"))
+        .select("_blk", "_id", unit_normalize(F.col("_v")).alias("_u"))
     )
-    b = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
+    a = normed.select(
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_u").alias("_ua")
+    )
+    b = normed.select(
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_u").alias("_ub")
     )
     return (
         a.join(b, ["_blk"])
@@ -131,7 +152,7 @@ def cosine_near_dup(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+            F.round(dot(F.col("_ua"), F.col("_ub")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
