@@ -32,21 +32,31 @@ def asof_join(
     """For each left row, attach `value_cols` from the latest right row
     with right_ts <= left_ts, matching on `on` keys. Left columns are
     preserved; unmatched left rows get nulls."""
+    from pyspark.sql.types import StructField, StructType
+
     on = list(on)
     lcols = left.columns
+    # The right payload travels as ONE struct so last(..., ignorenulls)
+    # keys on *row presence*: a matched right row whose value column is
+    # NULL still wins (its struct is non-null) and the NULL propagates —
+    # pandas merge_asof / DuckDB ASOF JOIN semantics. Per-column
+    # last(ignorenulls) would instead skip back to an older right row.
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     l = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # left sorts after right at equal ts
         *[F.col(c) for c in lcols if c not in on and c != left_ts],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on and c != left_ts],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
     )
     unioned = l.unionByName(r)
     w = (
@@ -55,11 +65,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_f")
     )
     return (
         filled.filter(F.col("_side") == 1)
@@ -67,6 +73,6 @@ def asof_join(
             *on,
             F.col("_ts").alias(left_ts),
             *[c for c in lcols if c not in on and c != left_ts],
-            *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+            *[F.col("_f").getField(c).alias(c) for c in value_cols],
         )
     )

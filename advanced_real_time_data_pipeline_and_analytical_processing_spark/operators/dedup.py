@@ -242,30 +242,76 @@ def simhash_from_votes(votes: list[Column]) -> Column:
     )
 
 
-def ngram_jaccard_pairs(
+def ngram_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.8,
     num_partitions: int | None = None,
+    length_bucketing: bool = True,
 ) -> DataFrame:
-    """Exact word-shingle Jaccard near-dup pairs with first-shingle
-    blocking: only documents that open with the same ``shingle_n`` words
-    are compared, so the self-join key is a bounded block id, never an
-    all-pairs cross product. (Skewed blocks — boilerplate headers — are
-    the known failure mode at scale; salt the block key or add a length
-    bucket to the key when a corpus has them.)
+    """Candidate (id_a, id_b, _sa, _sb) pairs for exact-Jaccard scoring.
 
-    Returns (id_a, id_b, jaccard_sim) with jaccard_sim >= threshold.
-    """
+    Blocking key = the first ``shingle_n``-word shingle, PLUS (by
+    default) a threshold-derived length bucket that bounds skewed
+    blocks — the boilerplate-header failure mode where millions of docs
+    share one opening shingle and the block goes quadratic.
+
+    Why the bucket is lossless: jaccard(A,B) >= t implies
+    min(|A|,|B|) >= |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), so the distinct
+    shingle-set sizes of any pair the caller will keep differ by at most
+    a factor 1/t. Bucket = floor(ln(size)/ln(1/t)); such a pair's
+    buckets differ by at most 1, and each doc enters its own bucket and
+    the next one (tagged so each qualifying pair meets exactly once).
+    Every pair the jaccard filter could accept is still generated —
+    the candidate set only sheds pairs the filter would reject."""
+    import math
+
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
     blocked = base.select(
         F.col(id_col),
         word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
-    ).select(
-        id_col, "_shingles", F.element_at("_shingles", 1).alias("_blk")
-    )
+    ).select(id_col, "_shingles", F.element_at("_shingles", 1).alias("_blk"))
+
+    if length_bucketing and 0.0 < threshold < 1.0:
+        width = math.log(1.0 / threshold)
+        bkt = F.floor(
+            F.log(F.size("_shingles").cast("double")) / F.lit(width)
+        ).cast("long")
+        entries = blocked.select(
+            id_col,
+            "_shingles",
+            "_blk",
+            F.explode(
+                F.array(
+                    F.struct(bkt.alias("b"), F.lit(0).alias("t")),
+                    F.struct((bkt + 1).alias("b"), F.lit(1).alias("t")),
+                )
+            ).alias("_bt"),
+        ).select(
+            id_col, "_shingles", "_blk",
+            F.col("_bt.b").alias("_bkt"), F.col("_bt.t").alias("_tag"),
+        )
+        a = entries.select(
+            "_blk", "_bkt", F.col("_tag").alias("_ta"),
+            F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sa"),
+        )
+        b = entries.select(
+            "_blk", "_bkt", F.col("_tag").alias("_tb"),
+            F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sb"),
+        )
+        return (
+            a.join(b, ["_blk", "_bkt"])
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                # both-shifted matches duplicate the both-base match:
+                # keep (0,0) [same bucket], (0,1)/(1,0) [adjacent]
+                & ~((F.col("_ta") == 1) & (F.col("_tb") == 1))
+            )
+            .select("id_a", "id_b", "_sa", "_sb")
+        )
+
     a = blocked.select(
         F.col("_blk"), F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sa")
     )
@@ -275,7 +321,29 @@ def ngram_jaccard_pairs(
     return (
         a.join(b, ["_blk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        .select("id_a", "id_b", "_sa", "_sb")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int | None = None,
+    length_bucketing: bool = True,
+) -> DataFrame:
+    """Exact word-shingle Jaccard near-dup pairs over blocked candidates
+    (see ngram_candidates for the blocking/skew-hardening scheme).
+
+    Returns (id_a, id_b, jaccard_sim) with jaccard_sim >= threshold.
+    """
+    cand = ngram_candidates(
+        df, id_col, text_col, shingle_n, threshold, num_partitions, length_bucketing
+    )
+    return (
+        cand.select(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("jaccard_sim"),

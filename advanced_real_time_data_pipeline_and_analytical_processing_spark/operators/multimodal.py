@@ -79,9 +79,14 @@ def repartition_for_decode(
     df: DataFrame, target_bytes_per_partition: int = 256 * 1024 * 1024
 ) -> DataFrame:
     """Partition by payload VOLUME, not row count: decode cost follows
-    bytes. One exact byte-sum pass (cheap metadata-only scan) sizes the
-    shuffle."""
-    total = df.select(F.sum(F.length("payload")).alias("b")).collect()[0]["b"] or 0
+    bytes. The sizing pass sums ``meta.n_bytes`` — typed-struct metadata
+    maintained by attach_meta/media_from_documents — so planning the
+    shuffle reads ONLY the metadata column, never the payload bytes
+    (summing length(payload) would scan all 100 TB of blobs before
+    deciding how to decode them)."""
+    total = (
+        df.select(F.sum(F.col("meta.n_bytes")).alias("b")).collect()[0]["b"] or 0
+    )
     n = max(1, int(total / target_bytes_per_partition) + 1)
     return df.repartition(n)
 

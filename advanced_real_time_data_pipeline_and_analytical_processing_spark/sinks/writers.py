@@ -92,7 +92,7 @@ def write_audit(spark: SparkSession, out_dir: str, rec: AuditRecord) -> None:
     cardinality (reference K4)."""
     import datetime as dt
 
-    now = dt.datetime.utcnow()
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     row = [
         (
             now,

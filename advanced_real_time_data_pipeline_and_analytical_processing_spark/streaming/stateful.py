@@ -57,15 +57,57 @@ def running_user_stats(stream_df: DataFrame, key_col: str = "user_id") -> DataFr
     )
 
 
+def drain_to_parquet(
+    spark: SparkSession,
+    streamed: DataFrame,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run a (bounded) streaming DataFrame to completion with an
+    availableNow trigger, landing each micro-batch's update rows in an
+    executor-side parquet sink, then read the result back.
+
+    This is the production drain: rows never funnel through the driver
+    (the memory sink below materializes every update row in driver
+    memory — fine for a 150-key test, a scale-killer at 100 TB). The
+    per-batch write is dynamic-partition-overwrite keyed on batch id, so
+    a replayed micro-batch is idempotent."""
+    from pyspark.sql import functions as F
+
+    name = f"drain_{uuid.uuid4().hex[:12]}"
+    out = out_dir or os.path.join(tempfile.gettempdir(), f"out_{name}")
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"ckpt_{name}"
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        streamed.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).drop("_batch_id")
+
+
 def drain_to_memory_table(
     spark: SparkSession,
     streamed: DataFrame,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Run a (bounded) streaming DataFrame to completion with an
-    availableNow trigger into an in-memory sink; return the final batch
-    result. Backfill mode: the same plan runs continuously under a
-    processingTime trigger in production."""
+    """TEST-ONLY drain: availableNow into the in-memory sink, which
+    collects every update row into DRIVER memory. Use drain_to_parquet
+    for anything beyond toy cardinalities."""
     name = f"drain_{uuid.uuid4().hex[:12]}"
     checkpoint = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"ckpt_{name}"

@@ -77,6 +77,48 @@ def test_ngram_jaccard_planted_copies(spark):
     assert pairs == {(1, 2): 1.0}
 
 
+def test_ngram_length_bucketing_bounds_skewed_blocks(spark):
+    """Skew hardening: a corpus where EVERY doc shares one opening
+    shingle (boilerplate header) used to make one block quadratic. With
+    threshold-derived length bucketing the candidate count collapses,
+    and the emitted pair set is unchanged (the bucket scheme provably
+    never drops a pair the jaccard filter would keep)."""
+    # 24 docs, same 3-word opening: 14 with sizes growing ×1.5 (spread
+    # across buckets) + 10 near-identical sizes (one bounded bucket)
+    rows = []
+    for i in range(14):
+        n_extra = int(8 * (1.5 ** i))
+        body = " ".join(f"w{i}_{j}" for j in range(n_extra))
+        rows.append((i, f"common header words {body}"))
+    for i in range(10):
+        body = " ".join(f"p{i}_{j}" for j in range(300 + i))
+        rows.append((50 + i, f"common header words {body}"))
+    # plus one genuine near-dup pair sharing the header
+    rows.append((100, "common header words " + " ".join(f"x{j}" for j in range(20))))
+    rows.append((101, "common header words " + " ".join(f"x{j}" for j in range(19))))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    n_cand_skewed = dedup.ngram_candidates(
+        df, "doc_id", "text", threshold=0.8, length_bucketing=False
+    ).count()
+    n_cand_bucketed = dedup.ngram_candidates(
+        df, "doc_id", "text", threshold=0.8, length_bucketing=True
+    ).count()
+    assert n_cand_skewed == 26 * 25 // 2  # the quadratic block
+    assert n_cand_bucketed < n_cand_skewed / 2  # bounded neighborhoods
+
+    def pairset(bucketing):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard_sim"])
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", threshold=0.8, length_bucketing=bucketing
+            ).collect()
+        }
+
+    assert pairset(True) == pairset(False)
+    assert (100, 101) in {(a, b) for a, b, _ in pairset(True)}
+
+
 def test_portable_simhash_matches_and_differs(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "entirely unrelated words list")],

@@ -161,9 +161,11 @@ def test_streaming_tumbling_with_watermark(spark, tmp_path):
     assert rows == []  # nothing finalized yet: correct append-mode semantics
 
 
-def test_stateful_running_counts_across_batches(spark, tmp_path):
+@pytest.mark.parametrize("drain", ["parquet", "memory"])
+def test_stateful_running_counts_across_batches(spark, tmp_path, drain):
     """State must accumulate across micro-batches: two files drained one
-    per trigger; the final per-key totals cover both."""
+    per trigger; the final per-key totals cover both. Runs through both
+    the production parquet drain and the test-only memory drain."""
     from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import stateful
 
     src = tmp_path / "src"
@@ -179,9 +181,17 @@ def test_stateful_running_counts_across_batches(spark, tmp_path):
         .parquet(str(src / "*"))
     )
     updates = stateful.running_user_stats(stream)
-    final = stateful.drain_to_memory_table(
-        spark, updates, checkpoint_dir=str(tmp_path / "ckpt")
-    )
+    if drain == "parquet":
+        final = stateful.drain_to_parquet(
+            spark,
+            updates,
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    else:
+        final = stateful.drain_to_memory_table(
+            spark, updates, checkpoint_dir=str(tmp_path / "ckpt")
+        )
     from pyspark.sql import functions as F2
 
     rows = {
@@ -194,3 +204,154 @@ def test_stateful_running_counts_across_batches(spark, tmp_path):
         .collect()
     }
     assert rows == {1: (3, 17.0), 2: (1, 1.0), 3: (1, 7.0)}
+
+
+def test_file_lifecycle_processed_routing(spark, dirs, tmp_path):
+    """K5 (reference code/utils.py:48-78): after a successful batch the
+    consumed source files — clean AND dirty, à la the reference's
+    '- Copy.csv' corrupt fixture — move to processed/, the bad ROWS land
+    in the quarantine sink, and the source dir is drained."""
+    processed = str(tmp_path / "processed")
+    write_file(dirs, "clean.csv", CSV_GOOD)
+    write_file(dirs, "corrupt.csv", CSV_MIXED)
+    cfg = make_cfg(dirs)
+    cfg.processed_dir = processed
+    run_ingest_once(spark, cfg)
+
+    assert os.listdir(dirs["source"]) == []
+    assert sorted(os.listdir(processed)) == ["clean.csv", "corrupt.csv"]
+    # bad rows still quarantined even though their file was processed
+    assert spark.read.parquet(dirs["quarantine"]).count() == 2
+    # and the stream does NOT re-ingest moved-away files on a later drain
+    write_file(dirs, "late.csv", "sensor_id,temperature_C,humidity\ns8,1.0,2\n")
+    run_ingest_once(spark, cfg)
+    assert spark.read.parquet(dirs["good"]).count() == 4
+
+
+def test_file_lifecycle_failed_routing(spark, dirs, tmp_path, monkeypatch):
+    """A batch that raises routes its files to failed_dir and writes a
+    FAILURE audit (reference T6 + K5 quarantine move, code/Main.py:160-170)."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import ingest as ing
+
+    failed = str(tmp_path / "failed")
+    write_file(dirs, "a.csv", CSV_GOOD)
+    cfg = make_cfg(dirs)
+    cfg.failed_dir = failed
+
+    real_audit = ing.write_audit
+    calls = {"n": 0}
+
+    def flaky_audit(spark_, out_dir, rec):
+        # first SUCCESS audit attempt explodes -> batch fails after the
+        # good write; FAILURE audit + file move must still happen
+        if rec.status == "SUCCESS" and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("audit store down")
+        return real_audit(spark_, out_dir, rec)
+
+    monkeypatch.setattr(ing, "write_audit", flaky_audit)
+    with pytest.raises(Exception):
+        run_ingest_once(spark, cfg)
+    assert os.listdir(failed) == ["a.csv"]
+    audit = spark.read.parquet(dirs["audit"]).collect()
+    assert {r["status"] for r in audit} == {"FAILURE"}
+
+
+def test_ingest_batch_replay_is_idempotent(spark, dirs):
+    """§4.3-8: re-running a batch's foreachBatch body (at-least-once
+    replay) must not duplicate rows — dynamic partition overwrite on
+    batch_id makes the data sinks idempotent."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.ingest import process_batch
+
+    write_file(dirs, "a.csv", CSV_GOOD)
+    write_file(dirs, "b.csv", CSV_MIXED)
+    cfg = make_cfg(dirs)
+    batch_df = (
+        spark.read.option("header", "true").schema(SCHEMA).csv(dirs["source"])
+    )
+    body = process_batch(cfg)
+    body(batch_df, 7)
+    body(batch_df, 7)  # replay of the same micro-batch
+    assert spark.read.parquet(dirs["good"]).count() == 3
+    assert spark.read.parquet(dirs["quarantine"]).count() == 2
+
+
+def test_watermarked_streaming_dedup(spark, tmp_path):
+    """T4: duplicates within the watermark are dropped across
+    micro-batches, with bounded state (dropDuplicatesWithinWatermark)."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.dedup import (
+        dedup_within_watermark,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [("k1", "2024-01-01 00:00:00", 1.0), ("k2", "2024-01-01 00:01:00", 2.0)]
+    rows2 = [("k1", "2024-01-01 00:05:00", 99.0), ("k3", "2024-01-01 00:06:00", 3.0)]
+    for i, rows in enumerate([rows1, rows2]):
+        (
+            spark.createDataFrame(rows, "k string, ts_s string, v double")
+            .select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+            .coalesce(1)
+            .write.parquet(str(src / f"f{i}"))
+        )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    deduped = dedup_within_watermark(stream, ["k"], "ts", delay="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    # k1's second arrival (00:05, within the 10-minute watermark) dropped
+    assert out == {"k1": 1.0, "k2": 2.0, "k3": 3.0}
+
+
+def test_supervised_restart_recovers_from_checkpoint(spark, dirs):
+    """T5/R2: a query that dies mid-stream is restarted by the
+    supervisor and resumes from its checkpoint; the idempotent sinks
+    leave exactly-once results."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.ingest import (
+        process_batch,
+        start_ingest,
+    )
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.supervision import (
+        run_supervised,
+    )
+
+    write_file(dirs, "a.csv", CSV_GOOD)
+    write_file(dirs, "b.csv", CSV_MIXED)
+    cfg = make_cfg(dirs)
+    cfg.max_files_per_trigger = 1  # two micro-batches
+
+    state = {"failed": False}
+    inner = process_batch(cfg)
+
+    def flaky_body(batch_df, batch_id):
+        inner(batch_df, batch_id)
+        if not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("transient crash after first batch")
+
+    def start():
+        stream = spark.readStream.format("csv").schema(cfg.schema).option(
+            "header", "true"
+        ).option("maxFilesPerTrigger", "1").load(cfg.source_dir)
+        return (
+            stream.writeStream.foreachBatch(flaky_body)
+            .option("checkpointLocation", cfg.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start, max_restarts=2, backoff_s=0.1)
+    assert state["failed"] is True  # the crash really happened
+    assert spark.read.parquet(dirs["good"]).count() == 3
+    assert spark.read.parquet(dirs["quarantine"]).count() == 2
