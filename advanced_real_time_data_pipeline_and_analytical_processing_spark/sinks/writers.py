@@ -125,8 +125,10 @@ def write_jdbc(
     mode: str = "append",
 ) -> None:
     """JDBC append with batched inserts (reference K1/K2,
-    ``code/utils.py:203-205``). Exactly-once is achieved upstream by
-    keying on row_hash (idempotent upsert staging); plain append here."""
+    ``code/utils.py:203-205``). Plain at-least-once append — for
+    exactly-once-per-key replays use
+    ``sinks.jdbc_upsert.upsert_jdbc`` (staging table + row_hash-keyed
+    MERGE, tested against embedded Derby)."""
     props = {"batchsize": "5000", "rewriteBatchedStatements": "true"}
     props.update(properties or {})
     df.write.jdbc(url=url, table=table, mode=mode, properties=props)
