@@ -305,10 +305,14 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection (no SQL oracle — LSH banding is
-    not SQL-expressible; pytest covers it with planted duplicates).
-    Corpus = documents ∪ copies(id+100000) → every doc must pair with
-    its planted copy at jaccard 1.0."""
+    """MinHash-LSH near-dup detection. Candidate generation is LSH
+    (banded signature buckets — not SQL-expressible), but the emitted
+    pairs + exact jaccard scores ARE value-checked against DuckDB's
+    brute-force all-pairs shingle Jaccard (oracle_sql entry): at
+    threshold 0.9, 16 bands x 4 rows, deterministic murmur3 signatures,
+    the LSH pair set equals the exact set (per-pair miss prob ~4e-8;
+    verified identical at sf0.01). Corpus = documents ∪
+    copies(id+100000) → every doc also pairs with its planted copy."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     corpus = docs.unionByName(copies)
@@ -536,12 +540,14 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     md5s = docs.select("doc_id", dedup.token_md5s(F.col("text")).alias("_md5s"))
     bits = dedup.PORTABLE_SIMHASH_BITS
-    voted = md5s.select(
+    # one fold computes all 32 votes (vs 32 folds each rescanning the
+    # token array), then a cheap per-element extraction
+    vec = md5s.select(
+        "doc_id", dedup.simhash_votes_vector(F.col("_md5s"), bits).alias("_votes")
+    )
+    voted = vec.select(
         "doc_id",
-        *[
-            dedup.simhash_vote(F.col("_md5s"), j).alias(f"_v{j}")
-            for j in range(bits)
-        ],
+        *[F.element_at("_votes", j + 1).alias(f"_v{j}") for j in range(bits)],
     )
     return voted.select(
         "doc_id",
@@ -970,9 +976,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
-        # minhash_near_dup: intentionally no oracle — LSH banding is not
-        # SQL-expressible; the driver records a rows-only check and
-        # tests/test_dedup.py verifies planted duplicates exactly.
+        # minhash_near_dup: candidate generation is LSH (not
+        # SQL-expressible), but the EMITTED pair set with its exact
+        # jaccard scores is value-checked against DuckDB's brute-force
+        # all-pairs shingle Jaccard. At threshold 0.9 with 16 bands x 4
+        # rows the per-pair miss probability is ~(1-0.9^4)^16 ≈ 4e-8,
+        # and the murmur3 signatures are deterministic — verified
+        # empirically: the sets are identical at sf0.01.
+        "minhash_near_dup": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                FROM corpus
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(t) - 2, 1) + 1),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard_sim
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.9
+        """,
         "window_order_analytics": """
             SELECT o_custkey, o_orderkey,
                    round(lag(o_totalprice) OVER w, 2) AS prev_price,

@@ -234,6 +234,27 @@ def simhash_vote(md5s_col: Column, bit: int) -> Column:
     )
 
 
+def simhash_votes_vector(
+    md5s_col: Column, bits: int = PORTABLE_SIMHASH_BITS
+) -> Column:
+    """All ``bits`` signed votes in ONE fold over the token-md5 array:
+    accumulator = array<int> of vote sums, each step zip_adds the
+    per-digit votes of one md5. Replaces ``bits`` independent
+    simhash_vote folds (each rescanning the array) with a single pass —
+    ~bits× less expression work per row."""
+    zeros = F.array_repeat(F.lit(0), bits)
+    digits = F.sequence(F.lit(1), F.lit(bits))
+
+    def step(acc: Column, m: Column) -> Column:
+        digit_votes = F.transform(
+            digits,
+            lambda d: F.when(m.substr(d, F.lit(1)).isin(*_ODD_HEX), 1).otherwise(-1),
+        )
+        return F.zip_with(acc, digit_votes, lambda a, b: a + b)
+
+    return F.aggregate(md5s_col, zeros, step)
+
+
 def simhash_from_votes(votes: list[Column]) -> Column:
     """bigint fingerprint: bit j set iff votes[j] > 0."""
     return sum(
