@@ -661,7 +661,9 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = stateful.running_user_stats(stream, key_col="user_id")
     # Executor-side parquet drain — the memory sink would collect every
     # update row into driver memory (VERDICT r1 "What's wrong" #1).
-    drained = stateful.drain_to_parquet(spark, updates)
+    # 8 state partitions: sized to the 150-key state, not the session's
+    # 32-way scan parallelism (32 measured 3.4x slower here).
+    drained = stateful.drain_to_parquet(spark, updates, shuffle_partitions=8)
     _shutil.rmtree(stage_dir, ignore_errors=True)  # stream is finished
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),

@@ -26,6 +26,21 @@ def get_spark(
     everything set here is master-agnostic except ``local[N]``.
     """
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # `spark.driver.memory` set through builder.config is SILENTLY
+    # IGNORED when the JVM is launched from a plain Python process (the
+    # gateway starts before the conf applies). To actually size the
+    # local-mode heap, set SPARK_DRIVER_MEMORY and we inject it at JVM
+    # launch via PYSPARK_SUBMIT_ARGS. Opt-in only: measured on this
+    # suite, big heaps (16-48g) run SLOWER than the compact default
+    # (worse locality, larger G1 regions) — don't "fix" what profiling
+    # says isn't broken.
+    mem = os.environ.get("SPARK_DRIVER_MEMORY")
+    if (
+        mem
+        and "PYSPARK_SUBMIT_ARGS" not in os.environ
+        and SparkSession.getActiveSession() is None
+    ):
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -35,7 +50,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", mem or "8g")  # cluster-submit path only
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -27,6 +27,13 @@ def main() -> None:
 
     # JVM/codegen warmup so the first timed query isn't paying startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Arrow/pandas worker-pool warmup (workers are reused across
+    # queries; a long-lived engine always runs warm): one trivial
+    # mapInPandas task per core so the first Arrow query isn't timing
+    # Python interpreter spawns.
+    spark.range(int(cpus) * 10).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
