@@ -314,6 +314,91 @@ def test_watermarked_streaming_dedup(spark, tmp_path):
     assert out == {"k1": 1.0, "k2": 2.0, "k3": 3.0}
 
 
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream × static dim: broadcast join per micro-batch, no state."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _events(spark).write.parquet(str(src / "b1"))
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "passive")], "event_type string, category string"
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id string, event_type string, value double"
+    ).parquet(str(src / "*"))
+    enriched = stream_static_enrich(stream, dim, ["event_type"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM enrich_out").collect()
+    assert len(rows) == 4
+    cats = {r["event_type"]: r["category"] for r in rows}
+    assert cats == {"click": "engagement", "view": "passive"}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two watermarked streams, interval-bounded join: clicks within
+    30 minutes after an impression match; later clicks don't."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    imps = [("u1", "2024-01-01 00:00:00"), ("u2", "2024-01-01 01:00:00")]
+    clks = [
+        ("u1", "2024-01-01 00:10:00"),  # within 30m of u1 impression -> match
+        ("u2", "2024-01-01 02:00:00"),  # 60m after u2 impression -> no match
+    ]
+    (
+        spark.createDataFrame(imps, "user_id string, ts_s string")
+        .select("user_id", F.to_timestamp("ts_s").alias("imp_ts"))
+        .write.parquet(str(imp_dir / "b"))
+    )
+    (
+        spark.createDataFrame(clks, "user_id string, ts_s string")
+        .select("user_id", F.to_timestamp("ts_s").alias("clk_ts"))
+        .write.parquet(str(clk_dir / "b"))
+    )
+    imp_stream = spark.readStream.schema("user_id string, imp_ts timestamp").parquet(
+        str(imp_dir / "*")
+    )
+    clk_stream = spark.readStream.schema("user_id string, clk_ts timestamp").parquet(
+        str(clk_dir / "*")
+    )
+    joined = stream_stream_interval_join(
+        imp_stream,
+        clk_stream,
+        on=["user_id"],
+        left_ts="imp_ts",
+        right_ts="clk_ts",
+        left_watermark="2 hours",
+        right_watermark="2 hours",
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM ssj_out").collect()
+    assert [(r["user_id"],) for r in rows] == [("u1",)]
+
+
 def test_supervised_restart_recovers_from_checkpoint(spark, dirs):
     """T5/R2: a query that dies mid-stream is restarted by the
     supervisor and resumes from its checkpoint; the idempotent sinks
