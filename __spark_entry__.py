@@ -616,6 +616,42 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status, priority), (status), ()) — the
+    remaining grouping-shape surface next to rollup/cube (SURVEY §2.5:
+    built-ins the reference lacks). One pass: Spark expands the sets in
+    a single Expand + hash aggregate, not one scan per set."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (§2.12 text
+    analysis): per-token 32-bit values (first 8 hex digits of md5)
+    folded as h = (h*31 + v) mod (2^31 - 1). One Catalyst fold per row
+    in the scan stage — no shuffle, no UDF — and portable: DuckDB
+    recomputes it exactly (md5 + hex parse + list_reduce)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    vals = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * 31 + v) % F.lit(2147483647),
+    )
+    return docs.select("doc_id", fp.alias("rolling_fp"))
+
+
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part avg
     quantity) decorrelated into an aggregate + equi-join on partkey —
@@ -737,6 +773,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
     "cube_order_stats": q_cube_order_stats,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "rolling_fingerprint": q_rolling_fingerprint,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "stateful_running_counts": q_stateful_running_counts,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -1201,6 +1239,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_value
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_value
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+        """,
+        "rolling_fingerprint": r"""
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               regexp_split_to_array(trim(lower(text)), '\s+'),
+                               t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
+            FROM documents
         """,
         "q17_small_qty_revenue": """
             SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
