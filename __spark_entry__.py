@@ -652,6 +652,57 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("rolling_fp"))
 
 
+def q_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`): one hash-agg pass computes all three
+    quartiles from the same sorted sketch."""
+    cust = _t(spark, sf_dir, "customer")
+    pct = F.percentile("c_acctbal", F.lit([0.25, 0.5, 0.75]))
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def q_monthly_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-extraction surface (year/month) + hash agg — the
+    partial+final combine makes the shuffle carry one row per
+    (year, month), independent of fact-table size."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            "o_totalprice",
+        )
+        .groupBy("o_year", "o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction in the scan stage: pull `k` out of the
+    events.props JSON string (get_json_object — JVM-side JSON path, no
+    UDF) and aggregate it per event type. The oracle recomputes the
+    extraction with a regex, proving the value, not the method."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part avg
     quantity) decorrelated into an aggregate + equi-join on partkey —
@@ -775,6 +826,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_stats": q_cube_order_stats,
     "grouping_sets_orders": q_grouping_sets_orders,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "quartiles_by_segment": q_quartiles_by_segment,
+    "monthly_order_seasonality": q_monthly_order_seasonality,
+    "json_props_stats": q_json_props_stats,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "stateful_running_counts": q_stateful_running_counts,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -1257,6 +1311,28 @@ def oracle_sql() -> dict[str, str]:
                                t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
                        (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
             FROM documents
+        """,
+        "quartiles_by_segment": """
+            SELECT c_mktsegment,
+                   round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+                   round(quantile_cont(c_acctbal, 0.50), 6) AS p50,
+                   round(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+                   count(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "monthly_order_seasonality": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(month(o_orderdate) AS INTEGER) AS o_month,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 6) AS avg_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "json_props_stats": r"""
+            SELECT event_type,
+                   sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+                   round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 6) AS avg_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "q17_small_qty_revenue": """
             SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
