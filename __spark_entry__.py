@@ -606,6 +606,30 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF — corpus partitioned into nearest-centroid
+    cells (16 deterministic seed centroids + one distributed Lloyd
+    refinement), queries probe their 3 best cells (no SQL oracle —
+    cell membership depends on the learned centroids;
+    tests/test_similarity.py checks planted copies are retrieved at
+    score 1.0). Corpus = embeddings ∪ exact copies; queries = vec_id < 8."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(copies)
+    queries = emb.filter(F.col("vec_id") < 8)
+    seeds = similarity.sample_centroids(emb, "vec_id", "embedding", n_cells=16)
+    cents = similarity.lloyd_refine(emb, "embedding", seeds)
+    return similarity.ivf_topk(
+        queries,
+        corpus,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        centroids=cents,
+        nprobe=3,
+        k=3,
+    )
+
+
 def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over status × priority (SURVEY.md §2.5 noted
     these as built-ins the reference lacks)."""
@@ -823,6 +847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "cube_order_stats": q_cube_order_stats,
     "grouping_sets_orders": q_grouping_sets_orders,
     "rolling_fingerprint": q_rolling_fingerprint,

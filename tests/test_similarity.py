@@ -103,3 +103,35 @@ def test_lsh_ann_recall_on_planted_copies(spark):
         # the planted exact copy lands in the same bucket always and wins
         assert top["neighbor_id"] == qid + 100000
         assert top["score"] == 1.0
+
+
+def test_ivf_ann_recall_on_planted_copies(spark):
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["ivf_ann_topk"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == set(range(8))
+    for qid, hits in by_query.items():
+        top = min(hits, key=lambda r: r["rank"])
+        # a query and its exact copy share the same nearest cell, so the
+        # copy is always probed and wins at cosine 1.0
+        assert top["neighbor_id"] == qid + 100000
+        assert top["score"] == 1.0
+
+
+def test_ivf_cells_partition_corpus(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seeds = similarity.sample_centroids(emb, "vec_id", "embedding", n_cells=8)
+    cents = similarity.lloyd_refine(emb, "embedding", seeds)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    cells = similarity.ivf_assign(emb, "embedding", cents)
+    counts = {r["cell"]: r["n"] for r in cells.groupBy("cell").count().withColumnRenamed("count", "n").collect()}
+    assert sum(counts.values()) == emb.count()  # every vector in exactly one cell
+    assert len(counts) > 1  # corpus actually split across cells
