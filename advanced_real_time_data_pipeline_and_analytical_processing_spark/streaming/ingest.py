@@ -234,3 +234,24 @@ def run_ingest_once(spark: SparkSession, cfg: IngestConfig) -> None:
     cfg.trigger = {"availableNow": True}
     q = start_ingest(spark, cfg)
     q.awaitTermination()
+
+
+def start_multi_format_ingest(
+    spark: SparkSession, cfgs: list[IngestConfig]
+) -> list:
+    """Reference S7 (format dispatch, ``code/Main.py:76-80``) done the
+    Spark way: the reference collected each batch's file paths to the
+    driver and grouped them by extension with RDD ops; here each format
+    is its own streaming query over the same directory (pathGlobFilter
+    separates them at the source), so schemas are fixed at plan time and
+    nothing moves driver-side. Queries run concurrently and share
+    nothing but the directory."""
+    return [start_ingest(spark, cfg) for cfg in cfgs]
+
+
+def run_multi_format_once(spark: SparkSession, cfgs: list[IngestConfig]) -> None:
+    """availableNow drain of every per-format stream (test/backfill)."""
+    for cfg in cfgs:
+        cfg.trigger = {"availableNow": True}
+    for q in start_multi_format_ingest(spark, cfgs):
+        q.awaitTermination()

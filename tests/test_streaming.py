@@ -314,6 +314,38 @@ def test_watermarked_streaming_dedup(spark, tmp_path):
     assert out == {"k1": 1.0, "k2": 2.0, "k3": 3.0}
 
 
+def test_multi_format_dispatch(spark, dirs, tmp_path):
+    """S7: one csv + one json file in the same source dir, one stream
+    per format (pathGlobFilter split at the source, schemas fixed at
+    plan time) — both land in their own good sinks."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.ingest import (
+        IngestConfig,
+        run_multi_format_once,
+    )
+
+    write_file(dirs, "a.csv", CSV_GOOD)
+    write_file(dirs, "b.json", '{"sensor_id": "j1", "temperature_C": 7.5, "humidity": 11.0}\n')
+    base = make_cfg(dirs)
+    json_dirs = {k: str(tmp_path / f"json_{k}") for k in ("good", "quarantine", "audit", "checkpoint")}
+    cfgs = [
+        base,
+        IngestConfig(
+            source_dir=dirs["source"],
+            fmt="json",
+            schema=SCHEMA,
+            rules=base.rules,
+            good_dir=json_dirs["good"],
+            quarantine_dir=json_dirs["quarantine"],
+            audit_dir=json_dirs["audit"],
+            checkpoint_dir=json_dirs["checkpoint"],
+        ),
+    ]
+    run_multi_format_once(spark, cfgs)
+    assert spark.read.parquet(dirs["good"]).count() == 2  # csv rows only
+    jrows = spark.read.parquet(json_dirs["good"]).collect()
+    assert [r["sensor_id"] for r in jrows] == ["j1"]
+
+
 def test_stream_static_enrich(spark, tmp_path):
     """Stream × static dim: broadcast join per micro-batch, no state."""
     from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.joins import (
