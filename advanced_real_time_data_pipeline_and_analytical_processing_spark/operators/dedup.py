@@ -314,35 +314,42 @@ def ngram_candidates(
             id_col, "_shingles", "_blk",
             F.col("_bt.b").alias("_bkt"), F.col("_bt.t").alias("_tag"),
         )
-        a = entries.select(
-            "_blk", "_bkt", F.col("_tag").alias("_ta"),
-            F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sa"),
-        )
-        b = entries.select(
-            "_blk", "_bkt", F.col("_tag").alias("_tb"),
-            F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sb"),
-        )
+        # Self-join via subquery ALIASES of the identical plan (not two
+        # different projections): the canonical plans match, so the
+        # shuffle below the join is built once and ReusedExchange feeds
+        # the other side — the corpus is scanned and shingled ONCE.
+        a, b = entries.alias("a"), entries.alias("b")
         return (
-            a.join(b, ["_blk", "_bkt"])
-            .filter(
-                (F.col("id_a") < F.col("id_b"))
+            a.join(
+                b,
+                (F.col("a._blk") == F.col("b._blk"))
+                & (F.col("a._bkt") == F.col("b._bkt"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                 # both-shifted matches duplicate the both-base match:
                 # keep (0,0) [same bucket], (0,1)/(1,0) [adjacent]
-                & ~((F.col("_ta") == 1) & (F.col("_tb") == 1))
+                & ~((F.col("a._tag") == 1) & (F.col("b._tag") == 1)),
             )
-            .select("id_a", "id_b", "_sa", "_sb")
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a._shingles").alias("_sa"),
+                F.col("b._shingles").alias("_sb"),
+            )
         )
 
-    a = blocked.select(
-        F.col("_blk"), F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sa")
-    )
-    b = blocked.select(
-        F.col("_blk"), F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sb")
-    )
+    a, b = blocked.alias("a"), blocked.alias("b")
     return (
-        a.join(b, ["_blk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._shingles").alias("_sa"),
+            F.col("b._shingles").alias("_sb"),
+        )
     )
 
 

@@ -140,19 +140,20 @@ def cosine_near_dup(
         .repartition(n, F.col("_id"))
         .select("_blk", "_id", unit_normalize(F.col("_v")).alias("_u"))
     )
-    a = normed.select(
-        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_u").alias("_ua")
-    )
-    b = normed.select(
-        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_u").alias("_ub")
-    )
+    # Subquery aliases of one identical plan -> the normalize projection
+    # and its exchange are built once (ReusedExchange on the other join
+    # side), so the corpus is scanned and unit-normalized ONCE.
+    a, b = normed.alias("a"), normed.alias("b")
     return (
-        a.join(b, ["_blk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
         .select(
-            "id_a",
-            "id_b",
-            F.round(dot(F.col("_ua"), F.col("_ub")), 6).alias("cos_sim"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(dot(F.col("a._u"), F.col("b._u")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
