@@ -14,6 +14,8 @@ aggregate on the array column — no Python in the scoring loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,6 +116,24 @@ def unit_normalize(vec: Column) -> Column:
     )
 
 
+def np_unit_normalize(vec: Column) -> Column:
+    """Arrow-vectorized unit_normalize (zero vectors stay zero): one
+    numpy pass per batch. Use on hot non-oracle paths (IVF training);
+    the Catalyst `unit_normalize` stays on oracle-checked queries where
+    summation order must match DuckDB bit-for-bit. The UDF is built per
+    call (pandas_udf needs an active session, so no module-level
+    decorator)."""
+
+    @F.pandas_udf("array<double>")
+    def _norm(s: pd.Series) -> pd.Series:
+        M = np.vstack(s.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return pd.Series(list(M / norms))
+
+    return _norm(vec)
+
+
 def cosine_near_dup(
     df: DataFrame,
     id_col: str,
@@ -189,9 +209,10 @@ def sample_centroids(
     smallest ids, unit-normalized. Driver-side data is exactly n_cells
     vectors — bounded and tiny; the corpus itself never moves."""
     rows = (
-        df.select(F.col(id_col).alias("_id"), unit_normalize(F.col(vec_col)).alias("_u"))
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy("_id")
-        .limit(n_cells)
+        .limit(n_cells)  # TakeOrderedAndProject on the raw vectors...
+        .select(unit_normalize(F.col("_v")).alias("_u"))  # ...then normalize only n_cells rows
         .collect()
     )
     return [list(r["_u"]) for r in rows]
@@ -206,7 +227,7 @@ def lloyd_refine(
     a posexplode + hash aggregate on the cluster; only the k×dim
     aggregated means reach the driver."""
     assigned = ivf_assign(df, vec_col, centroids).select(
-        "cell", unit_normalize(F.col(vec_col)).alias("_u")
+        "cell", np_unit_normalize(F.col(vec_col)).alias("_u")
     )
     means = (
         assigned.select("cell", F.posexplode("_u").alias("dim", "x"))
@@ -223,16 +244,54 @@ def lloyd_refine(
     return out
 
 
+def centroid_scores_udf(centroids: list[list[float]]):
+    """Arrow-vectorized centroid scoring: dot(unit(v), c) for every
+    centroid c, as ONE numpy matmul per Arrow batch.
+
+    Why a Pandas UDF here and not Catalyst expressions: scoring k
+    centroids with `aggregate`/`zip_with` higher-order functions is
+    interpreted per element (~100us per 64-dim dot measured on
+    local[32]); k inlined dots made IVF ~40x slower than brute force on
+    2k rows, and even a single `transform` over a folded
+    array<array<double>> literal stayed ~10x slower than BLAS. Dense
+    linear algebra is exactly the carve-out where Arrow-batched numpy
+    beats built-ins — (batch x dim) @ (dim x k) per batch, no per-row
+    Python. Centroids ride into the closure (driver-serialized, tiny —
+    the broadcast-literal equivalent)."""
+    C = np.asarray(centroids, dtype=np.float64).T  # dim x k
+
+    @F.pandas_udf("array<double>")
+    def scores(s: pd.Series) -> pd.Series:
+        M = np.vstack(s.to_numpy()).astype(np.float64)  # n x dim
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        S = (M / norms) @ C  # n x k
+        return pd.Series(list(S))
+
+    return scores
+
+
 def ivf_assign(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
     """Attach the nearest-centroid cell id (argmax of dot with the
     unit-normalized centroid constants — cosine order on any input
-    scale). One scan, no shuffle: the centroid table is a plan literal."""
-    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    scores = F.array(*[dot(unit_normalize(F.col(vec_col)), c) for c in cents])
-    cell = F.array_position(scores, F.array_max(scores)).cast("int") - 1
-    return df.select("*", cell.alias("cell"))
+    scale). One scan, no shuffle: scores come from the Arrow matmul
+    kernel; the 16-element argmax stays a cheap JVM expression."""
+    scores = centroid_scores_udf(centroids)
+    return (
+        df.withColumn("_ivf_s", scores(F.col(vec_col)))
+        .withColumn(
+            "cell",
+            (
+                F.array_position(F.col("_ivf_s"), F.array_max(F.col("_ivf_s"))).cast(
+                    "int"
+                )
+                - 1
+            ),
+        )
+        .drop("_ivf_s")
+    )
 
 
 def ivf_topk(
@@ -258,20 +317,20 @@ def ivf_topk(
         "_cvec",
         centroids,
     )
-    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    qscores = F.array(*[dot(unit_normalize(F.col("_qvec")), c) for c in cents])
     probe_cells = F.slice(
         F.reverse(F.array_sort(
             F.transform(
-                qscores,
+                F.col("_qs"),
                 lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
             )
         )),
         1,
         nprobe,
     )
+    qscores = centroid_scores_udf(centroids)
     probes = (
         queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec"))
+        .withColumn("_qs", qscores(F.col("_qvec")))
         .select("_qid", "_qvec", F.explode(probe_cells).alias("_p"))
         .select("_qid", "_qvec", F.col("_p.cell").alias("cell"))
     )
