@@ -748,6 +748,254 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins. The whole
+    predicate (shipdate range, discount band, quantity cap) pushes to
+    the parquet scan; the agg is a single partial+final sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no commitdate/receiptdate in this
+    schema): count orders per priority having at least one lineitem
+    shipped >60 days after the order date. EXISTS decorrelates into a
+    left-semi join on orderkey with the lateness predicate as a join
+    condition — one shuffle, no duplicate-orderkey blow-up."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.to_date(li.l_shipdate) > F.date_add(F.to_date(orders.o_orderdate), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between two nations by ship year.
+    Both nation dims broadcast; the fact join shuffles once on orderkey.
+    The (supp_nation, cust_nation) pair filter keeps either direction."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. Customer/nation broadcast; deterministic tie-break on
+    custkey so the limit is stable."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate share — promo revenue
+    fraction for one ship month. Part dim broadcast; one conditional sum
+    over the joined scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
+            / F.sum(disc_price),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over a
+    quarter. The per-supplier aggregate is tiny, so the global max is an
+    empty-frame window over the aggregated rows — no second scan of
+    lineitem and no driver round-trip."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("_max", F.max("_rev").over(w)).filter(
+        F.col("_rev") == F.col("_max")
+    )
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING on a grouped sum), joined back to customer/order headers.
+    The having-filter runs on the aggregated (tiny) side BEFORE the
+    joins, so only qualifying orderkeys join back."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate (brand x size x
+    quantity bands). Expressed as one disjunctive filter AFTER the
+    equi-join on partkey so Catalyst keeps the join an equi hash join
+    and pushes the common conjuncts (quantity bounds) into the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.filter(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global positive-balance
+    average with no RECENT order (lapsed accounts — in this synthetic
+    data every customer has at least one lifetime order, so the classic
+    no-orders-ever predicate is vacuous). The scalar average is a 1-row
+    aggregate broadcast into a cross join (no driver round-trip); "no
+    recent order" is a left-anti join against the date-filtered orders
+    scan — the filter pushes down, so the anti join's build side is
+    small."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): per-user
     running (count, sum) maintained in the state store, drained with an
@@ -855,6 +1103,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_order_seasonality": q_monthly_order_seasonality,
     "json_props_stats": q_json_props_stats,
     "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q4_late_orders": q4_late_orders,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "stateful_running_counts": q_stateful_running_counts,
     "multimodal_feature_stats": q_multimodal_feature_stats,
 }
@@ -1367,6 +1624,119 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_partkey AS pk, avg(l_quantity) * 0.5 AS qty_threshold
                   FROM lineitem GROUP BY l_partkey) t ON t.pk = l_partkey
             WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold
+        """,
+        "q4_late_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q6_revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.04
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   year(l_shipdate) AS ship_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+            GROUP BY 1, 2, 3
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(max(c_acctbal), 2) AS acctbal
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT round(
+                     100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, round(total, 2) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total = (SELECT max(total) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q18_large_orders": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   round(o_totalprice, 2) AS totalprice,
+                   round(total_qty, 2) AS total_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 300) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_idle_rich_customers": """
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "stateful_running_counts": """
             SELECT user_id,
