@@ -996,6 +996,36 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% document sample (engine-portable md5 bucket of
+    doc_id — reproducible train/eval splits, never rand()), profiled by
+    language. The sample predicate is a pure scan-stage filter."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = maintenance.hash_sample(docs, "doc_id", pct=25, portable=True)
+    return (
+        sample.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of events by user_id: top-10 heaviest keys with
+    count, share of total, and skew ratio vs the mean key load — the
+    measurement that decides salting fan-out / AQE skew thresholds
+    before a big join. One aggregate; the global sums come from an
+    empty-frame window over the (tiny) per-key frame."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    events = _t(spark, sf_dir, "events")
+    return maintenance.skew_profile(events, "user_id", top_n=10)
+
+
 def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): per-user
     running (count, sum) maintained in the state store, drained with an
@@ -1112,6 +1142,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "hash_sample_by_lang": q_hash_sample_by_lang,
+    "skew_profile_events": q_skew_profile_events,
     "stateful_running_counts": q_stateful_running_counts,
     "multimodal_feature_stats": q_multimodal_feature_stats,
 }
@@ -1737,6 +1769,29 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "hash_sample_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents
+            WHERE ((strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 < 25
+            GROUP BY lang ORDER BY lang
+        """,
+        "skew_profile_events": """
+            WITH counts AS (
+                SELECT user_id AS key, count(*) AS n_rows
+                FROM events GROUP BY user_id
+            )
+            SELECT CAST(key AS VARCHAR) AS key, n_rows,
+                   round(n_rows / (SELECT CAST(sum(n_rows) AS DOUBLE) FROM counts), 6)
+                     AS share,
+                   round(n_rows / (SELECT avg(n_rows) FROM counts), 6) AS skew_ratio
+            FROM counts
+            ORDER BY n_rows DESC, key ASC
+            LIMIT 10
         """,
         "stateful_running_counts": """
             SELECT user_id,

@@ -1,0 +1,136 @@
+"""Table-maintenance and scale-hygiene operators.
+
+The reference pipeline (code/Main.py, code/utils.py) stops at
+"write the batch"; at 100 TB the write layout IS the query plan for
+every downstream job, so an engine needs first-class operators for:
+
+- **Bucketed tables** (`write_bucketed`): pre-shuffle a fact table once
+  on its join key so every later equi-join/aggregation on that key is
+  exchange-free (Spark reads bucket files as pre-partitioned input).
+  This is the batch analogue of co-partitioned stream-stream joins.
+- **Small-file compaction** (`compact_parquet`): streaming ingest
+  (foreachBatch appends, reference §4.3-8) accretes thousands of tiny
+  parquet files; scans then pay per-file open cost and lose row-group
+  pruning. Compaction rewrites a directory to ~target-sized files with
+  a single shuffle-free coalesce read.
+- **Deterministic sampling** (`hash_sample`): reproducible train/eval
+  splits and down-samples keyed on a stable hash of an id column —
+  never `rand()`, which breaks resume/retry idempotency and cannot be
+  oracle-checked. The md5-based variant is engine-portable (same rows
+  selected by Spark and DuckDB).
+- **Skew profiling** (`skew_profile`): before salting/AQE-tuning a
+  join, measure it: per-key counts, share of total, and a skew ratio
+  against the mean — the empirical input to choosing salt fan-out.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist `df` as a bucketed (and optionally sorted) managed table.
+
+    Joins/aggregations between two tables bucketed on the same key with
+    the same bucket count skip the exchange entirely — the decisive
+    layout choice for a fact table joined on the same key by many
+    downstream jobs. Sorting within buckets additionally enables
+    sort-merge joins without a per-task sort."""
+    writer = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files.
+
+    File count is planned from the directory's actual byte size (driver
+    fs metadata — no data scan), then a coalesce(n) write: coalesce is
+    shuffle-free, so compaction costs one read + one write. Returns the
+    number of output files planned. Parquet compresses ~2-4x over its
+    in-memory width, so target_file_bytes is measured against on-disk
+    bytes, matching how maxPartitionBytes sizes the later scans."""
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    (
+        spark.read.parquet(src_dir)
+        .coalesce(int(n_files))
+        .write.mode("overwrite")
+        .parquet(dest_dir)
+    )
+    return int(n_files)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, pct: int, buckets: int = 100, portable: bool = True
+) -> DataFrame:
+    """Deterministic `pct`% sample: keep rows whose key hashes into the
+    first `pct` of `buckets` buckets.
+
+    portable=True derives the bucket from two md5 hex digits (exactly
+    reproducible in any engine — this is the oracle-checked path);
+    portable=False uses xxhash64 (one JVM hash call, the production
+    path at scale). Same key always lands in the same bucket, so the
+    sample is stable across runs, retries, and engines — the property
+    `rand()`-based sampling cannot give."""
+    if not 0 <= pct <= buckets:
+        raise ValueError(f"pct must be in [0, {buckets}]")
+    key = F.col(key_col).cast("string")
+    if portable:
+        # first two hex digits of md5 -> 0..255, then mod `buckets`
+        bucket = (
+            F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int") % buckets
+        )
+    else:
+        bucket = F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+    return df.filter(bucket < pct)
+
+
+def skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Top-`top_n` heaviest keys with count, share of total rows, and
+    skew ratio vs the mean key load. One partial+final aggregate over
+    the keys, then the (tiny) per-key frame is windowed against its own
+    global sums — no second scan of the input. The skew ratio is the
+    number AQE's skew-join threshold and manual salting fan-outs should
+    be chosen from."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy()
+    enriched = counts.select(
+        F.col("key").cast("string").alias("key"),
+        "n_rows",
+        F.round(F.col("n_rows") / F.sum("n_rows").over(w), 6).alias("share"),
+        F.round(F.col("n_rows") / F.avg("n_rows").over(w), 6).alias("skew_ratio"),
+    )
+    return (
+        enriched.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_n)
+    )

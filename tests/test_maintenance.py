@@ -1,0 +1,124 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count
+    must join without any shuffle exchange."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    maintenance.write_bucketed(
+        orders, "b_orders", "o_orderkey", 8, path=str(tmp_path / "b_orders")
+    )
+    maintenance.write_bucketed(
+        li, "b_lineitem", "l_orderkey", 8, path=str(tmp_path / "b_lineitem")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # run it (also resolves AQE) and check correctness vs plain join
+        got = {r["o_orderpriority"]: r["n"] for r in joined.collect()}
+        want = {
+            r["o_orderpriority"]: r["n"]
+            for r in li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+        plan = _plan(joined)
+        # bucketed scans feed a sort-merge join with ZERO exchange on
+        # the join keys — the whole point of the bucketed layout
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_parquet(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(50).write.parquet(src)  # 50 tiny files
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src == 50
+    planned = maintenance.compact_parquet(
+        spark, src, dest, target_file_bytes=10 * 1024 * 1024
+    )
+    n_dest = sum(f.endswith(".parquet") for f in os.listdir(dest))
+    assert planned == 1 and n_dest == 1
+    # content preserved
+    assert spark.read.parquet(dest).agg(F.sum("v")).collect()[0][0] == df.agg(
+        F.sum("v")
+    ).collect()[0][0]
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = maintenance.hash_sample(docs, "doc_id", pct=25)
+    s2 = maintenance.hash_sample(docs, "doc_id", pct=25)
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # stable across runs
+    n_total = docs.count()
+    assert 0.15 * n_total < len(ids1) < 0.35 * n_total  # ~25%
+    # nested property: a 10% sample is a subset of the 25% sample
+    ids10 = {
+        r["doc_id"]
+        for r in maintenance.hash_sample(docs, "doc_id", pct=10)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids10 <= set(ids1)
+
+
+def test_hash_sample_production_variant(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s = maintenance.hash_sample(docs, "doc_id", pct=25, portable=False)
+    n = s.count()
+    n_total = docs.count()
+    assert 0.15 * n_total < n < 0.35 * n_total
+    with pytest.raises(ValueError):
+        maintenance.hash_sample(docs, "doc_id", pct=101)
+
+
+def test_skew_profile_planted_skew(spark):
+    """A key with half of all rows must surface with skew_ratio >> 1."""
+    base = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    heavy = spark.range(0, 1000).select(
+        F.lit(999).alias("k"), F.col("id").alias("v")
+    )
+    prof = maintenance.skew_profile(base.unionAll(heavy), "k", top_n=3).collect()
+    assert prof[0]["key"] == "999"
+    assert prof[0]["n_rows"] == 1000
+    assert prof[0]["share"] == 0.5
+    assert prof[0]["skew_ratio"] > 15  # 101 keys, mean ~19.8 rows
