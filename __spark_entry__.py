@@ -996,6 +996,141 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, by order year. All five dims broadcast; the fact tables
+    shuffle once on orderkey. The share is a conditional-sum ratio over
+    the same grouped scan — no second pass."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == region.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation_s), sup.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/receiptdate in this
+    schema — l_linestatus plays the shipmode role and lateness is
+    shipdate > orderdate + 60d): per line status, count late lineitems
+    on critical- vs non-critical-priority orders. One equi join on
+    orderkey with the lateness predicate applied post-join; the
+    conditional counts are a single grouped pass."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including zero-order customers — a LEFT OUTER join (filter on the
+    right side, so it cannot be pushed into an inner join) followed by
+    two cascaded aggregations. Both groupBys are partial+final hash
+    aggs; the second input is one row per customer (tiny)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: lateness = shipdate > orderdate + 90d
+    instead of receipt/commit dates): suppliers who were the ONLY late
+    supplier on a finished multi-supplier order. The classic
+    EXISTS/NOT-EXISTS pair decorrelates into one per-order aggregate
+    (distinct supplier count, distinct late-supplier count) joined back
+    to the late lineitems — one shuffle on orderkey for the stats, one
+    for the join, no correlated re-scans."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 90)
+            ).alias("_late"),
+        )
+    )
+    order_stats = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    sole_late = (
+        flagged.filter(F.col("_late"))
+        .join(
+            order_stats.filter(
+                (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole_late.join(F.broadcast(sup), sole_late.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
 def q_hash_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 25% document sample (engine-portable md5 bucket of
     doc_id — reproducible train/eval splits, never rand()), profiled by
@@ -1142,6 +1277,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q8_market_share": q8_market_share,
+    "q12_late_priority_lines": q12_late_priority_lines,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q21_sole_late_supplier": q21_sole_late_supplier,
     "hash_sample_by_lang": q_hash_sample_by_lang,
     "skew_profile_events": q_skew_profile_events,
     "stateful_running_counts": q_stateful_running_counts,
@@ -1769,6 +1908,77 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS order_year,
+                   round(sum(CASE WHEN n2.n_name = 'NATION_2'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q12_late_priority_lines": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q21_sole_late_supplier": """
+            WITH flagged AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(l_shipdate AS DATE)
+                         > CAST(o_orderdate AS DATE) + 90 AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ),
+            order_stats AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                         AS n_late_supp
+                FROM flagged GROUP BY l_orderkey
+            )
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM (
+                SELECT DISTINCT f.l_orderkey, f.l_suppkey
+                FROM flagged f
+                JOIN order_stats os ON f.l_orderkey = os.l_orderkey
+                WHERE f.late AND os.n_supp > 1 AND os.n_late_supp = 1
+            )
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY numwait DESC, s_suppkey ASC
+            LIMIT 20
         """,
         "hash_sample_by_lang": """
             SELECT lang, count(*) AS n_docs,
