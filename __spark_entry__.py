@@ -1131,6 +1131,115 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table — lineitem is the
+    part↔supplier relation and effective unit price
+    l_extendedprice/l_quantity stands in for ps_supplycost): for each
+    small (size ≤ 15) STANDARD part, the EUROPE supplier offering the minimum
+    unit price. The correlated min subquery decorrelates into a
+    per-(part, supplier) aggregate + a per-part window min — one
+    shuffle on partkey serves both; dims broadcast."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(1, 15) & (F.col("p_type") == "STANDARD")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "s_acctbal")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("_best", F.min("_unit").over(w))
+        .filter(F.col("_unit") == F.col("_best"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("_unit", 6).alias("min_unit_price"),
+        )
+        .orderBy(F.col("acctbal").desc(), F.col("s_name"), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: lineitem is the part↔supplier
+    relation; negative account balance stands in for the complaints
+    NOT-IN subquery): distinct supplier count per (brand, type, size)
+    excluding one brand, one type, and flagged suppliers. The exclusion
+    is a broadcast anti join BEFORE the distinct-count aggregate, so
+    excluded rows never enter the shuffle."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    flagged = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(flagged),
+            li.l_suppkey == flagged.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+        .limit(30)
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped quantity stands in for
+    ps_availqty): suppliers in one region who shipped, for at least one
+    PROMO part in 1997, more than 30% of that part's total 1997
+    volume. Nested aggregation decorrelated into per-(part, supplier)
+    and per-part sums sharing one partkey shuffle, ratio-filtered, then
+    a left-semi join keeps qualifying suppliers."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    nation = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    promo_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_supp_part = promo_lines.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("_supp_qty")
+    )
+    per_part = promo_lines.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("_part_qty")
+    )
+    heavy = (
+        per_supp_part.join(per_part, "l_partkey")
+        .filter(F.col("_supp_qty") > 0.3 * F.col("_part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
 def q_hash_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 25% document sample (engine-portable md5 bucket of
     doc_id — reproducible train/eval splits, never rand()), profiled by
@@ -1281,6 +1390,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_late_priority_lines": q12_late_priority_lines,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q21_sole_late_supplier": q21_sole_late_supplier,
+    "q2_min_unit_price_supplier": q2_min_unit_price_supplier,
+    "q16_supplier_count_by_part": q16_supplier_count_by_part,
+    "q20_excess_shippers": q20_excess_shippers,
     "hash_sample_by_lang": q_hash_sample_by_lang,
     "skew_profile_events": q_skew_profile_events,
     "stateful_running_counts": q_stateful_running_counts,
@@ -1979,6 +2091,67 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_suppkey ASC
             LIMIT 20
+        """,
+        "q2_min_unit_price_supplier": """
+            WITH offers AS (
+                SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal,
+                       min(l_extendedprice / l_quantity) AS unit_price
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE p_size BETWEEN 1 AND 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+                GROUP BY 1, 2, 3, 4, 5, 6
+            )
+            SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+                   p_partkey, p_name,
+                   round(unit_price, 6) AS min_unit_price
+            FROM offers o
+            WHERE unit_price = (SELECT min(unit_price) FROM offers i
+                                WHERE i.p_partkey = o.p_partkey)
+            ORDER BY acctbal DESC, s_name, p_partkey
+            LIMIT 20
+        """,
+        "q16_supplier_count_by_part": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0.0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+            LIMIT 30
+        """,
+        "q20_excess_shippers": """
+            WITH promo_lines AS (
+                SELECT l_partkey, l_suppkey, l_quantity
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'PROMO'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+            ),
+            per_supp_part AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+                FROM promo_lines GROUP BY 1, 2
+            ),
+            per_part AS (
+                SELECT l_partkey, sum(l_quantity) AS part_qty
+                FROM promo_lines GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AFRICA'
+              AND s_suppkey IN (
+                SELECT DISTINCT sp.l_suppkey
+                FROM per_supp_part sp JOIN per_part p ON sp.l_partkey = p.l_partkey
+                WHERE sp.supp_qty > 0.3 * p.part_qty
+              )
+            ORDER BY s_suppkey
         """,
         "hash_sample_by_lang": """
             SELECT lang, count(*) AS n_docs,
