@@ -1131,6 +1131,74 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule corpus filter audit: per language, how many docs
+    pass the full heuristic chain and which rule kills the failures.
+    The flags are one codegen'd projection over the scan (see
+    text.gopher_quality_flags); this aggregates them per lang."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    flags = text.gopher_quality_flags(docs, "doc_id", "text")
+    n_fail = lambda c: F.sum(F.when(~F.col(c), 1).otherwise(0))  # noqa: E731
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("n_pass"),
+            n_fail("ok_words").alias("n_fail_words"),
+            n_fail("ok_mean_wl").alias("n_fail_mean_wl"),
+            n_fail("ok_alpha").alias("n_fail_alpha"),
+            n_fail("ok_stopwords").alias("n_fail_stopwords"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition (duplicate-bigram fraction, Gopher §A1.1)
+    per document — a per-row array expression, no explode/shuffle; the
+    500-row output is value-checked against DuckDB's list algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    bgs = text.bigrams(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(bgs).alias("n_bigrams"),
+        F.round(text.duplicate_bigram_fraction(F.col("text")), 6).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top-5 terms per language by tf * ln(N/df).
+    Shape: one explode of (doc, term) feeds BOTH the per-(lang, term)
+    tf aggregate and the per-term document frequency — two hash aggs
+    over one pass, a broadcast of the tiny df side back, then a per-
+    lang top-k window. All JVM expressions; ln on doubles matches the
+    oracle bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    n_docs = docs.count()  # scalar for the idf constant; one cheap count job
+    terms = docs.select(
+        "doc_id", "lang", F.explode(text.tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "lang",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("lang", "term", "tfidf")
+    )
+
+
 def q2_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: no partsupp table — lineitem is the
     part↔supplier relation and effective unit price
@@ -1393,6 +1461,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_unit_price_supplier": q2_min_unit_price_supplier,
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q20_excess_shippers": q20_excess_shippers,
+    "gopher_quality_filter": q_gopher_quality_filter,
+    "doc_repetition_profile": q_doc_repetition_profile,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "hash_sample_by_lang": q_hash_sample_by_lang,
     "skew_profile_events": q_skew_profile_events,
     "stateful_running_counts": q_stateful_running_counts,
@@ -2091,6 +2162,80 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_suppkey ASC
             LIMIT 20
+        """,
+        "gopher_quality_filter": """
+            WITH m AS (
+                SELECT lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       END AS n_words,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            f AS (
+                SELECT lang,
+                       n_words BETWEEN 30 AND 100000 AS ok_words,
+                       (CASE WHEN len(toks) > 0
+                             THEN list_sum(list_transform(toks, t -> len(t)))
+                                  * 1.0 / len(toks)
+                             ELSE 0.0 END) BETWEEN 3.0 AND 10.0 AS ok_mean_wl,
+                       (CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks,
+                                      t -> regexp_matches(t, '[a-z]')))
+                                  * 1.0 / len(toks)
+                             ELSE 0.0 END) >= 0.8 AS ok_alpha,
+                       len(list_filter(toks,
+                           t -> t IN ('the','be','to','of','and','that',
+                                      'have','with'))) >= 2 AS ok_stopwords
+                FROM m
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(CASE WHEN ok_words AND ok_mean_wl AND ok_alpha
+                                 AND ok_stopwords THEN 1 ELSE 0 END) AS n_pass,
+                   sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS n_fail_words,
+                   sum(CASE WHEN NOT ok_mean_wl THEN 1 ELSE 0 END) AS n_fail_mean_wl,
+                   sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS n_fail_alpha,
+                   sum(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END)
+                     AS n_fail_stopwords
+            FROM f GROUP BY lang ORDER BY lang
+        """,
+        "doc_repetition_profile": """
+            SELECT doc_id, len(bgs) AS n_bigrams,
+                   round(CASE WHEN len(bgs) > 0
+                              THEN 1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs)
+                              ELSE 0.0 END, 6) AS dup_bigram_frac
+            FROM (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(len(toks) - 1, 0)),
+                           i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                      FROM documents)
+            )
+        """,
+        "tfidf_top_terms": """
+            WITH terms AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                         AS term
+                FROM documents
+            ),
+            tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT lang, term,
+                       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT lang, term, tfidf FROM (
+                SELECT lang, term, tfidf,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY tfidf DESC, term ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 5
         """,
         "q2_min_unit_price_supplier": """
             WITH offers AS (

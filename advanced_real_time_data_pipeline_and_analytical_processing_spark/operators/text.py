@@ -108,6 +108,111 @@ def lang_id(text: Column) -> Column:
     return lang_id_from_scores(lang_scores(text))
 
 
+# The eight high-frequency function words the Gopher rules (Rae et al.
+# 2021, arXiv:2112.11446 §A1.1) use for the "contains at least 2 stop
+# words" check — a cheap is-this-natural-language test.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean characters per whitespace token (0.0 for blank text)."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks)
+    ).otherwise(0.0)
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of tokens containing at least one letter."""
+    toks = tokens(text)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return F.when(
+        F.size(toks) > 0, n_alpha.cast("double") / F.size(toks)
+    ).otherwise(0.0)
+
+
+def gopher_stop_hits(text: Column) -> Column:
+    """Occurrences of the Gopher stopword list in the document."""
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(stop_arr, t)))
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic quality rules as per-document boolean
+    flags plus the conjunctive ``passes`` verdict — the standard
+    pre-training corpus filter chain (word-count bounds, mean word
+    length band, alphabetic-word fraction, stopword presence).
+
+    One projection over the scan: every rule is a Catalyst expression
+    on the same tokenization, so the filter costs a single codegen'd
+    pass regardless of corpus size — no UDF, no second scan. Keeps all
+    rows (flags, not a filter) so the caller can audit *why* documents
+    fail before dropping them."""
+    t = F.col(text_col)
+    measured = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in df.columns if c != id_col and c != text_col],
+        token_count(t).alias("_n_words"),
+        mean_word_length(t).alias("_mean_wl"),
+        alpha_word_fraction(t).alias("_alpha_frac"),
+        gopher_stop_hits(t).alias("_stop_hits"),
+    )
+    flags = measured.select(
+        "*",
+        F.col("_n_words").between(min_words, max_words).alias("ok_words"),
+        F.col("_mean_wl").between(min_mean_wl, max_mean_wl).alias("ok_mean_wl"),
+        (F.col("_alpha_frac") >= min_alpha_frac).alias("ok_alpha"),
+        (F.col("_stop_hits") >= min_stop_hits).alias("ok_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("ok_words")
+            & F.col("ok_mean_wl")
+            & F.col("ok_alpha")
+            & F.col("ok_stopwords")
+        ).alias("passes"),
+    )
+
+
+def bigrams(text: Column) -> Column:
+    """Word bigrams as array<string>; empty array for <2 tokens (the
+    sequence(1, 0) guard — unguarded it yields the DESCENDING [1, 0]
+    and element_at(toks, 0) raises)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_bigram_fraction(text: Column) -> Column:
+    """Within-document repetition (Gopher §A1.1 'duplicate n-grams'):
+    1 - distinct_bigrams/total_bigrams. 0.0 for docs with <2 tokens.
+    Pure per-row array expression — no explode, no shuffle."""
+    bgs = bigrams(text)
+    return F.when(
+        F.size(bgs) > 0,
+        1.0 - F.size(F.array_distinct(bgs)).cast("double") / F.size(bgs),
+    ).otherwise(0.0)
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: lowercase, collapse whitespace, sha2.
     Two documents with the same fingerprint are exact dups modulo

@@ -59,3 +59,40 @@ def test_text_profile_schema(spark):
     assert row["n_tokens"] == 3
     assert row["lang_pred"] == "en"
     assert len(row["fp"]) == 64
+
+
+def test_gopher_flags_each_rule(spark):
+    good = "the cat and the dog have been to all of the parks with many friends " * 3
+    rows = [
+        (1, good),                      # passes everything
+        (2, "the of and that"),         # too few words
+        (3, "a b c " * 20 + "the of"),  # mean word length < 3
+        (4, ("123 456 " * 20) + "the of and that more words here to pass count "
+            "plus extra padding words making thirty total one two three four"),
+        (5, "zebra quartz jumps over rocks near rivers while birds circle "
+            "above mountains and valleys echo softly during twilight hours "
+            "beyond distant horizons where travelers wander freely onward "
+            "snow glimmers quietly under starlit skies tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in text.gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[1]["passes"]
+    assert not out[2]["ok_words"] and not out[2]["passes"]
+    assert not out[3]["ok_mean_wl"] and not out[3]["passes"]
+    assert not out[4]["ok_alpha"] and not out[4]["passes"]
+    assert out[5]["ok_words"] and out[5]["ok_stopwords"] is False
+
+
+def test_duplicate_bigram_fraction(spark):
+    # "x y x y x y": bigrams = [x y, y x, x y, y x, x y] -> 5 total, 2 distinct
+    v = one(spark, "x y x y x y", text.duplicate_bigram_fraction)
+    assert abs(v - (1.0 - 2.0 / 5.0)) < 1e-9
+    assert one(spark, "unique words only here", text.duplicate_bigram_fraction) == 0.0
+    assert one(spark, "single", text.duplicate_bigram_fraction) == 0.0
+    assert one(spark, "", text.duplicate_bigram_fraction) == 0.0
+
+
+def test_bigrams_guard_short_docs(spark):
+    assert one(spark, "", text.bigrams) == []
+    assert one(spark, "one", text.bigrams) == []
+    assert one(spark, "one two", text.bigrams) == ["one two"]
