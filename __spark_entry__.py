@@ -1131,6 +1131,28 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering: every doc gets cluster_id =
+    min reachable id through the dup-pair graph (dedup.duplicate_clusters,
+    iterative min-label propagation). Corpus = documents ∪ two planted
+    copy generations; edges CHAIN each fingerprint group (id → next id
+    via lead()), so components are 3-node paths of diameter 2 — the
+    propagation must actually iterate, and the DuckDB recursive-CTE
+    oracle value-checks the fixpoint."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    c2 = docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    corpus = docs.unionByName(c1).unionByName(c2)
+    fp = corpus.select("doc_id", text.fingerprint(F.col("text")).alias("_f"))
+    w = Window.partitionBy("_f").orderBy("doc_id")
+    edges = (
+        fp.withColumn("_nxt", F.lead("doc_id").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("_nxt").alias("id_b"))
+    )
+    return dedup.duplicate_clusters(edges, corpus.select("doc_id"), "doc_id")
+
+
 def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule corpus filter audit: per language, how many docs
     pass the full heuristic chain and which rule kills the failures.
@@ -1461,6 +1483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_unit_price_supplier": q2_min_unit_price_supplier,
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q20_excess_shippers": q20_excess_shippers,
+    "duplicate_clusters": q_duplicate_clusters,
     "gopher_quality_filter": q_gopher_quality_filter,
     "doc_repetition_profile": q_doc_repetition_profile,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -2162,6 +2185,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_suppkey ASC
             LIMIT 20
+        """,
+        "duplicate_clusters": """
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 100000, text FROM documents
+                UNION ALL SELECT doc_id + 200000, text FROM documents
+            ),
+            fp AS (
+                SELECT doc_id,
+                       sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                         AS f
+                FROM corpus
+            ),
+            chain AS (
+                SELECT doc_id AS src,
+                       lead(doc_id) OVER (PARTITION BY f ORDER BY doc_id) AS dst
+                FROM fp
+                QUALIFY dst IS NOT NULL
+            ),
+            bidir AS (
+                SELECT src, dst FROM chain
+                UNION ALL SELECT dst, src FROM chain
+            ),
+            cc AS (
+                SELECT doc_id AS vid, doc_id AS label FROM corpus
+                UNION
+                SELECT b.dst AS vid, cc.label
+                FROM cc JOIN bidir b ON cc.vid = b.src
+            )
+            SELECT vid AS doc_id, min(label) AS cluster_id
+            FROM cc GROUP BY vid
         """,
         "gopher_quality_filter": """
             WITH m AS (

@@ -263,6 +263,70 @@ def simhash_from_votes(votes: list[Column]) -> Column:
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every id gets
+    ``cluster_id`` = the minimum id reachable through the pair graph —
+    the canonical "keep one doc per duplicate cluster" step that runs
+    AFTER pair generation (minhash/ngram/embedding near-dup all emit
+    pairs, but transitive duplicates A~B~C must collapse to ONE
+    cluster even when A~C was never emitted).
+
+    Iterative min-label propagation: per round, every vertex takes the
+    min of its own label and its neighbors' labels — one shuffle per
+    round on the vertex id, converging in O(component diameter) rounds
+    (near-dup clusters are shallow; web-scale corpora see single-digit
+    diameters). Each round ends with localCheckpoint() to truncate the
+    lineage — without it the plan doubles per iteration and the 100 TB
+    run dies in the optimizer long before the executors. The
+    convergence probe rides the same cached frame (one cheap count per
+    round). At extreme skew (one giant component), swap the neighbor
+    step for the large-star/small-star split [Kiveris et al. 2014] —
+    same per-round join shape, fewer rounds.
+
+    ``pairs``: (id_a, id_b) undirected edges. ``vertices``: one row per
+    id (isolated ids keep themselves as cluster_id). Returns
+    (id_col, cluster_id).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("_src"), F.col("id_b").alias("_dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("_vid"), F.col(id_col).alias("_label")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges._src == labels._vid)
+            .select(F.col("_dst").alias("_vid"), "_label")
+            .groupBy("_vid")
+            .agg(F.min("_label").alias("_nbr"))
+        )
+        stepped = (
+            labels.join(nbr_min, "_vid", "left")
+            .select(
+                "_vid",
+                F.least(F.col("_label"), F.coalesce("_nbr", "_label")).alias(
+                    "_new"
+                ),
+                F.col("_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = stepped.filter(F.col("_new") < F.col("_label")).isEmpty()
+        labels = stepped.select("_vid", F.col("_new").alias("_label"))
+        if converged:
+            break
+    return labels.select(
+        F.col("_vid").alias(id_col), F.col("_label").alias("cluster_id")
+    )
+
+
 def ngram_candidates(
     df: DataFrame,
     id_col: str,

@@ -139,3 +139,30 @@ def test_portable_simhash_matches_and_differs(spark):
     assert out[1] == out[2]          # identical text -> identical fingerprint
     assert out[1] != out[3]          # different text -> different fingerprint
     assert 0 <= out[1] < (1 << bits)
+
+
+def test_duplicate_clusters_chain_and_isolated(spark):
+    # chain 1-2-3-4-5 (diameter 4 -> needs 4 propagation rounds),
+    # pair {10, 11}, isolated 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], "doc_id bigint"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs, vertices, "doc_id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_duplicate_clusters_respects_max_iter(spark):
+    # with max_iter=1 the far end of the chain cannot reach the min yet
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a bigint, id_b bigint")
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "doc_id bigint")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs, vertices, "doc_id", max_iter=1).collect()
+    }
+    assert out[2] == 1 and out[4] == 3  # one hop done, fixpoint not reached
