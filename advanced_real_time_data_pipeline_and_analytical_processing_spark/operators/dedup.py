@@ -292,10 +292,15 @@ def duplicate_clusters(
     id (isolated ids keep themselves as cluster_id). Returns
     (id_col, cluster_id).
     """
-    edges = pairs.select(
-        F.col("id_a").alias("_src"), F.col("id_b").alias("_dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
+    # Materialize the (bidirectional) edge list once — every round joins
+    # against it, and without the checkpoint each round would re-execute
+    # the full pair-generation lineage (fingerprint/LSH/scan).
+    edges = (
+        pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
+        )
+        .localCheckpoint(eager=False)
     )
     labels = vertices.select(
         F.col(id_col).alias("_vid"), F.col(id_col).alias("_label")
