@@ -20,6 +20,7 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators 
     asof,
     dedup,
     multimodal,
+    packing,
     similarity,
     text,
     topk,
@@ -1131,6 +1132,17 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (capacity 512 tokens, sharded
+    by lang): each doc's (chunk_id, start_offset) from a per-shard
+    running-sum window — one shuffle on lang, per-shard sort, no global
+    ordering. Value-checked per doc against DuckDB's window algebra."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing.pack_sequences(docs, "doc_id", "n_tokens", "lang", 512)
+
+
 def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clustering: every doc gets cluster_id =
     min reachable id through the dup-pair graph (dedup.duplicate_clusters,
@@ -1483,6 +1495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_unit_price_supplier": q2_min_unit_price_supplier,
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q20_excess_shippers": q20_excess_shippers,
+    "pack_sequences": q_pack_sequences,
     "duplicate_clusters": q_duplicate_clusters,
     "gopher_quality_filter": q_gopher_quality_filter,
     "doc_repetition_profile": q_doc_repetition_profile,
@@ -2185,6 +2198,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_suppkey ASC
             LIMIT 20
+        """,
+        "pack_sequences": """
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
+                   CAST((cum - n_tokens) % 512 AS BIGINT) AS start_offset
+            FROM (
+                SELECT doc_id, lang, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM (
+                    SELECT doc_id, lang,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(lower(text)),
+                                                               '\\s+'))
+                           END AS n_tokens
+                    FROM documents
+                )
+            )
         """,
         "duplicate_clusters": """
             WITH RECURSIVE corpus AS (
