@@ -1132,6 +1132,65 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, flattened to (label, dim,
+    centroid_val): posexplode → groupBy(label, dim) avg. The explode
+    looks expensive but is the map-side-combine-friendly shape — the
+    shuffle carries only (label, dim) partial sums (|labels|×|dims|
+    keys), never vectors, so a 100 TB embedding table reduces to a
+    few-KB aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    return comps.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid_val")
+    )
+
+
+def q_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label cohesion: average cosine of each member to its
+    label centroid — the clustering-quality audit for labeled
+    embedding spaces. Centroids are rebuilt as arrays (array_sort of
+    collected (dim, val) structs — deterministic) and broadcast back;
+    the member-side cosine is pure zip_with/aggregate JVM math."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comps = emb.select("label", F.posexplode("v").alias("dim", "val"))
+    centroids = (
+        comps.groupBy("label", "dim")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("centroid")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "centroid", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = dot / (norm(F.col("v")) * norm(F.col("centroid")))
+    return (
+        emb.join(F.broadcast(centroids), "label")
+        .select("label", cos.alias("_cos"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("_cos"), 6).alias("avg_cosine"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (capacity 512 tokens, sharded
     by lang): each doc's (chunk_id, start_offset) from a per-shard
@@ -1495,6 +1554,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_unit_price_supplier": q2_min_unit_price_supplier,
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q20_excess_shippers": q20_excess_shippers,
+    "label_centroids": q_label_centroids,
+    "centroid_cohesion": q_centroid_cohesion,
     "pack_sequences": q_pack_sequences,
     "duplicate_clusters": q_duplicate_clusters,
     "gopher_quality_filter": q_gopher_quality_filter,
@@ -2198,6 +2259,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_suppkey ASC
             LIMIT 20
+        """,
+        "label_centroids": """
+            SELECT label, dim - 1 AS dim, round(avg(val), 6) AS centroid_val
+            FROM (
+                SELECT label,
+                       unnest(CAST(embedding AS DOUBLE[])) AS val,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ) GROUP BY 1, 2
+        """,
+        "centroid_cohesion": """
+            WITH comps AS (
+                SELECT label,
+                       unnest(CAST(embedding AS DOUBLE[])) AS val,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label, dim, avg(val) AS cval
+                FROM comps GROUP BY 1, 2
+            ),
+            member AS (
+                SELECT vec_id, label,
+                       unnest(CAST(embedding AS DOUBLE[])) AS val,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ),
+            cosines AS (
+                SELECT m.vec_id, m.label,
+                       sum(m.val * c.cval)
+                         / (sqrt(sum(m.val * m.val)) * sqrt(sum(c.cval * c.cval)))
+                         AS cosv
+                FROM member m JOIN cent c ON m.label = c.label AND m.dim = c.dim
+                GROUP BY m.vec_id, m.label
+            )
+            SELECT label, round(avg(cosv), 6) AS avg_cosine,
+                   count(*) AS n_vectors
+            FROM cosines GROUP BY label ORDER BY label
         """,
         "pack_sequences": """
             SELECT doc_id, lang, n_tokens,
