@@ -1229,7 +1229,11 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass the full heuristic chain and which rule kills the failures.
     The flags are one codegen'd projection over the scan (see
     text.gopher_quality_flags); this aggregates them per lang."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     flags = text.gopher_quality_flags(docs, "doc_id", "text")
     n_fail = lambda c: F.sum(F.when(~F.col(c), 1).otherwise(0))  # noqa: E731
     return (
@@ -1250,7 +1254,9 @@ def q_doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition (duplicate-bigram fraction, Gopher §A1.1)
     per document — a per-row array expression, no explode/shuffle; the
     500-row output is value-checked against DuckDB's list algebra."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # local parquet is one split; spread the array work across cores
     bgs = text.bigrams(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1268,7 +1274,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one pass, a broadcast of the tiny df side back, then a per-
     lang top-k window. All JVM expressions; ln on doubles matches the
     oracle bit-for-bit."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     n_docs = docs.count()  # scalar for the idf constant; one cheap count job
     terms = docs.select(
         "doc_id", "lang", F.explode(text.tokens(F.col("text"))).alias("term")
