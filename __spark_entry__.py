@@ -1429,6 +1429,24 @@ def q_hash_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment (md5-bucket, no
+    rand()) audited per (lang, split): same key → same split across
+    runs/engines, so eval sets never leak. Scan-stage expression only."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = maintenance.stratified_split(docs, "doc_id", 5, 5, portable=True)
+    return (
+        tagged.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew profile of events by user_id: top-10 heaviest keys with
     count, share of total, and skew ratio vs the mean key load — the
@@ -1572,6 +1590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_profile": q_doc_repetition_profile,
     "tfidf_top_terms": q_tfidf_top_terms,
     "hash_sample_by_lang": q_hash_sample_by_lang,
+    "stratified_split": q_stratified_split,
     "skew_profile_events": q_skew_profile_events,
     "stateful_running_counts": q_stateful_running_counts,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -2501,6 +2520,25 @@ def oracle_sql() -> dict[str, str]:
                  + (strpos('0123456789abcdef',
                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 < 25
             GROUP BY lang ORDER BY lang
+        """,
+        "stratified_split": """
+            SELECT lang,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM (
+                SELECT lang, n_chars,
+                       ((strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                          * 16
+                        + (strpos('0123456789abcdef',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+                         % 100 AS bucket
+                FROM documents
+            )
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "skew_profile_events": """
             WITH counts AS (

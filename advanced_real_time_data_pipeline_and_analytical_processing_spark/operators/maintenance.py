@@ -109,6 +109,38 @@ def hash_sample(
     return df.filter(bucket < pct)
 
 
+def stratified_split(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    buckets: int = 100,
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the same md5 (or
+    xxhash64) bucket hash_sample uses: the last ``test_pct`` buckets are
+    test, the ``val_pct`` before them are val, the rest train. Adds a
+    ``split`` column; no shuffle, no rand() — the same key always gets
+    the same split across runs, retries, engines, and data refreshes,
+    which is the property training pipelines need (a re-run must never
+    leak yesterday's train docs into today's eval set)."""
+    if val_pct + test_pct >= buckets:
+        raise ValueError("val_pct + test_pct must leave room for train")
+    key = F.col(key_col).cast("string")
+    if portable:
+        bucket = (
+            F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int") % buckets
+        )
+    else:
+        bucket = F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+    split = (
+        F.when(bucket < buckets - val_pct - test_pct, F.lit("train"))
+        .when(bucket < buckets - test_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
 def skew_profile(
     df: DataFrame, key_col: str, top_n: int = 10
 ) -> DataFrame:

@@ -122,3 +122,29 @@ def test_skew_profile_planted_skew(spark):
     assert prof[0]["n_rows"] == 1000
     assert prof[0]["share"] == 0.5
     assert prof[0]["skew_ratio"] > 15  # 101 keys, mean ~19.8 rows
+
+
+def test_stratified_split_deterministic_and_partitioned(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = maintenance.stratified_split(df, "k", 5, 5)
+    b = maintenance.stratified_split(df, "k", 5, 5)
+    rows_a = {r["k"]: r["split"] for r in a.collect()}
+    rows_b = {r["k"]: r["split"] for r in b.collect()}
+    assert rows_a == rows_b  # same key -> same split, always
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for s in rows_a.values():
+        counts[s] += 1
+    assert counts["train"] + counts["val"] + counts["test"] == 1000
+    assert counts["train"] > 800  # ~90%
+    assert 10 < counts["val"] < 120 and 10 < counts["test"] < 120
+
+
+def test_stratified_split_rejects_bad_pcts(spark):
+    import pytest
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        maintenance.stratified_split(df, "k", 50, 50)
