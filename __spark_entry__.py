@@ -1493,6 +1493,29 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan audit: per video, how many frames the
+    1 s-stride sampler would decode and the last sampled timestamp —
+    all computed from metadata, the payload column is never read."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    return plan.select(
+        "media_id",
+        F.size("frame_ts_ms").alias("n_frames_sampled"),
+        F.element_at("frame_ts_ms", -1).alias("last_frame_ts_ms"),
+    )
+
+
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plan: fit-within-224 output dims per image from
+    meta.width/height only (aspect-preserving, no upscale). Pure
+    metadata arithmetic — the decode stub would consume this plan."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    return multimodal.resize_plan(media, target=224)
+
+
 def q_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end: documents → binary payload +
     typed metadata (media_from_documents) → Arrow-batched feature
@@ -1594,6 +1617,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_profile_events": q_skew_profile_events,
     "stateful_running_counts": q_stateful_running_counts,
     "multimodal_feature_stats": q_multimodal_feature_stats,
+    "frame_sample_stats": q_frame_sample_stats,
+    "resize_plan": q_resize_plan,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -2520,6 +2545,33 @@ def oracle_sql() -> dict[str, str]:
                  + (strpos('0123456789abcdef',
                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 < 25
             GROUP BY lang ORDER BY lang
+        """,
+        "frame_sample_stats": """
+            SELECT doc_id AS media_id,
+                   greatest(n_frames - 1, 0) + 1 AS n_frames_sampled,
+                   greatest(n_frames - 1, 0) * 1000 AS last_frame_ts_ms
+            FROM (
+                SELECT doc_id,
+                       CAST(floor((n_chars * 10) / 1000.0) AS INT) AS n_frames
+                FROM documents
+                WHERE doc_id % 3 = 2
+            )
+        """,
+        "resize_plan": """
+            SELECT media_id, width, height,
+                   CAST(floor(width * scale) AS INT) AS out_width,
+                   CAST(floor(height * scale) AS INT) AS out_height
+            FROM (
+                SELECT doc_id AS media_id, width, height,
+                       least(1.0, 224.0 / width, 224.0 / height) AS scale
+                FROM (
+                    SELECT doc_id,
+                           CAST(64 + (doc_id % 10) * 32 AS INT) AS width,
+                           CAST(48 + (doc_id % 7) * 32 AS INT) AS height
+                    FROM documents
+                    WHERE doc_id % 3 = 0
+                )
+            )
         """,
         "stratified_split": """
             SELECT lang,

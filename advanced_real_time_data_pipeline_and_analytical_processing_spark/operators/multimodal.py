@@ -144,17 +144,42 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("video/mp4"))
     )
     payload = F.encode(F.col("text"), "UTF-8")
+    # Deterministic pixel dims for image rows (resize planning needs
+    # them); NULL for audio/video where they are meaningless.
+    width = F.when(kind == "image", (64 + (F.col("doc_id") % 10) * 32).cast("int"))
+    height = F.when(kind == "image", (48 + (F.col("doc_id") % 7) * 32).cast("int"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         payload.alias("payload"),
         F.struct(
             mime.alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            width.alias("width"),
+            height.alias("height"),
             (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
             F.length(payload).cast("long").alias("n_bytes"),
         ).alias("meta"),
+    )
+
+
+def resize_plan(df: DataFrame, target: int = 224) -> DataFrame:
+    """Image resize *plan*: fit-within-target output dims preserving
+    aspect ratio, never upscaling — computed from meta.width/height
+    ONLY (no payload read; the pixel work is the stubbed decode step).
+    scale = min(1, target/w, target/h); out dims = floor(dim * scale).
+    Same discipline as frame_sample_plan: plan on metadata, touch
+    bytes late."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(target)) / w, F.lit(float(target)) / h)
+    return df.filter(
+        (F.col("kind") == "image") & F.col("meta.width").isNotNull()
+    ).select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.floor(w * scale).cast("int").alias("out_width"),
+        F.floor(h * scale).cast("int").alias("out_height"),
     )
 
 

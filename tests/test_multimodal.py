@@ -88,3 +88,19 @@ def test_media_from_documents_contract(spark):
     assert rows[0]["meta"]["mime"] == "image/png"
     feats = M.decode_image_features(media, fake=True).collect()
     assert all(len(r["features"]) == M.FEATURE_DIM for r in feats)
+
+
+def test_resize_plan_fit_within_and_no_upscale(spark):
+    docs = spark.createDataFrame(
+        [(0, "img one", "en", "web", 7), (3, "img two", "en", "web", 7),
+         (1, "audio", "en", "web", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    media = M.media_from_documents(docs)
+    out = {r["media_id"]: r for r in M.resize_plan(media, target=224).collect()}
+    assert set(out) == {0, 3}  # only image rows (doc_id % 3 == 0)
+    for r in out.values():
+        assert max(r["out_width"], r["out_height"]) <= 224
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+    # doc 0: 64x48 fits already -> unchanged (no upscale)
+    assert (out[0]["out_width"], out[0]["out_height"]) == (64, 48)
