@@ -1493,6 +1493,63 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join, end to end: purchases ⋈
+    clicks (same user, click within 6 h after the purchase), both sides
+    event-time-watermarked so the join state is bounded, drained with an
+    availableNow trigger to an executor-side parquet sink. Per-user pair
+    counts and EXACT integer microsecond gap sums (no float summation —
+    engine-order-proof) are value-checked against DuckDB's batch
+    interval join, proving the streaming plan computes the batch
+    semantics."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import joins as _sjoins
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stage_dir = _tempfile.mkdtemp(prefix="stream_ss_join_")
+    _os.symlink(path, _os.path.join(stage_dir, "events.parquet"))
+    raw = spark.readStream.schema(schema).parquet(stage_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    purchases = raw.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = raw.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = _sjoins.stream_stream_interval_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        left_watermark="6 hours",
+        right_watermark="6 hours",
+        lower="0 seconds",
+        upper="6 hours",
+    ).toDF("user_id", "p_ts", "user_id_r", "c_ts")
+    pairs = joined.select(
+        "user_id",
+        (F.unix_micros("c_ts") - F.unix_micros("p_ts")).alias("gap_us"),
+    )
+    drained = stateful.drain_to_parquet(
+        spark, pairs, shuffle_partitions=8, output_mode="append"
+    )
+    _shutil.rmtree(stage_dir, ignore_errors=True)
+    return (
+        drained.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("gap_us").alias("sum_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan audit: per video, how many frames the
     1 s-stride sampler would decode and the last sampled timestamp —
@@ -1616,6 +1673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_split": q_stratified_split,
     "skew_profile_events": q_skew_profile_events,
     "stateful_running_counts": q_stateful_running_counts,
+    "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
     "frame_sample_stats": q_frame_sample_stats,
     "resize_plan": q_resize_plan,
@@ -2545,6 +2603,20 @@ def oracle_sql() -> dict[str, str]:
                  + (strpos('0123456789abcdef',
                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 < 25
             GROUP BY lang ORDER BY lang
+        """,
+        "stream_stream_join": """
+            SELECT p.user_id,
+                   count(*) AS n_pairs,
+                   sum(epoch_us(c.ts) - epoch_us(p.ts)) AS sum_gap_us
+            FROM events p
+            JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase'
+             AND c.event_type = 'click'
+             AND c.ts >= p.ts
+             AND c.ts <= p.ts + INTERVAL 6 HOURS
+            GROUP BY p.user_id
+            ORDER BY p.user_id
         """,
         "frame_sample_stats": """
             SELECT doc_id AS media_id,

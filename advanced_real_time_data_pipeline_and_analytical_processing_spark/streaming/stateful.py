@@ -63,6 +63,7 @@ def drain_to_parquet(
     out_dir: str | None = None,
     checkpoint_dir: str | None = None,
     shuffle_partitions: int | None = None,
+    output_mode: str = "update",
 ) -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion with an
     availableNow trigger, landing each micro-batch's update rows in an
@@ -72,7 +73,9 @@ def drain_to_parquet(
     (the memory sink below materializes every update row in driver
     memory — fine for a 150-key test, a scale-killer at 100 TB). The
     per-batch write is dynamic-partition-overwrite keyed on batch id, so
-    a replayed micro-batch is idempotent.
+    a replayed micro-batch is idempotent. output_mode defaults to
+    "update" (stateful running aggregates); pass "append" for
+    append-only plans — stream-stream joins only support append.
 
     `shuffle_partitions` scopes the STATE STORE partition count to this
     query (a new checkpoint pins it permanently): stateful queries pay a
@@ -103,7 +106,7 @@ def drain_to_parquet(
     try:
         q = (
             streamed.writeStream.foreachBatch(write_batch)
-            .outputMode("update")
+            .outputMode(output_mode)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
