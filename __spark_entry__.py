@@ -345,6 +345,28 @@ def q_window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the one frame shape rowsBetween can't
+    express): trailing 7-day revenue over the DAILY aggregate. The
+    range window is unpartitioned but its input is one row per day
+    (bounded — a few thousand rows regardless of fact-table size), so
+    the single-reducer sort is safe by construction; the heavy lifting
+    happened in the partial+final daily hash agg. Revenue is integer
+    cents so the rolling sums are exact, engine-order-proof."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_cents")
+    )
+    day_num = F.datediff(F.col("day"), F.lit("1995-01-01"))
+    w = Window.orderBy(day_num).rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("rolling_7d_cents"),
+        F.count(F.lit(1)).over(w).alias("n_days_in_window"),
+    )
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: 30-min-gap sessions per user via lag +
     conditional cumsum (the classic Spark shape; streaming equivalent is
@@ -1623,6 +1645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "minhash_near_dup": q_minhash_near_dup,
     "window_order_analytics": q_window_order_analytics,
+    "rolling_7day_revenue": q_rolling_7day_revenue,
     "sessionization": q_sessionization,
     "asof_purchase_click": q_asof_purchase_click,
     "distinct_agg_orders": q_distinct_agg_orders,
@@ -2603,6 +2626,19 @@ def oracle_sql() -> dict[str, str]:
                  + (strpos('0123456789abcdef',
                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 < 25
             GROUP BY lang ORDER BY lang
+        """,
+        "rolling_7day_revenue": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
+                FROM orders GROUP BY 1
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
+                   sum(rev_cents) OVER w AS rolling_7d_cents,
+                   count(*) OVER w AS n_days_in_window
+            FROM daily
+            WINDOW w AS (ORDER BY datediff('day', DATE '1995-01-01', day)
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "stream_stream_join": """
             SELECT p.user_id,

@@ -10,6 +10,12 @@ Scale notes: state lives in the state store partitioned by grouping
 key — the shuffle is on the key, state size is O(distinct keys), and
 each micro-batch touches only keys present in the batch. Arrow batches
 (applyInPandas*) keep the per-key Python work vectorized.
+
+Spark 4's successor API (transformWithStateInPandas: typed value/list/
+map state, timers, TTL) is the forward path for new code, but its
+Python runner needs google.protobuf, absent from this environment —
+verified to crash the streaming runner here — so this module stays on
+applyInPandasWithState, which covers the same arbitrary-state surface.
 """
 
 from __future__ import annotations
