@@ -36,6 +36,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow scan across all cores — only
+    when the source has fewer splits than the cluster has slots (the
+    local fixtures are single-row-group parquet, so per-row-heavy
+    expression work would otherwise run on ONE task). On a real
+    multi-file 100 TB table the scan already has >= parallelism splits
+    and this is a no-op: no shuffle is added."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 # --------------------------------------------------------------------------
 # Queries (Spark side)
 # --------------------------------------------------------------------------
@@ -231,7 +244,7 @@ def q_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts aggregated per language tag."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     with_tokens = docs.select(
         "lang", text.token_count(F.col("text")).alias("n_tokens")
     )
@@ -258,7 +271,7 @@ def q_lang_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID, aggregated to prediction counts.
     Staged projections (tokens → scores → argmax) keep the expression
     tree linear: tokenize once per row, score columns computed once."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     tokenized = docs.select(text.tokens(F.col("text")).alias("_toks"))
     scored = tokenized.select(
         *[
@@ -501,10 +514,7 @@ def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram frequency top-k: explode word bigrams, hash-agg count,
     TakeOrderedAndProject top 20 (per-partition heap, no global sort)."""
-    docs = _t(spark, sf_dir, "documents")
-    docs = docs.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )  # spread the explode across all cores (local parquet has few splits)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     # Guard <2 tokens: sequence(1, 0) yields the DESCENDING [1, 0] and
     # element_at(toks, 0) raises INVALID_INDEX_OF_ZERO (the oracle's
@@ -560,7 +570,7 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast path has no cross-engine hash to compare against). Staged
     projections: md5 array once, then 32 vote columns, then the
     fingerprint."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     md5s = docs.select("doc_id", dedup.token_md5s(F.col("text")).alias("_md5s"))
     bits = dedup.PORTABLE_SIMHASH_BITS
     # one fold computes all 32 votes (vs 32 folds each rescanning the
@@ -1276,9 +1286,7 @@ def q_doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition (duplicate-bigram fraction, Gopher §A1.1)
     per document — a per-row array expression, no explode/shuffle; the
     500-row output is value-checked against DuckDB's list algebra."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )  # local parquet is one split; spread the array work across cores
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     bgs = text.bigrams(F.col("text"))
     return docs.select(
         "doc_id",
