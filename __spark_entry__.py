@@ -18,9 +18,12 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.catalog im
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import (
     aggregation,
     asof,
+    decontam,
     dedup,
+    maintenance,
     multimodal,
     packing,
+    pii,
     similarity,
     text,
     topk,
@@ -29,7 +32,10 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators 
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import stateful
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators.enrichment import row_hash_expr
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.session import configure_session
-from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.windows import tumbling_counts
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.windows import (
+    sliding_avg,
+    tumbling_counts,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1619,6 +1625,117 @@ def q_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (operators/pii.py): the fixture text is synthetic
+    word salad, so PII is PLANTED deterministically (every doc_id % 5
+    == 0 gets one email + phone + IPv4 appended — the oracle plants the
+    identical string), then detected with regexp_count and redacted
+    with chained regexp_replace. Map-only: no shuffle, no UDF; the
+    regexes use the Java/RE2-portable subset so DuckDB evaluates the
+    literal same patterns."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pii_suffix = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), pii_suffix))
+        .otherwise(F.col("text"))
+        .alias("_txt"),
+    )
+    counts = pii.pii_counts(F.col("_txt"))
+    return planted.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_emails"),
+        counts["phone"].cast("long").alias("n_phones"),
+        counts["ip"].cast("long").alias("n_ips"),
+        F.md5(pii.scrub(F.col("_txt"))).alias("scrubbed_md5"),
+    )
+
+
+def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): eval set =
+    every doc_id % 97 == 0, train = the rest; per-eval-doc counts of
+    train docs sharing a word trigram and of distinct leaked trigrams.
+    The tiny eval side is broadcast — the train corpus never
+    shuffles (the 100 TB shape). Trigrams (not 8-grams) because the
+    fixture vocabulary is ~30 words, giving organic overlap to check."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.contamination_report(train, eval_set, "doc_id", "text", n=3)
+
+
+def q_events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h wide, 30 min slide) — batch mode
+    of streaming/windows.sliding_avg. Each event lands in exactly two
+    windows; Spark expands via the native window() generator (no
+    explode), one shuffle on (window, event_type)."""
+    events = _t(spark, sf_dir, "events")
+    return sliding_avg(
+        events, ts_col="ts", width="1 hour", slide="30 minutes"
+    )
+
+
+def q_scd1_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins merge (operators/maintenance.latest_wins_merge):
+    a deterministic updates feed (every 7th orderkey, price +10.00,
+    version 1) merged over the base table (version 0); per-status
+    audit of the merged result proves updates replaced base rows
+    exactly once. Idempotent by construction — the engine's answer to
+    the reference's replay-double-append (code/utils.py:195-207)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        # integer cents: exact, summation-order-proof (same technique
+        # as rolling_7day_revenue)
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    base = orders.withColumn("_version", F.lit(0))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("price_cents", F.col("price_cents") + 1000)
+        .withColumn("_version", F.lit(1))
+    )
+    merged = maintenance.latest_wins_merge(
+        base, updates, ["o_orderkey"], "_version"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").alias("total_cents"),
+        F.count(F.when(F.col("_version") == 1, 1)).alias("n_updated"),
+    )
+
+
+def q_quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile corpus profile: ntile(10) over the quality score
+    (ties broken by doc_id for determinism), then per-decile token
+    stats — the report that drives quality-threshold resampling
+    decisions. The global sort is one task here; at 100 TB swap the
+    ntile for approx-percentile cut points (no global sort) — the
+    aggregation shape is unchanged."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.quality_score(F.col("text")).alias("q"),
+    )
+    w = Window.orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    deciled = scored.withColumn("decile", F.ntile(10).over(w))
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.min("q"), 6).alias("min_q"),
+        F.round(F.max("q"), 6).alias("max_q"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -1708,6 +1825,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_feature_stats": q_multimodal_feature_stats,
     "frame_sample_stats": q_frame_sample_stats,
     "resize_plan": q_resize_plan,
+    "pii_scrub_stats": q_pii_scrub_stats,
+    "decontam_report": q_decontam_report,
+    "events_sliding_avg": q_events_sliding_avg,
+    "scd1_latest_merge": q_scd1_latest_merge,
+    "quality_decile_profile": q_quality_decile_profile,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -2743,5 +2865,115 @@ def oracle_sql() -> dict[str, str]:
                          AS FLOAT) AS DOUBLE) AS f7
                 FROM (SELECT doc_id, sha256(text) AS h FROM documents)
             ) GROUP BY kind
+        """,
+        # PII patterns are spliced verbatim from operators/pii.py so the
+        # oracle can never drift from the engine's regexes.
+        "pii_scrub_stats": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN
+                           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com or 555-867-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                || ' from 10.0.'
+                                || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                       ELSE text END AS txt
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(txt, 'EMAILRE')) AS n_emails,
+                   len(regexp_extract_all(txt, 'PHONERE')) AS n_phones,
+                   len(regexp_extract_all(txt, 'IPRE')) AS n_ips,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       txt, 'EMAILRE', '<EMAIL>', 'g'),
+                       'PHONERE', '<PHONE>', 'g'),
+                       'IPRE', '<IP>', 'g')) AS scrubbed_md5
+            FROM planted
+        """.replace("EMAILRE", pii.EMAIL_RE)
+        .replace("PHONERE", pii.PHONE_RE)
+        .replace("IPRE", pii.IPV4_RE),
+        "decontam_report": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(t) - 2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                      FROM documents)
+            ),
+            train AS (SELECT doc_id AS train_id, unnest(gs) AS ngram
+                      FROM grams WHERE doc_id % 97 <> 0),
+            ev AS (SELECT doc_id AS eval_id, unnest(gs) AS ngram
+                   FROM grams WHERE doc_id % 97 = 0),
+            agg AS (
+                SELECT e.eval_id,
+                       count(DISTINCT t.train_id) AS n_contaminated_train_docs,
+                       count(DISTINCT t.ngram) AS n_leaked_ngrams
+                FROM train t JOIN ev e ON t.ngram = e.ngram
+                GROUP BY e.eval_id
+            )
+            SELECT g.doc_id AS eval_id,
+                   coalesce(a.n_contaminated_train_docs, 0)
+                     AS n_contaminated_train_docs,
+                   coalesce(a.n_leaked_ngrams, 0) AS n_leaked_ngrams
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) g
+            LEFT JOIN agg a ON a.eval_id = g.doc_id
+        """,
+        "events_sliding_avg": """
+            SELECT window_start, event_type, round(avg(value), 6) AS avg_value
+            FROM (
+                SELECT unnest([
+                           time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts)
+                             - INTERVAL '30 minutes'
+                       ]) AS window_start,
+                       event_type, value
+                FROM events
+            ) GROUP BY 1, 2
+        """,
+        "scd1_latest_merge": """
+            WITH cents AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                FROM orders
+            ),
+            unioned AS (
+                SELECT o_orderkey, o_orderstatus, price_cents, 0 AS _version
+                FROM cents
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, price_cents + 1000, 1
+                FROM cents WHERE o_orderkey % 7 = 0
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderkey ORDER BY _version DESC) AS rn
+                FROM unioned
+            )
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(price_cents) AS BIGINT) AS total_cents,
+                   count(CASE WHEN _version = 1 THEN 1 END) AS n_updated
+            FROM ranked WHERE rn = 1
+            GROUP BY o_orderstatus
+        """,
+        "quality_decile_profile": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       {_TOKCOUNT} AS n_tokens,
+                       round(0.6 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                           + 0.4 * (1.0 - least({_PUNCT} * 5.0, 1.0)), 6) AS q
+                FROM documents
+            ),
+            deciled AS (
+                SELECT *, ntile(10) OVER (ORDER BY q ASC, doc_id ASC) AS decile
+                FROM scored
+            )
+            SELECT decile,
+                   count(*) AS n_docs,
+                   round(avg(n_tokens), 6) AS avg_tokens,
+                   round(min(q), 6) AS min_q,
+                   round(max(q), 6) AS max_q
+            FROM deciled GROUP BY decile
         """,
     }

@@ -166,3 +166,39 @@ def skew_profile(
         enriched.orderBy(F.col("n_rows").desc(), F.col("key").asc())
         .limit(top_n)
     )
+
+
+def latest_wins_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """CDC compaction / SCD-type-1 merge: union the base table with an
+    updates feed and keep, per key, only the row with the highest
+    version (ties broken deterministically in favor of the updates
+    side). This is the engine's MERGE INTO: the reference's JDBC
+    append (code/utils.py:195-207) double-applies replayed batches,
+    while this shape is idempotent — re-merging the same updates is a
+    no-op.
+
+    One shuffle on the key columns (window + filter → partial
+    row_number pushed map-side by Spark's TopK rewrite is not needed:
+    rank-1-per-key over the unioned frame is a single exchange + sort).
+    At 100 TB the base side is the big one; if updates are tiny,
+    compact them first and merge per partition-predicate (only touched
+    partitions rewritten) — the operator itself is layout-agnostic.
+    """
+    from pyspark.sql import Window
+
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

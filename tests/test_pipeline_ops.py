@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import decontam, maintenance, pii
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_pii_scrub_redacts_all_classes(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="mail me at jane.doe@corp.io or call 555-123-4567"),
+            Row(id=2, t="server at 192.168.0.1 answered"),
+            Row(id=3, t="nothing sensitive here"),
+        ]
+    )
+    out = df.select("id", pii.scrub(F.col("t")).alias("s")).collect()
+    by_id = {r.id: r.s for r in out}
+    assert by_id[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert by_id[2] == "server at <IP> answered"
+    assert by_id[3] == "nothing sensitive here"
+
+
+def test_pii_counts_per_class(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="a@b.io c@d.net 555-000-1111 10.0.0.1 10.0.0.2 10.0.0.3")]
+    )
+    counts = pii.pii_counts(F.col("t"))
+    row = df.select(
+        counts["email"].alias("e"), counts["phone"].alias("p"), counts["ip"].alias("i")
+    ).first()
+    assert (row.e, row.p, row.i) == (2, 1, 3)
+
+
+def test_pii_email_scrub_runs_before_ip(spark):
+    # a dotted-quad inside an email's domain must be scrubbed as part
+    # of the EMAIL, not chopped up by the IP pass first
+    df = spark.createDataFrame([Row(t="x a@1.2.3.4.com y")])
+    s = df.select(pii.scrub(F.col("t")).alias("s")).first().s
+    assert s == "x <EMAIL> y"
+
+
+# --------------------------------------------------------- decontam
+
+
+def test_contamination_report_finds_planted_leak(spark):
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),  # leaks 2 trigrams
+            Row(doc_id=2, text="foo bar baz qux"),  # clean
+            Row(doc_id=3, text="alpha beta gamma zeta"),  # leaks 1 trigram
+        ]
+    )
+    eval_set = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=101, text="totally disjoint eval text"),
+        ]
+    )
+    out = {
+        r.eval_id: (r.n_contaminated_train_docs, r.n_leaked_ngrams)
+        for r in decontam.contamination_report(
+            train, eval_set, "doc_id", "text", n=3
+        ).collect()
+    }
+    # doc 100 shares "alpha beta gamma" (docs 1 and 3) and
+    # "beta gamma delta" (doc 1 only) -> 2 docs, 2 distinct ngrams
+    assert out[100] == (2, 2)
+    # doc 101 must still be reported, with zeros
+    assert out[101] == (0, 0)
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    train = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    eval_set = spark.createDataFrame([Row(doc_id=2, text="b c d e")])
+    plan = (
+        decontam.contamination_report(train, eval_set, "doc_id", "text", n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------ merge
+
+
+def test_latest_wins_merge_applies_updates_once(spark):
+    base = spark.createDataFrame(
+        [Row(k=1, v="old1", ver=0), Row(k=2, v="old2", ver=0), Row(k=3, v="old3", ver=0)]
+    )
+    updates = spark.createDataFrame([Row(k=2, v="new2", ver=1)])
+    merged = maintenance.latest_wins_merge(base, updates, ["k"], "ver")
+    got = {r.k: (r.v, r.ver) for r in merged.collect()}
+    assert got == {1: ("old1", 0), 2: ("new2", 1), 3: ("old3", 0)}
+
+
+def test_latest_wins_merge_is_idempotent_on_replay(spark):
+    """Re-merging the same updates batch must be a no-op — the fix for
+    the reference's at-least-once double-append (code/utils.py:195-207)."""
+    base = spark.createDataFrame([Row(k=1, v="a", ver=0), Row(k=2, v="b", ver=0)])
+    updates = spark.createDataFrame([Row(k=1, v="a2", ver=1)])
+    once = maintenance.latest_wins_merge(base, updates, ["k"], "ver")
+    twice = maintenance.latest_wins_merge(once, updates, ["k"], "ver")
+    assert sorted(twice.collect()) == sorted(once.collect())
+
+
+def test_latest_wins_merge_update_beats_base_on_version_tie(spark):
+    base = spark.createDataFrame([Row(k=1, v="base", ver=5)])
+    updates = spark.createDataFrame([Row(k=1, v="update", ver=5)])
+    merged = maintenance.latest_wins_merge(base, updates, ["k"], "ver")
+    assert merged.first().v == "update"
