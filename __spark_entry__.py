@@ -24,6 +24,7 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators 
     multimodal,
     packing,
     pii,
+    search,
     similarity,
     text,
     topk,
@@ -1736,6 +1737,37 @@ def q_quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed 3-term query
+    (operators/search.py): filtered explode -> per-doc tf -> broadcast
+    df join -> fixed-order conditional score sum, so the double math is
+    engine-portable bit-for-bit. The corpus never shuffles; only
+    matched (doc, term) rows reach the aggregate."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return search.bm25_topk(
+        docs, "doc_id", "text", ["spark", "join", "window"], k=20
+    )
+
+
+def q_price_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per order within its status group —
+    the remaining ranking-window surface (rank/dense_rank/ntile/
+    row_number are covered elsewhere). One shuffle on o_orderstatus,
+    per-group sort; emitted only for the top percentile band to keep
+    the result compact."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.filter(F.col("pct_rank") >= 0.999)
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -1830,6 +1862,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_avg": q_events_sliding_avg,
     "scd1_latest_merge": q_scd1_latest_merge,
     "quality_decile_profile": q_quality_decile_profile,
+    "bm25_search": q_bm25_search,
+    "price_percentile_profile": q_price_percentile_profile,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -2975,5 +3009,54 @@ def oracle_sql() -> dict[str, str]:
                    round(min(q), 6) AS min_q,
                    round(max(q), 6) AS max_q
             FROM deciled GROUP BY decile
+        """,
+        "bm25_search": """
+            WITH dl AS (
+                SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                      FROM documents)
+            ),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                      FROM dl),
+            tf AS (
+                SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, dl, unnest(t) AS term FROM dl)
+                WHERE term IN ('spark', 'join', 'window')
+                GROUP BY doc_id, dl, term
+            ),
+            df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                   FROM tf GROUP BY term),
+            per_term AS (
+                SELECT doc_id, term,
+                       ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * (tf * (1.5 + 1.0))
+                         / (tf + 1.5 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+                FROM tf JOIN df USING (term) CROSS JOIN stats
+            ),
+            scored AS (
+                SELECT doc_id,
+                       round(
+                         coalesce(sum(CASE WHEN term = 'spark' THEN s END), 0.0)
+                         + coalesce(sum(CASE WHEN term = 'join' THEN s END), 0.0)
+                         + coalesce(sum(CASE WHEN term = 'window' THEN s END), 0.0),
+                         6) AS bm25
+                FROM per_term GROUP BY doc_id
+            )
+            SELECT doc_id, bm25, rank FROM (
+                SELECT doc_id, bm25,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 20
+        """,
+        "price_percentile_profile": """
+            SELECT o_orderstatus, o_orderkey, pct_rank, cume FROM (
+                SELECT o_orderstatus, o_orderkey,
+                       round(percent_rank() OVER w, 6) AS pct_rank,
+                       round(cume_dist() OVER w, 6) AS cume
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice ASC, o_orderkey ASC)
+            ) WHERE pct_rank >= 0.999
         """,
     }

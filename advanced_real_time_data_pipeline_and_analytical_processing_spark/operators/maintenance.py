@@ -202,3 +202,21 @@ def latest_wins_merge(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout: one directory per
+    partition value, so any scan filtering on the partition columns is
+    pruned at PLANNING time (the plan's PartitionFilters — non-matching
+    directories are never listed, opened, or read). At 100 TB this is
+    the difference between a full-table scan and touching one day's
+    folder; pair with compact_parquet per partition to keep file
+    counts sane. Choose low-cardinality, always-filtered columns
+    (event date, tenant) — never high-cardinality keys, which explode
+    the directory tree."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -113,3 +113,59 @@ def test_latest_wins_merge_update_beats_base_on_version_tie(spark):
     updates = spark.createDataFrame([Row(k=1, v="update", ver=5)])
     merged = maintenance.latest_wins_merge(base, updates, ["k"], "ver")
     assert merged.first().v == "update"
+
+
+# ------------------------------------------------------------- bm25
+
+
+def test_bm25_ranks_planted_relevant_doc_first(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark spark join"),
+            Row(doc_id=2, text="spark filler words here and more filler"),
+            Row(doc_id=3, text="completely unrelated content"),
+            Row(doc_id=4, text="join window join"),
+        ]
+    )
+    out = search.bm25_topk(docs, "doc_id", "text", ["spark", "join"], k=10)
+    rows = out.orderBy("rank").collect()
+    # doc 3 matches nothing -> absent; doc 1 has the highest tf mass
+    assert [r.doc_id for r in rows][0] == 1
+    assert 3 not in {r.doc_id for r in rows}
+    assert all(rows[i].bm25 >= rows[i + 1].bm25 for i in range(len(rows) - 1))
+
+
+def test_bm25_corpus_side_not_shuffled_for_df_join(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="spark join data") for i in range(10)]
+    )
+    plan = (
+        search.bm25_topk(docs, "doc_id", "text", ["spark"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ----------------------------------------------- partitioned writes
+
+
+def test_write_partitioned_prunes_at_planning_time(spark, tmp_path):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("shard")
+    )
+    path = str(tmp_path / "parts")
+    maintenance.write_partitioned(df, path, ["shard"])
+    scan = spark.read.parquet(path).filter(F.col("shard") == "2")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # pruning shows up as a PartitionFilters entry on the scan...
+    assert "PartitionFilters" in plan and "shard" in plan
+    # ...and only the matching directory's rows are read
+    assert scan.count() == 25
