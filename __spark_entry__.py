@@ -1412,6 +1412,70 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp — p_retailprice stands in
+    for ps_supplycost at a 0.001 unit-cost factor): profit by supplier
+    nation and order year over 'widget' parts. Dims (part, supplier,
+    nation) broadcast; lineitem↔orders shuffle once on orderkey. The
+    name filter prunes part before the join, so the broadcast is of
+    the filtered dim only."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    # per-row integer cents: the subtractive amount cancels magnitude,
+    # so a double total drifts at the cent level between engines —
+    # exact bigint cents are summation-order-proof
+    amount_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint") - F.round(
+        0.001 * F.col("p_retailprice") * F.col("l_quantity") * 100
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(amount_cents) / 100.0, 2).alias("sum_profit")
+        )
+    )
+
+
+def q11_important_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp — a supplier's 'holding'
+    of a part is its shipped lineitem value): per-part shipped value
+    for NATION_7 suppliers, keeping parts above 0.1% of the nation
+    total. The scalar total comes from a second aggregate over the
+    SAME pre-aggregated per-part frame (cached) broadcast back — no
+    second scan of lineitem, no global window."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("value")
+        )
+    )
+    per_part = per_part.cache()
+    total = per_part.agg(F.sum("value").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("_total"))
+        .select(F.col("l_partkey").alias("partkey"), "value")
+    )
+
+
 def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (adapted: shipped quantity stands in for
     ps_availqty): suppliers in one region who shipped, for at least one
@@ -1840,6 +1904,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_order_count_distribution": q13_order_count_distribution,
     "q21_sole_late_supplier": q21_sole_late_supplier,
     "q2_min_unit_price_supplier": q2_min_unit_price_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_holdings": q11_important_holdings,
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q20_excess_shippers": q20_excess_shippers,
     "label_centroids": q_label_centroids,
@@ -3058,5 +3124,35 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY o_orderstatus
                              ORDER BY o_totalprice ASC, o_orderkey ASC)
             ) WHERE pct_rank >= 0.999
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                                  AS BIGINT)
+                             - CAST(round(0.001 * p_retailprice * l_quantity * 100)
+                                    AS BIGINT)) / 100.0, 2)
+                     AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "q11_important_holdings": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey AS partkey, value
+            FROM per_part
+            WHERE value > 0.001 * (SELECT sum(value) FROM per_part)
         """,
     }
