@@ -1832,6 +1832,38 @@ def q_price_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("pct_rank") >= 0.999)
 
 
+def q_sketch_accuracy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface (HyperLogLog++ approx_count_distinct, t-digest
+    approx_percentile): per event_type the EXACT distinct-user count is
+    value-checked against DuckDB, while the sketch estimates are
+    asserted within tolerance as boolean columns (sketch internals are
+    engine-specific, so the estimates themselves cannot hash-match an
+    oracle — the contract is the error bound). At 100 TB the sketches
+    are the only affordable path: they map-side-combine to constant
+    state per group vs countDistinct's exact shuffle of every key."""
+    events = _t(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("_p50_exact"),
+    )
+    return per_type.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_hll") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("_p50_approx") - F.col("_p50_exact"))
+            / F.abs(F.col("_p50_exact"))
+            <= 0.05
+        ).alias("p50_within_5pct"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -1930,6 +1962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_decile_profile": q_quality_decile_profile,
     "bm25_search": q_bm25_search,
     "price_percentile_profile": q_price_percentile_profile,
+    "sketch_accuracy_profile": q_sketch_accuracy_profile,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3154,5 +3187,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey AS partkey, value
             FROM per_part
             WHERE value > 0.001 * (SELECT sum(value) FROM per_part)
+        """,
+        "sketch_accuracy_profile": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS hll_within_5pct,
+                   TRUE AS p50_within_5pct
+            FROM events GROUP BY event_type
         """,
     }
