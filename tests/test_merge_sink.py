@@ -1,0 +1,102 @@
+"""Streaming CDC-merge sink: per-batch latest-wins upsert into a
+manifest-flipped parquet snapshot (the file-table analogue of the
+jdbc_upsert idempotent MERGE)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.sinks import merge_sink
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import skew
+
+
+def test_merge_batch_upserts_and_replays_idempotently(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [Row(k=1, v="a", ver=0), Row(k=2, v="b", ver=0)]
+    )
+    merge_sink.merge_batch(spark, b0, table, ["k"], "ver", batch_id=0)
+    b1 = spark.createDataFrame([Row(k=2, v="b2", ver=1), Row(k=3, v="c", ver=1)])
+    merge_sink.merge_batch(spark, b1, table, ["k"], "ver", batch_id=1)
+
+    got = {r.k: (r.v, r.ver) for r in merge_sink.read_table(spark, table).collect()}
+    assert got == {1: ("a", 0), 2: ("b2", 1), 3: ("c", 1)}
+
+    # replay batch 1 (at-least-once foreachBatch): state must not change
+    merge_sink.merge_batch(spark, b1, table, ["k"], "ver", batch_id=1)
+    again = {r.k: (r.v, r.ver) for r in merge_sink.read_table(spark, table).collect()}
+    assert again == got
+
+
+def test_merge_batch_crash_leaves_old_snapshot_readable(spark, tmp_path):
+    """The manifest flips only after the new snapshot is fully written:
+    a half-written snapshot dir without a manifest flip is invisible."""
+    table = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([Row(k=1, v="a", ver=0)])
+    merge_sink.merge_batch(spark, b0, table, ["k"], "ver", batch_id=0)
+    # simulate a crash: junk snapshot dir exists, manifest not flipped
+    os.makedirs(os.path.join(table, "snap_99"), exist_ok=True)
+    got = {r.k: r.v for r in merge_sink.read_table(spark, table).collect()}
+    assert got == {1: "a"}
+
+
+def test_streaming_merge_sink_end_to_end(spark, tmp_path):
+    src_dir = str(tmp_path / "in")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [Row(k=1, v="a", ver=0), Row(k=2, v="b", ver=0), Row(k=2, v="b2", ver=1)]
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema("k bigint, v string, ver bigint").parquet(
+        src_dir
+    )
+    q = merge_sink.start_merge_stream(stream, table, ckpt, ["k"], "ver")
+    q.awaitTermination(120)
+
+    rows = merge_sink.read_table(spark, table).collect()
+    got = {r.k: (r.v, r.ver) for r in rows}
+    # within one batch the in-batch max-version row must win too —
+    # exactly ONE row per key survives
+    assert len(rows) == 2
+    assert got == {1: ("a", 0), 2: ("b2", 1)}
+
+
+# ------------------------------------------------------- salted join
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    # 90% of probe rows share one key — the salted plan must return
+    # exactly the plain join's result
+    probe = spark.createDataFrame(
+        [Row(key=1 if i % 10 else i, payload=i) for i in range(1000)]
+    )
+    build = spark.createDataFrame(
+        [Row(key=k, attr=f"attr{k}") for k in range(0, 1000, 10)] + [Row(key=1, attr="hot")]
+    )
+    plain = probe.join(build, ["key"]).select("key", "payload", "attr")
+    salted = skew.salted_equi_join(probe, build, ["key"], num_salts=8).select(
+        "key", "payload", "attr"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_preserves_unmatched_probe_rows(spark):
+    probe = spark.createDataFrame([Row(key=1, p="x"), Row(key=2, p="y")])
+    build = spark.createDataFrame([Row(key=1, attr="a")])
+    out = skew.salted_equi_join(probe, build, ["key"], num_salts=4, how="left")
+    got = {(r.key, r.p, r.attr) for r in out.collect()}
+    assert got == {(1, "x", "a"), (2, "y", None)}
+
+
+def test_salted_join_rejects_semantics_breaking_how(spark):
+    df = spark.createDataFrame([Row(key=1)])
+    try:
+        skew.salted_equi_join(df, df, ["key"], how="full")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
