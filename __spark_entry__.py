@@ -34,6 +34,7 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming 
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators.enrichment import row_hash_expr
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.session import configure_session
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.windows import (
+    session_windows,
     sliding_avg,
     tumbling_counts,
 )
@@ -1864,6 +1865,62 @@ def q_sketch_accuracy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup composition: pair graph -> transitive clusters
+    (iterative min-label propagation) -> keep the BEST doc per cluster
+    (max quality score, doc_id tiebreak) — what a production pipeline
+    actually ships after near-dup detection. Same planted 3-node chain
+    corpus as duplicate_clusters, so the propagation must iterate and
+    the recursive-CTE oracle value-checks survivor choice per cluster."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    c2 = docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    corpus = docs.unionByName(c1).unionByName(c2)
+    fp = corpus.select("doc_id", text.fingerprint(F.col("text")).alias("_f"))
+    w = Window.partitionBy("_f").orderBy("doc_id")
+    edges = (
+        fp.withColumn("_nxt", F.lead("doc_id").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("_nxt").alias("id_b"))
+    )
+    clusters = dedup.duplicate_clusters(edges, corpus.select("doc_id"), "doc_id")
+    quality = corpus.select(
+        "doc_id", text.quality_score(F.col("text")).alias("_q")
+    )
+    member = clusters.join(quality, "doc_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        member.withColumn("_rn", F.row_number().over(wr))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias(
+                "survivor_id"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.max("_q"), 6).alias("best_quality"),
+        )
+    )
+
+
+def q_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window sessionization (gap 30 min) per user —
+    the streaming-capable builder (streaming/windows.session_windows)
+    run in batch mode. Session bounds are emitted as integer epoch
+    MICROSECONDS so the ns-fixture truncation is handled identically
+    on both sides (the oracle does its island detection in integer
+    us). One shuffle on (user, session)."""
+    events = _t(spark, sf_dir, "events")
+    sess = session_windows(events, ts_col="ts", gap="30 minutes", key_col="user_id")
+    return sess.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -1963,6 +2020,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "price_percentile_profile": q_price_percentile_profile,
     "sketch_accuracy_profile": q_sketch_accuracy_profile,
+    "dedup_survivors": q_dedup_survivors,
+    "native_session_windows": q_native_session_windows,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3194,5 +3253,78 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_within_5pct,
                    TRUE AS p50_within_5pct
             FROM events GROUP BY event_type
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 100000, text FROM documents
+                UNION ALL SELECT doc_id + 200000, text FROM documents
+            ),
+            fp AS (
+                SELECT doc_id,
+                       sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                         AS f
+                FROM corpus
+            ),
+            chain AS (
+                SELECT doc_id AS src,
+                       lead(doc_id) OVER (PARTITION BY f ORDER BY doc_id) AS dst
+                FROM fp
+                QUALIFY dst IS NOT NULL
+            ),
+            bidir AS (
+                SELECT src, dst FROM chain
+                UNION ALL SELECT dst, src FROM chain
+            ),
+            cc AS (
+                SELECT doc_id AS vid, doc_id AS label FROM corpus
+                UNION
+                SELECT b.dst AS vid, cc.label
+                FROM cc JOIN bidir b ON cc.vid = b.src
+            ),
+            clusters AS (
+                SELECT vid AS doc_id, min(label) AS cluster_id
+                FROM cc GROUP BY vid
+            ),
+            q AS (
+                SELECT doc_id,
+                       round(0.6 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                           + 0.4 * (1.0 - least({_PUNCT} * 5.0, 1.0)), 6) AS q
+                FROM corpus
+            )
+            SELECT cluster_id,
+                   max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+                   count(*) AS n_members,
+                   round(max(q), 6) AS best_quality
+            FROM (
+                SELECT c.cluster_id, c.doc_id, q.q,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                                          ORDER BY q.q DESC, c.doc_id ASC) AS rn
+                FROM clusters c JOIN q USING (doc_id)
+            ) GROUP BY cluster_id
+        """,
+        "native_session_windows": """
+            WITH us AS (
+                SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+            ),
+            flagged AS (
+                SELECT user_id, us,
+                       CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w >= 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM us
+                WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ),
+            sessions AS (
+                SELECT user_id, us,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(us) AS start_us,
+                   max(us) + 1800000000 AS end_us,
+                   count(*) AS n_events
+            FROM sessions GROUP BY user_id, sid
         """,
     }
