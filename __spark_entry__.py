@@ -27,6 +27,7 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators 
     search,
     similarity,
     text,
+    timeseries,
     topk,
     validation,
 )
@@ -1921,6 +1922,86 @@ def q_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming CDC upsert: the orders base (version 0)
+    and an updates feed (every 7th key, +10.00, version 1) staged as
+    two files, streamed one-file-per-trigger through the merge sink
+    (sinks/merge_sink.py — latest-wins merge per micro-batch into
+    manifest-flipped parquet snapshots), then the FINAL table state is
+    audited per status. Same oracle as scd1_latest_merge: the streamed
+    incremental merge must converge to the batch merge's answer.
+    Version-based merging makes the result file-order-independent."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.sinks import merge_sink
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    base = orders.withColumn("_version", F.lit(0).cast("long"))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("price_cents", F.col("price_cents") + 1000)
+        .withColumn("_version", F.lit(1).cast("long"))
+    )
+    feed = _tempfile.mkdtemp(prefix="cdc_feed_")
+    for i, part in enumerate((base, updates)):
+        tmp = _os.path.join(feed, f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        _os.rename(src, _os.path.join(feed, f"{i:02d}_feed.parquet"))
+        _shutil.rmtree(tmp)
+
+    run = _uuid.uuid4().hex[:12]
+    table = _os.path.join(_tempfile.gettempdir(), f"cdc_table_{run}")
+    ckpt = _os.path.join(_tempfile.gettempdir(), f"cdc_ckpt_{run}")
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = merge_sink.start_merge_stream(
+        stream, table, ckpt, ["o_orderkey"], "_version"
+    )
+    q.awaitTermination()
+    _shutil.rmtree(feed, ignore_errors=True)
+
+    final = merge_sink.read_table(spark, table)
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").alias("total_cents"),
+        F.count(F.when(F.col("_version") == 1, 1)).alias("n_updated"),
+    )
+
+
+def q_gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (operators/timeseries.resample_ffill):
+    daily revenue per order status densified onto an every-day spine
+    with forward-fill; synthesized days flagged. Exact integer cents;
+    two key-shuffles (join + window), spine generated executor-side."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderstatus", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_cents")
+    )
+    filled = timeseries.resample_ffill(
+        daily, "o_orderstatus", "day", ["rev_cents"], step="1 day"
+    )
+    return filled.select(
+        "o_orderstatus",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev_cents",
+        "is_filled",
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2022,6 +2103,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_accuracy_profile": q_sketch_accuracy_profile,
     "dedup_survivors": q_dedup_survivors,
     "native_session_windows": q_native_session_windows,
+    "streaming_upsert": q_streaming_upsert,
+    "gap_filled_daily_revenue": q_gap_filled_daily_revenue,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -2083,7 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         )
         for lang, markers in text.LANG_MARKERS.items()
     )
-    return {
+    out = {
         "flagship_event_stats": """
             SELECT event_type,
                    round(min(value), 6) AS min_value,
@@ -3327,4 +3410,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sessions GROUP BY user_id, sid
         """,
+        "gap_filled_daily_revenue": """
+            WITH daily AS (
+                SELECT o_orderstatus,
+                       CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                       CAST(round(sum(o_totalprice) * 100) AS BIGINT)
+                         AS rev_cents
+                FROM orders GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT o_orderstatus, min(day) AS lo, max(day) AS hi
+                FROM daily GROUP BY 1
+            ),
+            spine AS (
+                SELECT o_orderstatus,
+                       unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                FROM bounds
+            ),
+            joined AS (
+                SELECT s.o_orderstatus, s.day, d.rev_cents,
+                       d.rev_cents IS NULL AS is_filled
+                FROM spine s
+                LEFT JOIN daily d
+                  ON s.o_orderstatus = d.o_orderstatus AND s.day = d.day
+            )
+            SELECT o_orderstatus,
+                   strftime(day, '%Y-%m-%d') AS day,
+                   last_value(rev_cents IGNORE NULLS) OVER (
+                       PARTITION BY o_orderstatus ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS rev_cents,
+                   is_filled
+            FROM joined
+        """,
     }
+    # the streamed incremental merge must converge to the batch merge's
+    # answer — same oracle by construction
+    out["streaming_upsert"] = out["scd1_latest_merge"]
+    return out

@@ -169,3 +169,30 @@ def test_write_partitioned_prunes_at_planning_time(spark, tmp_path):
     assert "PartitionFilters" in plan and "shard" in plan
     # ...and only the matching directory's rows are read
     assert scan.count() == 25
+
+
+# --------------------------------------------------------- gap fill
+
+
+def test_resample_ffill_densifies_and_carries_forward(spark):
+    import datetime as dt
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", day=dt.date(2024, 1, 1), v=10),
+            Row(k="a", day=dt.date(2024, 1, 4), v=40),
+            Row(k="b", day=dt.date(2024, 2, 1), v=7),
+        ]
+    )
+    out = timeseries.resample_ffill(df, "k", "day", ["v"], step="1 day")
+    rows = {(r.k, str(r.day)): (r.v, r.is_filled) for r in out.collect()}
+    # a: 4 days total, gaps on the 2nd and 3rd carry 10
+    assert rows[("a", "2024-01-01")] == (10, False)
+    assert rows[("a", "2024-01-02")] == (10, True)
+    assert rows[("a", "2024-01-03")] == (10, True)
+    assert rows[("a", "2024-01-04")] == (40, False)
+    # b: single-day series stays a single observed row
+    assert rows[("b", "2024-02-01")] == (7, False)
+    assert len(rows) == 5
