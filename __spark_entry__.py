@@ -2002,6 +2002,26 @@ def q_gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking (operators/chunking.py): 64-token chunks with
+    16-token overlap; emits chunk geometry + an md5 of the chunk text
+    (the full text stays executor-side). Map-only fan-out, one
+    sequence+posexplode per doc, no UDF."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import chunking
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    chunks = chunking.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=16
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        "chunk_n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2105,6 +2125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "native_session_windows": q_native_session_windows,
     "streaming_upsert": q_streaming_upsert,
     "gap_filled_daily_revenue": q_gap_filled_daily_revenue,
+    "chunk_documents": q_chunk_documents,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3441,6 +3462,28 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS rev_cents,
                    is_filled
             FROM joined
+        """,
+        "chunk_documents": """
+            WITH toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+                       len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n
+                FROM documents
+            ),
+            exploded AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(0, greatest(n - 17, 0), 48))
+                         AS chunk_start
+                FROM toked
+            )
+            SELECT doc_id,
+                   CAST(chunk_start // 48 AS INT) AS chunk_idx,
+                   CAST(chunk_start AS INT) AS chunk_start,
+                   CAST(len(t[chunk_start + 1 : chunk_start + 64]) AS INT)
+                     AS chunk_n_tokens,
+                   md5(array_to_string(t[chunk_start + 1 : chunk_start + 64], ' '))
+                     AS chunk_md5
+            FROM exploded
         """,
     }
     # the streamed incremental merge must converge to the batch merge's

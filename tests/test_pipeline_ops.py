@@ -196,3 +196,41 @@ def test_resample_ffill_densifies_and_carries_forward(spark):
     # b: single-day series stays a single observed row
     assert rows[("b", "2024-02-01")] == (7, False)
     assert len(rows) == 5
+
+
+# --------------------------------------------------------- chunking
+
+
+def test_chunk_documents_geometry_and_overlap(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import chunking
+
+    toks = " ".join(f"t{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([Row(doc_id=1, text=toks)])
+    out = chunking.chunk_documents(df, "doc_id", "text", 64, 16).collect()
+    by_idx = {r.chunk_idx: r for r in out}
+    assert len(out) == 2
+    assert by_idx[0].chunk_start == 0 and by_idx[0].chunk_n_tokens == 64
+    # second chunk starts at stride 48 and is clipped to the tail
+    assert by_idx[1].chunk_start == 48 and by_idx[1].chunk_n_tokens == 52
+    # 16-token overlap: chunk 1 begins inside chunk 0
+    assert by_idx[1].chunk_text.split()[0] == "t48"
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import chunking
+
+    df = spark.createDataFrame([Row(doc_id=1, text="just three tokens")])
+    out = chunking.chunk_documents(df, "doc_id", "text", 64, 16).collect()
+    assert len(out) == 1
+    assert out[0].chunk_n_tokens == 3 and out[0].chunk_start == 0
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import chunking
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    try:
+        chunking.chunk_documents(df, "doc_id", "text", 64, 64)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
