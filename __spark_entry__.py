@@ -2022,6 +2022,27 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-budget accounting per language with BOTH counters:
+    whitespace tokens and the BPE-ish proxy (words + digit runs +
+    punctuation, text.bpe_ish_token_count) — the number that actually
+    prices a training run. One scan, one tiny shuffle of per-lang
+    partials."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    per = docs.select(
+        "lang",
+        text.token_count(F.col("text")).alias("_ws"),
+        text.bpe_ish_token_count(F.col("text")).alias("_bpe"),
+    )
+    return per.groupBy("lang").agg(
+        F.sum("_ws").cast("long").alias("ws_tokens"),
+        F.sum("_bpe").cast("long").alias("bpe_tokens"),
+        F.round(
+            F.avg(F.when(F.col("_ws") > 0, F.col("_bpe") / F.col("_ws"))), 6
+        ).alias("avg_bpe_per_ws"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2126,6 +2147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_upsert": q_streaming_upsert,
     "gap_filled_daily_revenue": q_gap_filled_daily_revenue,
     "chunk_documents": q_chunk_documents,
+    "token_budget_report": q_token_budget_report,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3484,6 +3506,22 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(t[chunk_start + 1 : chunk_start + 64], ' '))
                      AS chunk_md5
             FROM exploded
+        """,
+        "token_budget_report": f"""
+            WITH per AS (
+                SELECT lang,
+                       {_TOKCOUNT} AS ws,
+                       len(regexp_extract_all(lower(text),
+                           '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                   CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                   round(avg(CASE WHEN ws > 0
+                                  THEN CAST(bpe AS DOUBLE) / ws END), 6)
+                     AS avg_bpe_per_ws
+            FROM per GROUP BY lang
         """,
     }
     # the streamed incremental merge must converge to the batch merge's

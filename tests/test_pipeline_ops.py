@@ -234,3 +234,18 @@ def test_chunk_documents_rejects_bad_overlap(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# ------------------------------------------------------ plan profile
+
+
+def test_plan_profile_counts_exchanges_and_broadcasts(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.explain import profile
+
+    a = spark.range(1000).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    joined = a.join(F.broadcast(b), "k").groupBy((F.col("k") % 3).alias("g")).count()
+    p = profile(joined)
+    assert p.broadcasts == 1
+    assert p.exchanges >= 1  # the groupBy shuffle
+    assert "Exchange" in p.plan

@@ -11,12 +11,12 @@ before benching."""
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.explain import profile
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.session import get_spark
 
 # streaming-execution queries run a real stream on build — skip their
@@ -37,24 +37,11 @@ def main() -> None:
         if name in STREAMING:
             print(f"{name:32s} {'-':>4} {'-':>5} {'-':>6}  (streaming)")
             continue
-        plan = (
-            qs[name](spark, sf_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
+        p = profile(qs[name](spark, sf_dir))
+        print(
+            f"{name:32s} {p.exchanges:>4} {p.broadcasts:>5} "
+            f"{p.pushed_filter_scans:>6}"
         )
-        exch = sum(
-            plan.count(f"Exchange {kind}")
-            for kind in (
-                "hashpartitioning",
-                "rangepartitioning",
-                "RoundRobinPartitioning",
-                "SinglePartition",
-            )
-        )
-        bcast = plan.count("BroadcastExchange")
-        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
-        print(f"{name:32s} {exch:>4} {bcast:>5} {pushed:>6}")
     spark.stop()
 
 
