@@ -2043,6 +2043,91 @@ def q_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): each step counts
+    users whose first step-event happens strictly AFTER their previous
+    step's first event. Three chained filtered aggregates; time logic
+    in integer microseconds on both sides so ns-fixture truncation
+    can't flip a strict comparison at the boundary."""
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("_us")
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("_t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("_us") > F.col("_t1"))
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("_t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("_us") > F.col("_t2"))
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("_t3"))
+    )
+
+    def step(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("step"), "n_users"
+        )
+
+    return (
+        step(v, "1_view")
+        .unionByName(step(c, "2_click"))
+        .unionByName(step(p, "3_purchase"))
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: cohort = Monday-truncated week of the
+    user's first event; a (cohort, offset) cell counts users active in
+    cohort-week + offset. Two aggregates + one join — the cohort side
+    is per-user-tiny and broadcast."""
+    events = _t(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("_cohort")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("_wk")
+    ).distinct()
+    cells = active.join(F.broadcast(first), "user_id").select(
+        F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("_wk", "_cohort") / 7).cast("int").alias("week_offset"),
+        "user_id",
+    )
+    return cells.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active_users")
+    )
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier audit per event type. The group stats are
+    rounded to 6 decimals BEFORE the z computation, so both engines
+    feed bit-identical (m, s) into identical arithmetic and the
+    |z| > 1.5 cut cannot flip on a ulp (raw avg/stddev differ across
+    engines in the last bits). Stats side is broadcast back — one scan
+    + one tiny shuffle."""
+    events = _t(spark, sf_dir, "events").select("event_type", "value")
+    stats = events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("_m"),
+        F.round(F.stddev_samp("value"), 6).alias("_s"),
+    )
+    z = events.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        ((F.col("value") - F.col("_m")) / F.col("_s")).alias("_z"),
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.abs("_z") > 1.5, 1)).alias("n_outliers"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2148,6 +2233,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_filled_daily_revenue": q_gap_filled_daily_revenue,
     "chunk_documents": q_chunk_documents,
     "token_budget_report": q_token_budget_report,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "value_outliers": q_value_outliers,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3522,6 +3610,56 @@ def oracle_sql() -> dict[str, str]:
                                   THEN CAST(bpe AS DOUBLE) / ws END), 6)
                      AS avg_bpe_per_ws
             FROM per GROUP BY lang
+        """,
+        "event_funnel": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+                FROM events
+            ),
+            v AS (SELECT user_id, min(us) AS t1 FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.us) AS t2
+                  FROM e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.us > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.us) AS t3
+                  FROM e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.us > c.t2
+                  GROUP BY e.user_id)
+            SELECT '1_view' AS step, count(*) AS n_users FROM v
+            UNION ALL SELECT '2_click', count(*) FROM c
+            UNION ALL SELECT '3_purchase', count(*) FROM p
+        """,
+        "retention_cohorts": """
+            WITH first AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                FROM events GROUP BY user_id
+            ),
+            active AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                FROM events
+            )
+            SELECT strftime(CAST(f.cohort AS DATE), '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', CAST(f.cohort AS DATE),
+                                  CAST(a.wk AS DATE)) // 7 AS INT)
+                     AS week_offset,
+                   count(DISTINCT a.user_id) AS n_active_users
+            FROM active a JOIN first f ON a.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
+        "value_outliers": """
+            WITH stats AS (
+                SELECT event_type,
+                       round(avg(value), 6) AS m,
+                       round(stddev_samp(value), 6) AS s
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   count(*) AS n_events,
+                   count(CASE WHEN abs((e.value - s.m) / s.s) > 1.5 THEN 1 END)
+                     AS n_outliers
+            FROM events e JOIN stats s ON e.event_type = s.event_type
+            GROUP BY e.event_type
         """,
     }
     # the streamed incremental merge must converge to the batch merge's
