@@ -2128,6 +2128,64 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization audit: per vector, scale =
+    max|x|, code_i = round(x_i/scale*127); per label the mean absolute
+    reconstruction error and worst per-vector error. All per-vector
+    math is the identical expression tree in both engines (JVM-side
+    higher-order functions — transform/zip_with/aggregate — no UDF).
+    4x memory cut for ANN shortlists; the error report is what decides
+    whether the shortlist can be scored on codes alone."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("_x")
+    )
+    scale = F.array_max(F.transform("_x", lambda v: F.abs(v)))
+    per_vec = emb.select(
+        "label",
+        F.when(
+            scale > 0,
+            F.aggregate(
+                F.zip_with(
+                    "_x",
+                    F.transform(
+                        "_x",
+                        lambda v: F.round(v / scale * 127).cast("int"),
+                    ),
+                    lambda x, c: F.abs(x - c.cast("double") * scale / 127),
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+            / F.size("_x"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("_err"), 6).alias("avg_abs_err"),
+        F.round(F.max("_err"), 6).alias("max_abs_err"),
+    )
+
+
+def q_lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture (alpha = 0.3, the
+    mT5-style upsampling exponent): per-language sampling weight
+    w_l = share_l^alpha / sum(share^alpha). Two tiny aggregates over
+    one per-lang count frame — the whole computation after the first
+    groupBy fits in a handful of rows."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w)
+    raw = F.pow(share, F.lit(0.3))
+    return counts.select(
+        "lang",
+        "n_docs",
+        F.round(raw / F.sum(raw).over(w), 6).alias("mix_weight"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2236,6 +2294,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "value_outliers": q_value_outliers,
+    "embedding_quantization": q_embedding_quantization,
+    "lang_mixture_weights": q_lang_mixture_weights,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3660,6 +3720,46 @@ def oracle_sql() -> dict[str, str]:
                      AS n_outliers
             FROM events e JOIN stats s ON e.event_type = s.event_type
             GROUP BY e.event_type
+        """,
+        "embedding_quantization": """
+            WITH v AS (
+                SELECT label, CAST(embedding AS DOUBLE[]) AS x
+                FROM embeddings
+            ),
+            scaled AS (
+                SELECT label,
+                       list_max(list_transform(x, e -> abs(e))) AS scale, x
+                FROM v
+            ),
+            err AS (
+                SELECT label,
+                       CASE WHEN scale > 0 THEN
+                           list_sum(list_transform(x,
+                               e -> abs(e - CAST(round(e / scale * 127) AS INT)
+                                            * scale / 127)))
+                           / len(x)
+                       ELSE 0.0 END AS err
+                FROM scaled
+            )
+            SELECT label,
+                   count(*) AS n_vectors,
+                   round(avg(err), 6) AS avg_abs_err,
+                   round(max(err), 6) AS max_abs_err
+            FROM err GROUP BY label
+        """,
+        "lang_mixture_weights": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+            ),
+            shares AS (
+                SELECT lang, n_docs,
+                       pow(CAST(n_docs AS DOUBLE)
+                           / (SELECT sum(n_docs) FROM counts), 0.3) AS raw
+                FROM counts
+            )
+            SELECT lang, n_docs,
+                   round(raw / (SELECT sum(raw) FROM shares), 6) AS mix_weight
+            FROM shares
         """,
     }
     # the streamed incremental merge must converge to the batch merge's
