@@ -32,6 +32,7 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators 
     validation,
 )
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import stateful
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import dedup as streaming_dedup
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators.enrichment import row_hash_expr
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.session import configure_session
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.windows import (
@@ -2186,6 +2187,47 @@ def q_lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup end to end
+    (streaming/dedup.dedup_within_watermark — the bounded-state fix
+    for the reference's unbounded dropDuplicates, code/Main.py:49):
+    the events file is staged TWICE so every event arrives duplicated;
+    dropDuplicatesWithinWatermark(event_id) must collapse each pair,
+    so per-type counts equal the batch distinct counts (the oracle).
+    Drained through the executor-side parquet sink, no driver
+    collection."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stage_dir = _tempfile.mkdtemp(prefix="stream_dedup_")
+    _os.symlink(path, _os.path.join(stage_dir, "a.parquet"))
+    _os.symlink(path, _os.path.join(stage_dir, "b.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage_dir)
+        # nanosAsLong bigint -> micros timestamp, same int-division
+        # conversion as catalog.load_table
+        .select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "event_type",
+        )
+    )
+    deduped = streaming_dedup.dedup_within_watermark(
+        stream, keys=["event_id"], ts_col="ts", delay="10 minutes"
+    )
+    drained = stateful.drain_to_parquet(
+        spark, deduped, shuffle_partitions=8, output_mode="append"
+    )
+    _shutil.rmtree(stage_dir, ignore_errors=True)
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2296,6 +2338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": q_value_outliers,
     "embedding_quantization": q_embedding_quantization,
     "lang_mixture_weights": q_lang_mixture_weights,
+    "streaming_dedup": q_streaming_dedup,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3760,6 +3803,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, n_docs,
                    round(raw / (SELECT sum(raw) FROM shares), 6) AS mix_weight
             FROM shares
+        """,
+        # every event arrives twice in the stream; watermarked dedup
+        # must collapse the pairs back to the batch distinct counts
+        "streaming_dedup": """
+            SELECT event_type, count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
     }
     # the streamed incremental merge must converge to the batch merge's
