@@ -2228,6 +2228,17 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plan (16 kHz, 5 s windows) from metadata
+    only — completes the image(resize)/video(frame-sample)/audio
+    planning triple; all int64 arithmetic, payload never read."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    return multimodal.audio_segment_plan(
+        media, sample_rate=16000, window_samples=80000
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2339,6 +2350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantization": q_embedding_quantization,
     "lang_mixture_weights": q_lang_mixture_weights,
     "streaming_dedup": q_streaming_dedup,
+    "audio_segment_plan": q_audio_segment_plan,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3809,6 +3821,18 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": """
             SELECT event_type, count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "audio_segment_plan": """
+            SELECT doc_id AS media_id,
+                   (n_chars * 10) * 16000 // 1000 AS n_samples,
+                   ((n_chars * 10) * 16000 // 1000 + 79999) // 80000
+                     AS n_segments,
+                   (n_chars * 10) * 16000 // 1000
+                     - (((n_chars * 10) * 16000 // 1000 + 79999) // 80000 - 1)
+                       * 80000
+                     AS last_segment_samples
+            FROM documents
+            WHERE doc_id % 3 = 1
         """,
     }
     # the streamed incremental merge must converge to the batch merge's

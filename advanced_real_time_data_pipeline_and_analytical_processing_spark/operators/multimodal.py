@@ -196,3 +196,28 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             lambda i: i * every_ms,
         ).alias("frame_ts_ms"),
     )
+
+
+def audio_segment_plan(
+    df: DataFrame, sample_rate: int = 16000, window_samples: int = 80000
+) -> DataFrame:
+    """Audio segmentation *plan*: per audio row, how many fixed-size
+    sample windows the (stubbed) decoder would emit, from
+    meta.duration_ms alone — pure int64 arithmetic, payload never
+    read (the same metadata-first discipline as frame_sample_plan /
+    resize_plan, completing the image/video/audio planning triple)."""
+    n_samples = F.expr(
+        f"meta.duration_ms * {sample_rate} div 1000"
+    ).cast("bigint")
+    n_segments = F.expr(
+        f"(meta.duration_ms * {sample_rate} div 1000 + {window_samples - 1})"
+        f" div {window_samples}"
+    ).cast("bigint")
+    return df.filter(F.col("kind") == "audio").select(
+        "media_id",
+        n_samples.alias("n_samples"),
+        n_segments.alias("n_segments"),
+        (n_samples - (n_segments - 1) * window_samples).alias(
+            "last_segment_samples"
+        ),
+    )
