@@ -154,13 +154,17 @@ def minhash_near_dup(
     shingle Jaccard (computed only for candidate pairs). Returns
     (id_a, id_b, jaccard_sim) with jaccard_sim >= threshold.
 
-    Every stage hangs off one spread (id, shingles) lineage, so the
-    signature build, the LSH self-join, and the verify join all reuse
-    the same exchange instead of re-shingling the corpus."""
+    The (id, shingles) frame feeds three consumers (signature build,
+    verify join id_a side, verify join id_b side); localCheckpoint
+    materializes it once in executor storage so the shingling runs
+    once, not three times (measured 2x cold at sf0.1). Same trade as
+    duplicate_clusters: blocks are freed when the driver GCs the
+    plan; on a fault-tolerant cluster run, swap for persist(DISK) if
+    executor loss must be survivable mid-query."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, None)
     shingled = base.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
-    )
+    ).localCheckpoint(eager=False)
     sigs = shingled.select(
         id_col, _sig_from_shingles("_shingles", num_hashes).alias("sig")
     )
