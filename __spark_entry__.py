@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from advanced_real_time_data_pipeline_and_analytical_processing_spark.catalog import load_table
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.catalog import load_table, register_views
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import (
     aggregation,
     asof,
@@ -2239,6 +2239,50 @@ def q_audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_EXISTS_CUSTOMERS = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > 5000
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+"""
+
+_SQL_LATERAL_TOP_NATION = """
+    WITH per_nation AS (
+        SELECT n_name,
+               count(*) AS n_suppliers,
+               round(avg(s_acctbal), 6) AS avg_bal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, n_suppliers, avg_bal,
+           round(avg_bal - (SELECT avg(s_acctbal) FROM supplier), 6)
+             AS bal_vs_global
+    FROM per_nation
+"""
+
+
+def q_sql_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL frontend surface: correlated EXISTS / NOT EXISTS over
+    registered views — Catalyst decorrelates into left-semi and
+    left-anti joins (the same physical shape as the DataFrame-API
+    variants elsewhere in the suite). The literal same ANSI text runs
+    on DuckDB as the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_EXISTS_CUSTOMERS)
+
+
+def q_sql_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL frontend: CTE + scalar subquery (decorrelated to a
+    broadcast of one row). Identical text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOP_NATION)
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2351,6 +2395,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_mixture_weights": q_lang_mixture_weights,
     "streaming_dedup": q_streaming_dedup,
     "audio_segment_plan": q_audio_segment_plan,
+    "sql_exists_customers": q_sql_exists_customers,
+    "sql_nation_balance": q_sql_nation_balance,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3838,4 +3884,7 @@ def oracle_sql() -> dict[str, str]:
     # the streamed incremental merge must converge to the batch merge's
     # answer — same oracle by construction
     out["streaming_upsert"] = out["scd1_latest_merge"]
+    # pure-SQL queries: the literal same ANSI text is the oracle
+    out["sql_exists_customers"] = _SQL_EXISTS_CUSTOMERS
+    out["sql_nation_balance"] = _SQL_LATERAL_TOP_NATION
     return out
