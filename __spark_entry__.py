@@ -2283,6 +2283,33 @@ def q_sql_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_LATERAL_TOP_NATION)
 
 
+def q_corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curator's daily one-pass dashboard: per source, doc count,
+    token mass, mean quality, mean within-doc repetition, and the rate
+    at which predicted language disagrees with the tag — every metric
+    from the text stack computed in ONE scan stage (all per-row
+    Catalyst expressions), then one tiny per-source aggregate."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    t = F.col("text")
+    scored = docs.select(
+        "source",
+        "lang",
+        text.token_count(t).alias("_ntok"),
+        text.quality_score(t).alias("_q"),
+        text.duplicate_bigram_fraction(t).alias("_rep"),
+        text.lang_id(t).alias("_pred"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("total_tokens"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
+        F.round(F.avg("_rep"), 6).alias("avg_repetition"),
+        F.round(
+            F.avg((F.col("_pred") != F.col("lang")).cast("double")), 6
+        ).alias("lang_mismatch_rate"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2397,6 +2424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_segment_plan": q_audio_segment_plan,
     "sql_exists_customers": q_sql_exists_customers,
     "sql_nation_balance": q_sql_nation_balance,
+    "corpus_health_dashboard": q_corpus_health_dashboard,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3887,4 +3915,38 @@ def oracle_sql() -> dict[str, str]:
     # pure-SQL queries: the literal same ANSI text is the oracle
     out["sql_exists_customers"] = _SQL_EXISTS_CUSTOMERS
     out["sql_nation_balance"] = _SQL_LATERAL_TOP_NATION
+    out["corpus_health_dashboard"] = f"""
+        WITH per_doc AS (
+            SELECT source, lang,
+                   {_TOKCOUNT} AS ntok,
+                   round(0.6 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                       + 0.4 * (1.0 - least({_PUNCT} * 5.0, 1.0)), 6) AS q,
+                   CASE WHEN len(bgs) > 0
+                        THEN 1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs)
+                        ELSE 0.0 END AS rep,
+                   CASE
+                     WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                     WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                     ELSE 'fr'
+                   END AS pred
+            FROM (
+                SELECT source, lang, text,
+                       list_transform(
+                           generate_series(1, greatest(len({_TOKENS}) - 1, 0)),
+                           i -> {_TOKENS}[i] || ' ' || {_TOKENS}[i + 1]) AS bgs,
+                       {lang_scores}
+                FROM documents
+            )
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               round(avg(q), 6) AS avg_quality,
+               round(avg(rep), 6) AS avg_repetition,
+               round(avg(CASE WHEN pred <> lang THEN 1.0 ELSE 0.0 END), 6)
+                 AS lang_mismatch_rate
+        FROM per_doc GROUP BY source
+    """
     return out
