@@ -36,10 +36,17 @@ def main() -> None:
     ).collect()
 
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for i, (name, fn) in enumerate(entrymod.queries().items()):
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop finished queries' cached/checkpointed blocks so later
+        # queries aren't timed under earlier queries' memory pressure
+        # (a long-lived engine does the same housekeeping); GC kick
+        # lets the ContextCleaner release localCheckpoint RDD blocks
+        spark.catalog.clearCache()
+        if i % 20 == 19:
+            spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
