@@ -1,0 +1,124 @@
+"""Property-based checks (hypothesis): randomized inputs against
+reference implementations — the operators' semantic contracts, not
+just the fixture's happy path. Example counts are kept small because
+every example is a full Spark job."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import asof, chunking, maintenance
+
+SETTINGS = dict(max_examples=12, deadline=None)
+
+
+@settings(**SETTINGS)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=300),
+    chunk=st.integers(min_value=2, max_value=80),
+    data=st.data(),
+)
+def test_chunking_covers_every_token_with_exact_overlap(
+    spark, n_tokens, chunk, data
+):
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunking.chunk_documents(df, "doc_id", "text", chunk, overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    stride = chunk - overlap
+    # chunk starts advance by exactly the stride
+    assert [r.chunk_start for r in rows] == [i * stride for i in range(len(rows))]
+    # every token covered: last chunk reaches the end
+    last = rows[-1]
+    assert last.chunk_start + last.chunk_n_tokens == n_tokens
+    # no chunk exceeds the window; only the last may be short
+    assert all(r.chunk_n_tokens == chunk for r in rows[:-1])
+    assert rows[-1].chunk_n_tokens <= chunk
+    # each non-final chunk is followed by one overlapping `overlap` tokens
+    for a, b in zip(rows, rows[1:]):
+        assert a.chunk_start + chunk - b.chunk_start == overlap
+
+
+@settings(**SETTINGS)
+@given(
+    left_ts=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=12
+    ),
+    right_ts=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=0, max_size=12
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    left = spark.createDataFrame(
+        [(1, int(t), i) for i, t in enumerate(left_ts)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, int(t), float(i)) for i, t in enumerate(sorted(set(right_ts)))],
+        "k long, rts long, val double",
+    )
+    got = {
+        r.lid: r.val
+        for r in asof.asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+    lp = pd.DataFrame({"k": 1, "ts": left_ts, "lid": range(len(left_ts))}).sort_values(
+        "ts", kind="stable"
+    )
+    rts_u = sorted(set(right_ts))
+    rp = pd.DataFrame(
+        {"k": 1, "rts": rts_u, "val": [float(i) for i in range(len(rts_u))]}
+    )
+    if len(rp):
+        want_df = pd.merge_asof(
+            lp, rp, left_on="ts", right_on="rts", by="k", direction="backward"
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.val) else r.val)
+            for r in want_df.itertuples()
+        }
+    else:
+        want = {int(i): None for i in lp.lid}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=5),
+        max_size=8,
+    ),
+    upd=st.dictionaries(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=5),
+        max_size=8,
+    ),
+)
+def test_latest_wins_merge_semantics_random(spark, base, upd):
+    if not base and not upd:
+        return
+    bdf = spark.createDataFrame(
+        [(k, f"b{k}", v) for k, v in base.items()] or [(None, None, None)],
+        "k long, payload string, ver long",
+    ).filter("k is not null")
+    udf_ = spark.createDataFrame(
+        [(k, f"u{k}", v) for k, v in upd.items()] or [(None, None, None)],
+        "k long, payload string, ver long",
+    ).filter("k is not null")
+    got = {
+        r.k: r.payload
+        for r in maintenance.latest_wins_merge(bdf, udf_, ["k"], "ver").collect()
+    }
+    want = {}
+    for k, v in base.items():
+        want[k] = f"b{k}"
+    for k, v in upd.items():
+        # update wins on ties (and on strictly higher version)
+        if k not in base or v >= base[k]:
+            want[k] = f"u{k}"
+    assert got == want
