@@ -100,3 +100,62 @@ def test_salted_join_rejects_semantics_breaking_how(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# -------------------------------------------------- bucketed variant
+
+
+def test_bucketed_merge_touches_only_batch_buckets(spark, tmp_path):
+    table = str(tmp_path / "btbl")
+    b0 = spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", ver=0) for i in range(20)]
+    )
+    t0 = merge_sink.merge_batch_bucketed(
+        spark, b0, table, ["k"], "ver", batch_id=0, num_buckets=8
+    )
+    assert len(t0) >= 1
+    # record each bucket's current snapshot
+    import os
+
+    def snaps():
+        out = {}
+        for b in range(8):
+            s = merge_sink.current_snapshot_dir(
+                merge_sink._bucket_dir(table, b)
+            )
+            out[b] = s
+        return out
+
+    before = snaps()
+    # a one-key update touches exactly one bucket
+    b1 = spark.createDataFrame([Row(k=3, v="updated", ver=1)])
+    t1 = merge_sink.merge_batch_bucketed(
+        spark, b1, table, ["k"], "ver", batch_id=1, num_buckets=8
+    )
+    assert len(t1) == 1
+    after = snaps()
+    changed = [b for b in range(8) if before[b] != after[b]]
+    assert changed == t1  # only the touched bucket's manifest flipped
+
+    final = merge_sink.read_bucketed_table(spark, table, 8)
+    got = {r.k: (r.v, r.ver) for r in final.collect()}
+    assert got[3] == ("updated", 1)
+    assert len(got) == 20
+    assert got[0] == ("v0", 0)
+
+
+def test_bucketed_merge_replay_is_idempotent(spark, tmp_path):
+    table = str(tmp_path / "btbl2")
+    b0 = spark.createDataFrame([Row(k=1, v="a", ver=0), Row(k=9, v="b", ver=0)])
+    merge_sink.merge_batch_bucketed(spark, b0, table, ["k"], "ver", 0, 4)
+    b1 = spark.createDataFrame([Row(k=1, v="a2", ver=1)])
+    merge_sink.merge_batch_bucketed(spark, b1, table, ["k"], "ver", 1, 4)
+    once = sorted(
+        map(tuple, merge_sink.read_bucketed_table(spark, table, 4).collect())
+    )
+    merge_sink.merge_batch_bucketed(spark, b1, table, ["k"], "ver", 1, 4)
+    again = sorted(
+        map(tuple, merge_sink.read_bucketed_table(spark, table, 4).collect())
+    )
+    assert once == again
+    assert dict((k, v) for k, v, _ in once)[1] == "a2"
