@@ -581,10 +581,15 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections: md5 array once, then 32 vote columns, then the
     fingerprint."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return _portable_simhash(docs)
+
+
+def _portable_simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): the oracle-checkable md5 32-bit simhash. One
+    fold computes all 32 votes (vs 32 folds each rescanning the token
+    array), then a cheap per-element extraction."""
     md5s = docs.select("doc_id", dedup.token_md5s(F.col("text")).alias("_md5s"))
     bits = dedup.PORTABLE_SIMHASH_BITS
-    # one fold computes all 32 votes (vs 32 folds each rescanning the
-    # token array), then a cheap per-element extraction
     vec = md5s.select(
         "doc_id", dedup.simhash_votes_vector(F.col("_md5s"), bits).alias("_votes")
     )
@@ -598,6 +603,36 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simhash"
         ),
     )
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing by pigeonhole banding
+    (dedup.simhash_hamming_pairs): corpus = documents ∪ lightly
+    perturbed copies (one appended token, id+100000); pairs within
+    Hamming distance 3 of the 32-bit portable fingerprint, generated
+    by 4x8-bit chunk bucket joins (never all-pairs) and verified with
+    one bit_count(xor) per candidate. The DuckDB oracle brute-forces
+    all pairs — the banded set must equal it exactly (pigeonhole
+    guarantees no misses)."""
+    # every-5th-doc subset: the fixture's ~30-word vocabulary clusters
+    # fingerprints so hard that the full corpus is near-quadratic at
+    # hamming<=3 (4.3M pairs at sf0.1) — real text is far sparser
+    docs = (
+        _spread(spark, _t(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    perturbed = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    corpus = docs.unionByName(perturbed)
+    fp = _portable_simhash(corpus).localCheckpoint(eager=False)
+    pairs = dedup.simhash_hamming_pairs(fp, "doc_id", "simhash", max_hamming=3)
+    # the tiny-vocab fixture clusters fingerprints, so the exact pair
+    # set is large — audit it as per-distance counts (same exactness,
+    # bounded output): any missed or phantom pair shifts a count
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2425,6 +2460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_exists_customers": q_sql_exists_customers,
     "sql_nation_balance": q_sql_nation_balance,
     "corpus_health_dashboard": q_corpus_health_dashboard,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -2455,9 +2491,10 @@ _PUNCT = (
 )
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(source: str = "documents") -> str:
     """DuckDB replica of the portable md5-hex-digit simhash: one signed
-    vote per hex digit position, bit set iff the vote is positive."""
+    vote per hex digit position, bit set iff the vote is positive.
+    ``source`` is any relation with (doc_id, text)."""
     odd = "('1','3','5','7','9','b','d','f')"
     terms = []
     for j in range(dedup.PORTABLE_SIMHASH_BITS):
@@ -2474,7 +2511,7 @@ def _simhash_oracle() -> str:
                    list_transform(
                        list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
                        t -> md5(t)) AS md5s
-            FROM documents
+            FROM {source}
         )
     """
 
@@ -3915,6 +3952,20 @@ def oracle_sql() -> dict[str, str]:
     # pure-SQL queries: the literal same ANSI text is the oracle
     out["sql_exists_customers"] = _SQL_EXISTS_CUSTOMERS
     out["sql_nation_balance"] = _SQL_LATERAL_TOP_NATION
+    out["simhash_hamming_pairs"] = f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 100000, text || ' zz' FROM documents
+            WHERE doc_id % 5 = 0
+        ),
+        fp AS ({_simhash_oracle("corpus")})
+        SELECT hamming, count(*) AS n_pairs FROM (
+            SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ) GROUP BY hamming
+    """
     out["corpus_health_dashboard"] = f"""
         WITH per_doc AS (
             SELECT source, lang,

@@ -451,3 +451,60 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def simhash_hamming_pairs(
+    fp: DataFrame,
+    id_col: str,
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = PORTABLE_SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, via pigeonhole
+    banding: split the ``bits``-bit fingerprint into ``max_hamming+1``
+    chunks — any pair within ``max_hamming`` differing bits agrees on
+    at least one whole chunk (pigeonhole), so an equi-join on
+    (chunk_idx, chunk_value) buckets generates every qualifying pair
+    without an all-pairs product. Exact ``bit_count(xor)`` verify on
+    the candidates only; multi-chunk agreements dedup via distinct.
+
+    This is the index-side complement of ``simhash``/``simhash_vote``:
+    fingerprints compress each doc to one int64, the banded join is
+    O(collisions), and the verify is two ints per candidate — the
+    cheapest of the near-dup family at 100 TB (MinHash carries 64-int
+    signatures; this carries ONE long)."""
+    chunks = max_hamming + 1
+    if bits % chunks != 0:
+        raise ValueError(f"bits={bits} not divisible by chunks={chunks}")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col(sim_col), i * width).bitwiseAND(
+                F.lit(mask)
+            )
+            for i in range(chunks)
+        ]
+    )
+    entries = fp.select(
+        F.col(id_col), F.col(sim_col), F.posexplode(vals).alias("_ci", "_cv")
+    )
+    a, b = entries.alias("a"), entries.alias("b")
+    ham = F.bit_count(
+        F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._ci") == F.col("b._ci"))
+            & (F.col("a._cv") == F.col("b._cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

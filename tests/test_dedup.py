@@ -166,3 +166,29 @@ def test_duplicate_clusters_respects_max_iter(spark):
         for r in dedup.duplicate_clusters(pairs, vertices, "doc_id", max_iter=1).collect()
     }
     assert out[2] == 1 and out[4] == 3  # one hop done, fixpoint not reached
+
+
+def test_simhash_hamming_pairs_equals_brute_force(spark):
+    """Pigeonhole banding must generate EXACTLY the brute-force pair
+    set — no misses (guaranteed by construction) and no extras
+    (killed by the bit_count verify)."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    fps = [0b0, 0b1, 0b11, 0b111, 0b1111, 1 << 31, (1 << 31) | 0b11, 0xDEADBEEF]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, simhash=v) for i, v in enumerate(fps)]
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_hamming_pairs(
+            df, "doc_id", "simhash", max_hamming=3, bits=32
+        ).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(fps), 2):
+        h = bin(a ^ b).count("1")
+        if h <= 3:
+            want[(i, j)] = h
+    assert got == want and len(want) > 0
