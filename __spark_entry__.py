@@ -586,22 +586,17 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _portable_simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): the oracle-checkable md5 32-bit simhash. One
-    fold computes all 32 votes (vs 32 folds each rescanning the token
-    array), then a cheap per-element extraction."""
-    md5s = docs.select("doc_id", dedup.token_md5s(F.col("text")).alias("_md5s"))
+    fold computes all 32 votes, a second zip-with-powers fold builds
+    the fingerprint — two array expressions total, no 32-column
+    intermediate."""
     bits = dedup.PORTABLE_SIMHASH_BITS
+    md5s = docs.select("doc_id", dedup.token_md5s(F.col("text")).alias("_md5s"))
     vec = md5s.select(
         "doc_id", dedup.simhash_votes_vector(F.col("_md5s"), bits).alias("_votes")
     )
-    voted = vec.select(
+    return vec.select(
         "doc_id",
-        *[F.element_at("_votes", j + 1).alias(f"_v{j}") for j in range(bits)],
-    )
-    return voted.select(
-        "doc_id",
-        dedup.simhash_from_votes([F.col(f"_v{j}") for j in range(bits)]).alias(
-            "simhash"
-        ),
+        dedup.simhash_from_votes_vector(F.col("_votes"), bits).alias("simhash"),
     )
 
 
