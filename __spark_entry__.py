@@ -2334,8 +2334,16 @@ def q_corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_ntok").cast("long").alias("total_tokens"),
         F.round(F.avg("_q"), 6).alias("avg_quality"),
         F.round(F.avg("_rep"), 6).alias("avg_repetition"),
+        # when(...).otherwise(0.0), not a bare cast: a NULL lang must
+        # count as 0 (the oracle's CASE semantics), not null-skip the
+        # row out of the average
         F.round(
-            F.avg((F.col("_pred") != F.col("lang")).cast("double")), 6
+            F.avg(
+                F.when(F.col("_pred") != F.col("lang"), F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            6,
         ).alias("lang_mismatch_rate"),
     )
 
