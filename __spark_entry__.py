@@ -2348,6 +2348,41 @@ def q_corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided reconciliation via FULL OUTER join (the one join type
+    the rest of the suite doesn't exercise): orders vs a deterministic
+    'ledger' feed that drops some orders, perturbs some amounts, and
+    contains ledger-only entries. Classifies every key into
+    match / amount_mismatch / orders_only / ledger_only and counts —
+    the daily close-of-books query. One shuffle per side on the key."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # ledger: every 3rd order; every 2nd of those off by 5 cents;
+    # plus ledger-only entries at key+10M for every 1000th order
+    in_common = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % 2 == 0, F.lit(5)).otherwise(F.lit(0))
+        ).alias("ledger_cents"),
+    )
+    extra = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.col("cents").alias("ledger_cents"),
+    )
+    ledger = in_common.unionByName(extra)
+    recon = orders.join(ledger, "o_orderkey", "full_outer").select(
+        F.when(F.col("cents").isNull(), F.lit("ledger_only"))
+        .when(F.col("ledger_cents").isNull(), F.lit("orders_only"))
+        .when(F.col("cents") == F.col("ledger_cents"), F.lit("match"))
+        .otherwise(F.lit("amount_mismatch"))
+        .alias("status")
+    )
+    return recon.groupBy("status").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2464,6 +2499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_nation_balance": q_sql_nation_balance,
     "corpus_health_dashboard": q_corpus_health_dashboard,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "order_reconciliation": q_order_reconciliation,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -3968,6 +4004,31 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ) GROUP BY hamming
+    """
+    out["order_reconciliation"] = """
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        ledger AS (
+            SELECT o_orderkey,
+                   cents + CASE WHEN o_orderkey % 2 = 0 THEN 5 ELSE 0 END
+                     AS ledger_cents
+            FROM o WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, cents
+            FROM o WHERE o_orderkey % 1000 = 0
+        )
+        SELECT status, count(*) AS n_keys FROM (
+            SELECT CASE
+                     WHEN o.cents IS NULL THEN 'ledger_only'
+                     WHEN l.ledger_cents IS NULL THEN 'orders_only'
+                     WHEN o.cents = l.ledger_cents THEN 'match'
+                     ELSE 'amount_mismatch'
+                   END AS status
+            FROM o FULL OUTER JOIN ledger l ON o.o_orderkey = l.o_orderkey
+        ) GROUP BY status
     """
     out["corpus_health_dashboard"] = f"""
         WITH per_doc AS (
