@@ -2383,6 +2383,20 @@ def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recon.groupBy("status").agg(F.count(F.lit(1)).alias("n_keys"))
 
 
+def q_count_min_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketches.py) over event users:
+    per-key exact count next to the sketch estimate. The md5-derived
+    bucket hashing makes the ENTIRE structure — counters and
+    estimates — bit-identical across engines, so unlike HLL the
+    sketch itself is value-checked exactly; cm_est >= exact_n is the
+    CM guarantee and collisions (150 keys into 64 buckets) make the
+    two differ for real."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import sketches
+
+    events = _t(spark, sf_dir, "events")
+    return sketches.count_min_estimates(events, "user_id", depth=4, width=64)
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2500,6 +2514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_health_dashboard": q_corpus_health_dashboard,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "order_reconciliation": q_order_reconciliation,
+    "count_min_frequencies": q_count_min_frequencies,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -2528,6 +2543,17 @@ _PUNCT = (
     "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
     " / length(text) ELSE 0.0 END"
 )
+
+
+def _hex8_to_int_sql(h: str) -> str:
+    """DuckDB int64 of the first 8 hex chars of md5 expression ``h``
+    (DuckDB has no conv(); positional digit arithmetic instead)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def _simhash_oracle(source: str = "documents") -> str:
@@ -4029,6 +4055,29 @@ def oracle_sql() -> dict[str, str]:
                    END AS status
             FROM o FULL OUTER JOIN ledger l ON o.o_orderkey = l.o_orderkey
         ) GROUP BY status
+    """
+    _cm_hash = _hex8_to_int_sql(
+        "md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))"
+    )
+    out["count_min_frequencies"] = f"""
+        WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        ent AS (
+            SELECT r, {_cm_hash} % 64 AS bucket
+            FROM events CROSS JOIN rows_
+        ),
+        counters AS (
+            SELECT r, bucket, count(*) AS cnt FROM ent GROUP BY 1, 2
+        ),
+        keys AS (
+            SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+        ),
+        probes AS (
+            SELECT user_id, exact_n, r, {_cm_hash} % 64 AS bucket
+            FROM keys CROSS JOIN rows_
+        )
+        SELECT p.user_id, p.exact_n, CAST(min(c.cnt) AS BIGINT) AS cm_est
+        FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+        GROUP BY p.user_id, p.exact_n
     """
     out["corpus_health_dashboard"] = f"""
         WITH per_doc AS (

@@ -249,3 +249,22 @@ def test_plan_profile_counts_exchanges_and_broadcasts(spark):
     assert p.broadcasts == 1
     assert p.exchanges >= 1  # the groupBy shuffle
     assert "Exchange" in p.plan
+
+
+# --------------------------------------------------------- count-min
+
+
+def test_count_min_never_underestimates_and_collides_as_expected(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import sketches
+
+    # 40 keys, key i appearing i+1 times; width 8 forces collisions
+    rows = [(k,) for k in range(40) for _ in range(k + 1)]
+    df = spark.createDataFrame(rows, "k long")
+    out = sketches.count_min_estimates(df, "k", depth=4, width=8).collect()
+    assert len(out) == 40
+    # CM guarantee: estimate >= exact, always
+    assert all(r.cm_est >= r.exact_n for r in out)
+    # with 40 keys in 8 buckets, collisions must inflate SOME estimate
+    assert any(r.cm_est > r.exact_n for r in out)
+    # exact totals preserved
+    assert sum(r.exact_n for r in out) == len(rows)
