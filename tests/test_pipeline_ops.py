@@ -268,3 +268,40 @@ def test_count_min_never_underestimates_and_collides_as_expected(spark):
     assert any(r.cm_est > r.exact_n for r in out)
     # exact totals preserved
     assert sum(r.exact_n for r in out) == len(rows)
+
+
+# ------------------------------------------------------------- bloom
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import bloom
+
+    probe = spark.createDataFrame([(k, f"p{k}") for k in range(500)], "k long, p string")
+    build = spark.createDataFrame([(k,) for k in range(0, 500, 7)], "bk long")
+    kept = bloom.bloom_prefilter(probe, build, "k", "bk", k=3, m_bits=4096)
+    kept_keys = {r.k for r in kept.collect()}
+    true_keys = set(range(0, 500, 7))
+    # every true match survives
+    assert true_keys <= kept_keys
+    # the pre-filter actually prunes (false positives are bounded, not total)
+    assert len(kept_keys) < 500
+
+
+def test_bloom_prefilter_keeps_duplicate_probe_rows(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import bloom
+
+    probe = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k long, p string")
+    build = spark.createDataFrame([(1,)], "bk long")
+    kept = bloom.bloom_prefilter(probe, build, "k", "bk", k=4, m_bits=1024)
+    assert sorted((r.k, r.p) for r in kept.collect()).count((1, "a")) == 2
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import bloom
+
+    probe = spark.createDataFrame([(k, k * 10) for k in range(200)], "k long, v long")
+    build = spark.createDataFrame([(k, f"x{k}") for k in range(0, 200, 11)], "k long, attr string")
+    plain = probe.join(build, "k").select("k", "v", "attr")
+    pre = bloom.bloom_prefilter(probe, build, "k", "k", k=3, m_bits=2048)
+    filtered = pre.join(build, "k").select("k", "v", "attr")
+    assert sorted(map(tuple, filtered.collect())) == sorted(map(tuple, plain.collect()))
