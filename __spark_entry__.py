@@ -2397,6 +2397,30 @@ def q_count_min_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.count_min_estimates(events, "user_id", depth=4, width=64)
 
 
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (aggregation.ewma_final) — the
+    sequential-recurrence aggregate that justifies the Arrow
+    applyInPandas path. The fold order is a TOTAL order (integer
+    microseconds, then event_id), so DuckDB's list_reduce over the
+    identically-ordered sequence produces bit-identical float64s."""
+    events = (
+        _t(spark, sf_dir, "events")
+        # NULL values would make the fold sticky-NaN in pandas but
+        # sticky-NULL in SQL — exclude them identically on both sides
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("_us"),
+            "event_id",
+            "value",
+        )
+    )
+    out = aggregation.ewma_final(
+        events, "user_id", ["_us", "event_id"], "value", alpha=0.2
+    )
+    return out.select("user_id", F.round("ewma", 6).alias("ewma"))
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2515,6 +2539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "order_reconciliation": q_order_reconciliation,
     "count_min_frequencies": q_count_min_frequencies,
+    "user_value_ewma": q_user_value_ewma,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -4055,6 +4080,19 @@ def oracle_sql() -> dict[str, str]:
                    END AS status
             FROM o FULL OUTER JOIN ledger l ON o.o_orderkey = l.o_orderkey
         ) GROUP BY status
+    """
+    out["user_value_ewma"] = """
+        WITH ordered AS (
+            SELECT user_id,
+                   list(value ORDER BY epoch_ns(ts) // 1000, event_id) AS xs
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               round(list_reduce(xs, (acc, x) -> 0.8 * acc + 0.2 * x), 6)
+                 AS ewma
+        FROM ordered
     """
     _cm_hash = _hex8_to_int_sql(
         "md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))"

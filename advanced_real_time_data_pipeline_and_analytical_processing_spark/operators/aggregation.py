@@ -73,3 +73,40 @@ def grouped_stats_with_metadata(
         F.lit(table_name).alias("file_name"),
         F.current_timestamp().alias("ingestion_ts"),
     )
+
+
+def ewma_final(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.2,
+):
+    """Per-key exponentially-weighted moving average (final value):
+    y_0 = x_0; y_t = (1-alpha)*y_{t-1} + alpha*x_t over rows ordered
+    by ``order_cols``.
+
+    This is a SEQUENTIAL RECURRENCE — the one aggregate shape window
+    frames can't express (the closed form needs (1-alpha)^(-i) terms
+    that overflow immediately), so it is the legitimate use of the
+    Arrow path: applyInPandas, one group per key, explicit float64
+    loop. The fold order is pinned by ``order_cols`` (callers must
+    make it a total order), which also makes the result bit-identical
+    to any engine folding the same sequence. One shuffle on the key;
+    groups stream through pandas in Arrow batches.
+
+    Returns (key, ewma) with one row per key.
+    """
+    import pandas as pd
+
+    key_field = df.schema[key_col]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        acc = None
+        for x in pdf[value_col].astype("float64"):
+            acc = x if acc is None else (1.0 - alpha) * acc + alpha * x
+        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "ewma": [acc]})
+
+    out_schema = f"{key_col} {key_field.dataType.simpleString()}, ewma double"
+    return df.groupBy(key_col).applyInPandas(fold, out_schema)
