@@ -2421,6 +2421,44 @@ def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", F.round("ewma", 6).alias("ewma"))
 
 
+def q_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust stats: 10%-trimmed mean of value per event type — rank
+    with percent_rank over a TOTAL order (value, event_id), keep the
+    middle 80%, average. The companion to value_outliers: what the
+    metric looks like once the tails are gone."""
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = events.select(
+        "event_type", "value", F.percent_rank().over(w).alias("_pr")
+    )
+    kept = ranked.filter((F.col("_pr") >= 0.1) & (F.col("_pr") <= 0.9))
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("value"), 6).alias("trimmed_mean"),
+    )
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution: fixed-width 64-char bins over
+    n_chars (integer floor-division binning — engine-portable, unlike
+    width_bucket variants), with per-bin doc counts and bounds."""
+    docs = _t(spark, sf_dir, "documents")
+    bin_ = F.floor(F.col("n_chars") / 64).cast("int")
+    return (
+        docs.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bin",
+            (F.col("bin") * 64).alias("lo_chars"),
+            (F.col("bin") * 64 + 63).alias("hi_chars"),
+            "n_docs",
+        )
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2540,6 +2578,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_reconciliation": q_order_reconciliation,
     "count_min_frequencies": q_count_min_frequencies,
     "user_value_ewma": q_user_value_ewma,
+    "trimmed_mean_by_type": q_trimmed_mean_by_type,
+    "doc_length_histogram": q_doc_length_histogram,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -4093,6 +4133,28 @@ def oracle_sql() -> dict[str, str]:
                round(list_reduce(xs, (acc, x) -> 0.8 * acc + 0.2 * x), 6)
                  AS ewma
         FROM ordered
+    """
+    out["trimmed_mean_by_type"] = """
+        SELECT event_type,
+               count(*) AS n_kept,
+               round(avg(value), 6) AS trimmed_mean
+        FROM (
+            SELECT event_type, value,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value ASC, event_id ASC)
+                     AS pr
+            FROM events WHERE value IS NOT NULL
+        )
+        WHERE pr >= 0.1 AND pr <= 0.9
+        GROUP BY event_type
+    """
+    out["doc_length_histogram"] = """
+        SELECT bin,
+               bin * 64 AS lo_chars,
+               bin * 64 + 63 AS hi_chars,
+               count(*) AS n_docs
+        FROM (SELECT CAST(n_chars // 64 AS INT) AS bin FROM documents)
+        GROUP BY bin
     """
     _cm_hash = _hex8_to_int_sql(
         "md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))"
