@@ -2459,6 +2459,53 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-shape analytics: build a deterministic co-activity graph
+    (edge between users sharing an (event_type, hour) cell), count its
+    edges and triangles via ordered 3-way self-join (a<b<c — each
+    triangle counted once). The degree-ordered join is the standard
+    distributed triangle algorithm; the edge list shuffles once and is
+    reused across the two joins."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    # 10-minute co-purchase cells: sparse enough that the graph stays
+    # graph-shaped at sf0.1 (the all-events hourly variant is
+    # near-complete: 789k edges / 197M triangles — a clique, not a graph)
+    cells = events.select(
+        "user_id",
+        F.expr("unix_timestamp(date_trunc('minute', ts)) div 600").alias(
+            "_cell"
+        ),
+    ).distinct()
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .count()
+    )
+    n_edges = edges.count()
+    return spark.createDataFrame(
+        [(int(n_edges), int(tri))], "n_edges bigint, n_triangles bigint"
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2580,6 +2627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_ewma": q_user_value_ewma,
     "trimmed_mean_by_type": q_trimmed_mean_by_type,
     "doc_length_histogram": q_doc_length_histogram,
+    "user_triangles": q_user_triangles,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -4133,6 +4181,24 @@ def oracle_sql() -> dict[str, str]:
                round(list_reduce(xs, (acc, x) -> 0.8 * acc + 0.2 * x), 6)
                  AS ewma
         FROM ordered
+    """
+    out["user_triangles"] = """
+        WITH cells AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 600
+                     AS cell
+            FROM events WHERE event_type = 'purchase'
+        ),
+        edges AS (
+            SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.user_id < b.user_id
+        )
+        SELECT (SELECT count(*) FROM edges) AS n_edges,
+               (SELECT count(*)
+                FROM edges e1
+                JOIN edges e2 ON e1.v = e2.u
+                JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles
     """
     out["trimmed_mean_by_type"] = """
         SELECT event_type,
