@@ -2506,6 +2506,23 @@ def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_balanced_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced eval-set construction: exactly k=20 docs per language,
+    chosen by md5-of-id rank — deterministic (re-runs pick the same
+    docs; no rand()), uniform within each language, and engine-portable
+    so the exact membership is value-checked. One shuffle on the group
+    key; per-group top-k via window rank (TakeOrdered per partition,
+    no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= 20)
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2628,6 +2645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trimmed_mean_by_type": q_trimmed_mean_by_type,
     "doc_length_histogram": q_doc_length_histogram,
     "user_triangles": q_user_triangles,
+    "balanced_eval_sample": q_balanced_eval_sample,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -4199,6 +4217,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM edges e1
                 JOIN edges e2 ON e1.v = e2.u
                 JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles
+    """
+    out["balanced_eval_sample"] = """
+        SELECT doc_id, lang, pick_rank FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                     AS pick_rank
+            FROM documents
+        ) WHERE pick_rank <= 20
     """
     out["trimmed_mean_by_type"] = """
         SELECT event_type,
