@@ -2523,6 +2523,29 @@ def q_balanced_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: chunk every doc
+    (operators/chunking.py, 32-token windows, no overlap so repeated
+    spans aren't double-counted) and surface chunk texts appearing in
+    more than one distinct document — the shared-header/footer signal
+    a curation pipeline strips before near-dup scoring. One map-only
+    chunk fan-out + one hash aggregate on the chunk digest."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import chunking
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    chunks = chunking.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=0
+    )
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_md5"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -2646,6 +2669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_histogram": q_doc_length_histogram,
     "user_triangles": q_user_triangles,
     "balanced_eval_sample": q_balanced_eval_sample,
+    "boilerplate_chunks": q_boilerplate_chunks,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -4217,6 +4241,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM edges e1
                 JOIN edges e2 ON e1.v = e2.u
                 JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles
+    """
+    out["boilerplate_chunks"] = """
+        WITH toked AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+                   len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       t[chunk_start + 1 : chunk_start + 32], ' ')) AS chunk_md5
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(0, greatest(n - 1, 0), 32))
+                         AS chunk_start
+                FROM toked
+            )
+        )
+        SELECT chunk_md5,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences
+        FROM chunks
+        GROUP BY chunk_md5
+        HAVING count(DISTINCT doc_id) >= 2
     """
     out["balanced_eval_sample"] = """
         SELECT doc_id, lang, pick_rank FROM (
