@@ -3773,14 +3773,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN agg a ON a.eval_id = g.doc_id
         """,
         "events_sliding_avg": """
-            SELECT window_start, event_type, round(avg(value), 6) AS avg_value
+            SELECT window_start, event_type,
+                   CAST(sum(sv) * 100 // count(value) AS DOUBLE) / 1000000.0
+                     AS avg_value
             FROM (
                 SELECT unnest([
                            time_bucket(INTERVAL '30 minutes', ts),
                            time_bucket(INTERVAL '30 minutes', ts)
                              - INTERVAL '30 minutes'
                        ]) AS window_start,
-                       event_type, value
+                       event_type, value,
+                       CAST(round(value * 10000) AS BIGINT) AS sv
                 FROM events
             ) GROUP BY 1, 2
         """,

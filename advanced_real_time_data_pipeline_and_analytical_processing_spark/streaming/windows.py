@@ -48,10 +48,25 @@ def sliding_avg(
     watermark: str | None = None,
 ) -> DataFrame:
     src = df.withWatermark(ts_col, watermark) if watermark else df
+    # avg in EXACT integer arithmetic end to end: float sums drift
+    # with partition order, and even exact ratios can land on
+    # 6th-decimal halves that engines round differently (half-up vs
+    # half-even) — so sum integer ten-thousandths and FLOOR-divide to
+    # micro-units; no floating sum, no round() anywhere
+    scaled = F.round(F.col(value_col) * 10000).cast("bigint")
     return (
         src.groupBy(F.window(ts_col, width, slide).alias("w"), group_col)
-        .agg(F.round(F.avg(value_col), 6).alias("avg_value"))
-        .select(F.col("w.start").alias("window_start"), group_col, "avg_value")
+        .agg(
+            F.sum(scaled).alias("_ssum"),
+            F.count(value_col).alias("_n"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            group_col,
+            (
+                F.expr("_ssum * 100 div _n").cast("double") / 1000000.0
+            ).alias("avg_value"),
+        )
     )
 
 
