@@ -472,3 +472,21 @@ def test_supervised_restart_recovers_from_checkpoint(spark, dirs):
     assert state["failed"] is True  # the crash really happened
     assert spark.read.parquet(dirs["good"]).count() == 3
     assert spark.read.parquet(dirs["quarantine"]).count() == 2
+
+
+def test_sliding_avg_exact_integer_contract(spark):
+    """avg_value = floor(sum(round(v*1e4)) * 100 / n) / 1e6 — exact
+    integer arithmetic, no float summation (the sf0.1 drift fix)."""
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 5), 1.00005),   # scaled 10001 (round half up)
+        ("a", dt.datetime(2024, 1, 1, 0, 20), 2.0),      # scaled 20000
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = sliding_avg(df, ts_col="ts", width="1 hour", slide="30 minutes")
+    got = {(str(r.window_start), r.event_type): r.avg_value for r in out.collect()}
+    # both events land in the 00:00 window and the 23:30 window
+    # sum_scaled = 30001; floor(30001 * 100 / 2) = 1500050 -> 1.50005
+    assert got[("2024-01-01 00:00:00", "a")] == 1.50005
+    assert len(got) == 2
