@@ -160,3 +160,42 @@ def merge_batch_bucketed(
         os.replace(tmp, os.path.join(bdir, _MANIFEST))
     tagged.unpersist()
     return touched
+
+
+def vacuum(table_dir: str, keep_latest: int = 1) -> list[str]:
+    """Remove snapshot directories superseded by the manifest (keeping
+    the current one plus ``keep_latest - 1`` most recent others for
+    time-travel/debug reads). Without this, every merge batch leaks
+    its predecessor's full snapshot — at table size S and B batches,
+    O(S*B) dead storage. Safe order: the manifest always points at a
+    kept snapshot, and removal never touches it, so concurrent readers
+    of the CURRENT snapshot are unaffected (readers of already-
+    superseded snapshots race with vacuum by design, as in every
+    snapshot-table format). Works on both flat and bucketed layouts.
+    Returns the removed paths."""
+    import shutil
+
+    removed: list[str] = []
+    roots = [table_dir] + [
+        os.path.join(table_dir, d)
+        for d in sorted(os.listdir(table_dir))
+        if d.startswith("bucket=")
+    ]
+    for root in roots:
+        manifest = os.path.join(root, _MANIFEST)
+        if not os.path.exists(manifest):
+            continue
+        with open(manifest, encoding="utf-8") as fh:
+            current = fh.read().strip()
+        snaps = sorted(
+            (d for d in os.listdir(root) if d.startswith("snap_")),
+            key=lambda d: int(d.split("_", 1)[1]),
+            reverse=True,
+        )
+        keep = {current, *snaps[: max(keep_latest - 1, 0)]}
+        for d in snaps:
+            if d not in keep:
+                path = os.path.join(root, d)
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+    return removed

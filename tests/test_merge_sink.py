@@ -159,3 +159,27 @@ def test_bucketed_merge_replay_is_idempotent(spark, tmp_path):
     )
     assert once == again
     assert dict((k, v) for k, v, _ in once)[1] == "a2"
+
+
+def test_vacuum_removes_superseded_snapshots_only(spark, tmp_path):
+    table = str(tmp_path / "vtbl")
+    for i in range(4):
+        b = spark.createDataFrame([Row(k=1, v=f"v{i}", ver=i)])
+        merge_sink.merge_batch(spark, b, table, ["k"], "ver", batch_id=i)
+    assert len([d for d in os.listdir(table) if d.startswith("snap_")]) == 4
+    removed = merge_sink.vacuum(table, keep_latest=1)
+    left = [d for d in os.listdir(table) if d.startswith("snap_")]
+    assert left == ["snap_3"] and len(removed) == 3
+    # table still reads the current state
+    assert merge_sink.read_table(spark, table).first().v == "v3"
+
+
+def test_vacuum_bucketed_layout(spark, tmp_path):
+    table = str(tmp_path / "vbtbl")
+    for i in range(3):
+        b = spark.createDataFrame([Row(k=5, v=f"v{i}", ver=i)])
+        merge_sink.merge_batch_bucketed(spark, b, table, ["k"], "ver", i, 4)
+    removed = merge_sink.vacuum(table, keep_latest=1)
+    assert len(removed) == 2
+    got = merge_sink.read_bucketed_table(spark, table, 4).first()
+    assert got.v == "v2"
