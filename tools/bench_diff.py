@@ -1,0 +1,58 @@
+"""Compare two bench JSON lines (e.g. BENCH_r01.json vs a fresh
+`python bench.py` capture) and print the significant movers:
+
+    python tools/bench_diff.py BENCH_r01.json /tmp/bench_now.json
+
+A query is flagged when it moved more than 30% AND more than 0.5 s —
+below that is run-to-run JVM/GC noise on this suite (measured swings
+of +/-15% on identical code). New and removed queries are listed
+separately so a total-seconds change is attributable."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    """Accept either a raw `bench.py` output line or the driver's
+    BENCH_r{N}.json wrapper (bench line under 'parsed')."""
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    try:
+        obj = json.loads(text)
+    except json.JSONDecodeError:
+        obj = json.loads(text.strip().splitlines()[-1])
+    if "queries" not in obj and "parsed" in obj:
+        obj = obj["parsed"]
+    return obj
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    a, b = load(sys.argv[1]), load(sys.argv[2])
+    qa, qb = a["queries"], b["queries"]
+    print(
+        f"total: {a['value']:.1f}s ({len(qa)} queries) -> "
+        f"{b['value']:.1f}s ({len(qb)} queries)"
+    )
+    added = sorted(set(qb) - set(qa))
+    removed = sorted(set(qa) - set(qb))
+    if added:
+        print(f"added ({sum(qb[q] for q in added):.1f}s):", ", ".join(added))
+    if removed:
+        print(f"removed ({sum(qa[q] for q in removed):.1f}s):", ", ".join(removed))
+    movers = []
+    for q in set(qa) & set(qb):
+        d = qb[q] - qa[q]
+        if abs(d) > 0.5 and abs(d) > 0.3 * qa[q]:
+            movers.append((d, q))
+    for d, q in sorted(movers, reverse=True):
+        print(f"{'+' if d > 0 else ''}{d:6.2f}s  {q}: {qa[q]:.2f} -> {qb[q]:.2f}")
+    if not movers:
+        print("no significant per-query movement")
+
+
+if __name__ == "__main__":
+    main()
