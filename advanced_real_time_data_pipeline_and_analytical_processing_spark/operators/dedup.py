@@ -355,6 +355,86 @@ def duplicate_clusters(
     )
 
 
+def _ngram_blocked_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    threshold: float,
+    length_bucketing: bool,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from a (id, _shingles) frame.
+
+    Blocking key = the first shingle, PLUS (by default) a
+    threshold-derived length bucket that bounds skewed blocks — the
+    boilerplate-header failure mode where millions of docs share one
+    opening shingle and the block goes quadratic.
+
+    Why the bucket is lossless: jaccard(A,B) >= t implies
+    min(|A|,|B|) >= |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), so the distinct
+    shingle-set sizes of any pair the caller will keep differ by at most
+    a factor 1/t. Bucket = floor(ln(size)/ln(1/t)); such a pair's
+    buckets differ by at most 1, and each doc enters its own bucket and
+    the next one (tagged so each qualifying pair meets exactly once).
+    Every pair the jaccard filter could accept is still generated —
+    the candidate set only sheds pairs the filter would reject.
+
+    The entries the self-join shuffles are LIGHT — (id, block, bucket,
+    tag), four scalars — the shingle arrays stay out of the exchange
+    entirely (the caller re-joins them by id for the verify step, the
+    same fetch-payload-late shape as minhash_near_dup)."""
+    import math
+
+    light = shingled.select(
+        F.col(id_col),
+        F.element_at("_shingles", 1).alias("_blk"),
+        F.size("_shingles").alias("_sz"),
+    )
+
+    if length_bucketing and 0.0 < threshold < 1.0:
+        width = math.log(1.0 / threshold)
+        bkt = F.floor(
+            F.log(F.col("_sz").cast("double")) / F.lit(width)
+        ).cast("long")
+        entries = light.select(
+            id_col,
+            "_blk",
+            F.explode(
+                F.array(
+                    F.struct(bkt.alias("b"), F.lit(0).alias("t")),
+                    F.struct((bkt + 1).alias("b"), F.lit(1).alias("t")),
+                )
+            ).alias("_bt"),
+        ).select(
+            id_col, "_blk",
+            F.col("_bt.b").alias("_bkt"), F.col("_bt.t").alias("_tag"),
+        )
+        # Self-join via subquery ALIASES of the identical plan: the
+        # canonical plans match, so the shuffle below the join is built
+        # once and ReusedExchange feeds the other side.
+        a, b = entries.alias("a"), entries.alias("b")
+        return a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # both-shifted matches duplicate the both-base match:
+            # keep (0,0) [same bucket], (0,1)/(1,0) [adjacent]
+            & ~((F.col("a._tag") == 1) & (F.col("b._tag") == 1)),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+
+    a, b = light.alias("a"), light.alias("b")
+    return a.join(
+        b,
+        (F.col("a._blk") == F.col("b._blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+
+
 def ngram_candidates(
     df: DataFrame,
     id_col: str,
@@ -364,85 +444,13 @@ def ngram_candidates(
     num_partitions: int | None = None,
     length_bucketing: bool = True,
 ) -> DataFrame:
-    """Candidate (id_a, id_b, _sa, _sb) pairs for exact-Jaccard scoring.
-
-    Blocking key = the first ``shingle_n``-word shingle, PLUS (by
-    default) a threshold-derived length bucket that bounds skewed
-    blocks — the boilerplate-header failure mode where millions of docs
-    share one opening shingle and the block goes quadratic.
-
-    Why the bucket is lossless: jaccard(A,B) >= t implies
-    min(|A|,|B|) >= |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), so the distinct
-    shingle-set sizes of any pair the caller will keep differ by at most
-    a factor 1/t. Bucket = floor(ln(size)/ln(1/t)); such a pair's
-    buckets differ by at most 1, and each doc enters its own bucket and
-    the next one (tagged so each qualifying pair meets exactly once).
-    Every pair the jaccard filter could accept is still generated —
-    the candidate set only sheds pairs the filter would reject."""
-    import math
-
+    """Candidate (id_a, id_b) pairs for exact-Jaccard scoring (see
+    _ngram_blocked_pairs for the blocking/skew-hardening scheme)."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
-    blocked = base.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
-    ).select(id_col, "_shingles", F.element_at("_shingles", 1).alias("_blk"))
-
-    if length_bucketing and 0.0 < threshold < 1.0:
-        width = math.log(1.0 / threshold)
-        bkt = F.floor(
-            F.log(F.size("_shingles").cast("double")) / F.lit(width)
-        ).cast("long")
-        entries = blocked.select(
-            id_col,
-            "_shingles",
-            "_blk",
-            F.explode(
-                F.array(
-                    F.struct(bkt.alias("b"), F.lit(0).alias("t")),
-                    F.struct((bkt + 1).alias("b"), F.lit(1).alias("t")),
-                )
-            ).alias("_bt"),
-        ).select(
-            id_col, "_shingles", "_blk",
-            F.col("_bt.b").alias("_bkt"), F.col("_bt.t").alias("_tag"),
-        )
-        # Self-join via subquery ALIASES of the identical plan (not two
-        # different projections): the canonical plans match, so the
-        # shuffle below the join is built once and ReusedExchange feeds
-        # the other side — the corpus is scanned and shingled ONCE.
-        a, b = entries.alias("a"), entries.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a._blk") == F.col("b._blk"))
-                & (F.col("a._bkt") == F.col("b._bkt"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                # both-shifted matches duplicate the both-base match:
-                # keep (0,0) [same bucket], (0,1)/(1,0) [adjacent]
-                & ~((F.col("a._tag") == 1) & (F.col("b._tag") == 1)),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a._shingles").alias("_sa"),
-                F.col("b._shingles").alias("_sb"),
-            )
-        )
-
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a._blk") == F.col("b._blk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._shingles").alias("_sa"),
-            F.col("b._shingles").alias("_sb"),
-        )
+    shingled = base.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
     )
+    return _ngram_blocked_pairs(shingled, id_col, threshold, length_bucketing)
 
 
 def ngram_jaccard_pairs(
@@ -454,16 +462,33 @@ def ngram_jaccard_pairs(
     num_partitions: int | None = None,
     length_bucketing: bool = True,
 ) -> DataFrame:
-    """Exact word-shingle Jaccard near-dup pairs over blocked candidates
-    (see ngram_candidates for the blocking/skew-hardening scheme).
+    """Exact word-shingle Jaccard near-dup pairs over blocked
+    candidates (see _ngram_blocked_pairs for the skew-hardening
+    scheme). Returns (id_a, id_b, jaccard_sim) >= threshold.
 
-    Returns (id_a, id_b, jaccard_sim) with jaccard_sim >= threshold.
-    """
-    cand = ngram_candidates(
-        df, id_col, text_col, shingle_n, threshold, num_partitions, length_bucketing
-    )
+    Same fetch-payload-late shape as minhash_near_dup: the shingled
+    frame is materialized once (localCheckpoint), the blocked
+    self-join shuffles only light (id, block, bucket, tag) rows, and
+    the shingle arrays come back via id joins for the verify only."""
+    base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
+    shingled = base.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
+    ).localCheckpoint(eager=False)
+    cand = _ngram_blocked_pairs(shingled, id_col, threshold, length_bucketing)
     return (
-        cand.select(
+        cand.join(
+            shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                "_shingles", "_sa"
+            ),
+            "id_a",
+        )
+        .join(
+            shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                "_shingles", "_sb"
+            ),
+            "id_b",
+        )
+        .select(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("jaccard_sim"),
