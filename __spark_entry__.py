@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from advanced_real_time_data_pipeline_and_analytical_processing_spark import catalog
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.catalog import load_table, register_views
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import (
     aggregation,
@@ -374,11 +375,13 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     range window is unpartitioned but its input is one row per day
     (bounded — a few thousand rows regardless of fact-table size), so
     the single-reducer sort is safe by construction; the heavy lifting
-    happened in the partial+final daily hash agg. Revenue is integer
-    cents so the rolling sums are exact, engine-order-proof."""
+    happened in the partial+final daily hash agg. Each price is rounded
+    to integer cents PER ROW before summing, so every aggregate is an
+    exact bigint sum — engine- and partition-order-proof (a post-sum
+    round() flips by one ulp depending on reduction order)."""
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_cents")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
     )
     day_num = F.datediff(F.col("day"), F.lit("1995-01-01"))
     w = Window.orderBy(day_num).rangeBetween(-6, 0)
@@ -794,7 +797,10 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            # exact bigint sum / exact count, ONE double division — avg()
+            # over bigint sums partials in double, whose reduction order
+            # varies with partitioning and flips the 6th decimal.
+            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -1646,9 +1652,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     stage_dir = _tempfile.mkdtemp(prefix="stream_ss_join_")
     _os.symlink(path, _os.path.join(stage_dir, "events.parquet"))
-    raw = spark.readStream.schema(schema).parquet(stage_dir)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = catalog.normalize_event_time(
+        spark.readStream.schema(schema).parquet(stage_dir)
+    )
     purchases = raw.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts")
     )
@@ -2235,17 +2241,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_dir = _tempfile.mkdtemp(prefix="stream_dedup_")
     _os.symlink(path, _os.path.join(stage_dir, "a.parquet"))
     _os.symlink(path, _os.path.join(stage_dir, "b.parquet"))
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stage_dir)
-        # nanosAsLong bigint -> micros timestamp, same int-division
-        # conversion as catalog.load_table
-        .select(
-            "event_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            "event_type",
-        )
-    )
+    stream = catalog.normalize_event_time(
+        spark.readStream.schema(schema).parquet(stage_dir)
+    ).select("event_id", "ts", "event_type")
     deduped = streaming_dedup.dedup_within_watermark(
         stream, keys=["event_id"], ts_col="ts", delay="10 minutes"
     )
@@ -3180,7 +3178,8 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": r"""
             SELECT event_type,
                    sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
-                   round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 6) AS avg_k,
+                   round(CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS DOUBLE)
+                         / count(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 6) AS avg_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
@@ -3612,7 +3611,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7day_revenue": """
             WITH daily AS (
                 SELECT CAST(o_orderdate AS DATE) AS day,
-                       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
                 FROM orders GROUP BY 1
             )
             SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,

@@ -29,6 +29,22 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain TIMESTAMP whatever the
+    fixture writer produced: TIMESTAMP(NANOS) read as bigint nanos
+    (legacy nanosAsLong), or naive micros read as TIMESTAMP_NTZ.
+    Session tz is pinned UTC, so the NTZ→LTZ cast is value-preserving.
+    Works on batch and streaming frames alike."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # Integer division, NOT `/ 1000` + cast: int64 epoch-nanos
+        # exceed double's 53-bit exact range.
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) parquet columns arrive as bigint nanos (via
@@ -39,6 +55,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (~1.7e18) exceed double's 53-bit exact range, so float division
         # lands on the wrong microsecond for ~12% of real fixture rows.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Naive parquet timestamps (no isAdjustedToUTC) arrive as
+    # TIMESTAMP_NTZ, which event-time ops (watermarks, unix_micros,
+    # double casts) reject. Session tz is pinned UTC, so the NTZ→LTZ
+    # cast is value-preserving; normalize every such column here so all
+    # queries see plain TIMESTAMP regardless of the fixture's writer.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -16,10 +16,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_ns_to_us_matches_pyarrow_truncation(spark):
-    # pyarrow ground truth: int64 nanos -> floor-division microseconds
+    # pyarrow ground truth: int64 -> floor-division microseconds,
+    # whatever unit the fixture writer chose (ns in round 1-2 data,
+    # plain us since round 3)
     tbl = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "ts"])
-    ns = dict(zip(tbl["event_id"].to_pylist(), tbl["ts"].cast("int64").to_pylist()))
-    expected = {k: v // 1000 for k, v in ns.items()}
+    unit = tbl.schema.field("ts").type.unit
+    raw = dict(zip(tbl["event_id"].to_pylist(), tbl["ts"].cast("int64").to_pylist()))
+    to_us = {"ns": lambda v: v // 1000, "us": lambda v: v, "ms": lambda v: v * 1000}[unit]
+    expected = {k: to_us(v) for k, v in raw.items()}
 
     df = load_table(spark, SF_DIR, "events").selectExpr(
         "event_id", "unix_micros(ts) AS us"
