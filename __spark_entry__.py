@@ -2395,6 +2395,52 @@ def q_count_min_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.count_min_estimates(events, "user_id", depth=4, width=64)
 
 
+_HLL_SPECS = (
+    # (key_set label, table, key column) — spans small (150-user
+    # small-range-correction path), mid, and large cardinalities
+    ("events_user_id", "events", "user_id"),
+    ("orders_custkey", "orders", "o_custkey"),
+    ("lineitem_partkey", "lineitem", "l_partkey"),
+    ("events_event_id", "events", "event_id"),
+)
+
+
+def q_hll_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (operators/sketches.py) across four key
+    sets: sketch estimate next to the exact distinct count and the
+    realized relative error. Unlike approx_count_distinct, the
+    md5-derived registers and integer-unit harmonic sum make the
+    ESTIMATE itself value-checked exactly against DuckDB — the oracle
+    replays every register. The register build is one map-side-combined
+    hash agg to <=256 rows per key set: constant shuffle state at any
+    input scale."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import sketches
+
+    parts = []
+    for label, table, key in _HLL_SPECS:
+        df = _t(spark, sf_dir, table)
+        est = sketches.hll_estimate(sketches.hll_registers(df, key))
+        exact = df.agg(F.count_distinct(F.col(key)).alias("exact_n"))
+        parts.append(
+            est.crossJoin(exact).select(
+                F.lit(label).alias("key_set"),
+                "exact_n",
+                "hll_est",
+                "n_registers",
+                F.round(
+                    (F.col("hll_est") - F.col("exact_n"))
+                    / F.col("exact_n")
+                    * F.lit(100.0),
+                    4,
+                ).alias("rel_err_pct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (aggregation.ewma_final) — the
     sequential-recurrence aggregate that justifies the Arrow
@@ -2662,6 +2708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "order_reconciliation": q_order_reconciliation,
     "count_min_frequencies": q_count_min_frequencies,
+    "hll_cardinality_profile": q_hll_cardinality_profile,
     "user_value_ewma": q_user_value_ewma,
     "trimmed_mean_by_type": q_trimmed_mean_by_type,
     "doc_length_histogram": q_doc_length_histogram,
@@ -4324,6 +4371,20 @@ def oracle_sql() -> dict[str, str]:
         FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
         GROUP BY p.user_id, p.exact_n
     """
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import sketches as _sk
+
+    _hll_parts = []
+    for _label, _table, _key in _HLL_SPECS:
+        _est = _sk.hll_oracle_sql(_table, _key)
+        _hll_parts.append(f"""
+            SELECT '{_label}' AS key_set, e.exact_n, h.hll_est, h.n_registers,
+                   round((h.hll_est - e.exact_n) / e.exact_n * 100.0, 4)
+                     AS rel_err_pct
+            FROM ({_est}) h
+            CROSS JOIN (SELECT count(DISTINCT {_key}) AS exact_n
+                        FROM {_table} WHERE {_key} IS NOT NULL) e
+        """)
+    out["hll_cardinality_profile"] = " UNION ALL ".join(_hll_parts)
     out["corpus_health_dashboard"] = f"""
         WITH per_doc AS (
             SELECT source, lang,
