@@ -1599,6 +1599,23 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (operators/layout.py): interleave 12 bits
+    of (l_partkey, l_suppkey), bucket the curve by its top bits, and
+    report each bucket's exact (min,max) rectangle in both dimensions —
+    the per-file skipping stats a ZORDER-optimized write would carry.
+    Dropping 14 low bits of a 2-dim curve bounds every bucket to a
+    128x128 rectangle; the oracle replays the same unrolled bit
+    arithmetic, so the whole report is integer-exact."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import layout
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_partkey"), F.lit(4096)).alias("x"),
+        F.pmod(F.col("l_suppkey"), F.lit(4096)).alias("y"),
+    )
+    return layout.zorder_bucket_stats(li, ["x", "y"], bits=12, bucket_shift=14)
+
+
 def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): per-user
     running (count, sum) maintained in the state store, drained with an
@@ -2676,6 +2693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample_by_lang": q_hash_sample_by_lang,
     "stratified_split": q_stratified_split,
     "skew_profile_events": q_skew_profile_events,
+    "zorder_locality_stats": q_zorder_locality_stats,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4385,6 +4403,19 @@ def oracle_sql() -> dict[str, str]:
                         FROM {_table} WHERE {_key} IS NOT NULL) e
         """)
     out["hll_cardinality_profile"] = " UNION ALL ".join(_hll_parts)
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import layout as _layout
+
+    _z = _layout.zvalue_oracle_sql(["x", "y"], bits=12)
+    out["zorder_locality_stats"] = f"""
+        WITH d AS (
+            SELECT l_partkey % 4096 AS x, l_suppkey % 4096 AS y FROM lineitem
+        )
+        SELECT ({_z}) >> 14 AS z_bucket,
+               count(*) AS n_rows,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM d GROUP BY 1
+    """
     out["corpus_health_dashboard"] = f"""
         WITH per_doc AS (
             SELECT source, lang,

@@ -148,3 +148,43 @@ def test_stratified_split_rejects_bad_pcts(spark):
     df = spark.range(10).withColumnRenamed("id", "k")
     with pytest.raises(ValueError):
         maintenance.stratified_split(df, "k", 50, 50)
+
+
+def test_zorder_bucket_rectangle_bound(spark):
+    """The z-curve locality guarantee is exact: dropping s low bits of
+    a k-dim interleave fixes the top bits of every dimension, so one
+    bucket spans at most 2^ceil(s/k) values per dim (s=14, k=2 ->
+    128)."""
+    from pyspark.sql import functions as F
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import layout
+
+    df = spark.range(20000).select(
+        (F.col("id") * 2654435761 % 4096).alias("x"),
+        (F.col("id") * 40503 % 4096).alias("y"),
+    )
+    stats = layout.zorder_bucket_stats(df, ["x", "y"], bits=12, bucket_shift=14)
+    rows = stats.collect()
+    assert rows  # non-degenerate
+    for r in rows:
+        assert r.max_x - r.min_x <= 127
+        assert r.max_y - r.min_y <= 127
+
+
+def test_zorder_layout_files_cover_disjoint_ranges(spark):
+    """zorder_layout's range partitioning gives files non-overlapping
+    z-ranges — the precondition for file skipping."""
+    from pyspark.sql import functions as F
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import layout
+
+    df = spark.range(5000).select(
+        (F.col("id") % 512).alias("x"), ((F.col("id") * 7) % 512).alias("y")
+    )
+    laid = layout.zorder_layout(df, ["x", "y"], bits=9, num_files=8)
+    per_part = laid.select(
+        F.spark_partition_id().alias("pid"), "_z"
+    ).groupBy("pid").agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+    ranges = sorted((r.lo, r.hi) for r in per_part.collect())
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
