@@ -1599,6 +1599,22 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy similarity self-join (operators/fuzzy.py): all distinct
+    part-name pairs within Levenshtein distance 3, via lossless
+    length-band blocking — never a cross product. The oracle brute-
+    forces the full cross join in DuckDB, so equality PROVES the
+    blocked plan dropped no pair."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import fuzzy
+
+    parts = _t(spark, sf_dir, "part")
+    return fuzzy.fuzzy_self_pairs(parts, "p_name", max_dist=3).select(
+        F.col("val_a").alias("name_a"),
+        F.col("val_b").alias("name_b"),
+        "dist",
+    )
+
+
 def q_zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit (operators/layout.py): interleave 12 bits
     of (l_partkey, l_suppkey), bucket the curve by its top bits, and
@@ -2694,6 +2710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_split": q_stratified_split,
     "skew_profile_events": q_skew_profile_events,
     "zorder_locality_stats": q_zorder_locality_stats,
+    "fuzzy_part_names": q_fuzzy_part_names,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4415,6 +4432,14 @@ def oracle_sql() -> dict[str, str]:
                min(x) AS min_x, max(x) AS max_x,
                min(y) AS min_y, max(y) AS max_y
         FROM d GROUP BY 1
+    """
+    out["fuzzy_part_names"] = """
+        WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM names a CROSS JOIN names b
+        WHERE a.p_name < b.p_name
+          AND levenshtein(a.p_name, b.p_name) <= 3
     """
     out["corpus_health_dashboard"] = f"""
         WITH per_doc AS (

@@ -338,3 +338,39 @@ def test_hll_estimate_within_expected_error(spark):
     est = sketches.hll_estimate(sketches.hll_registers(df, "k")).collect()[0]
     assert abs(est.hll_est - 2000) / 2000 < 0.26
     assert 0 < est.n_registers <= 256
+
+
+def test_fuzzy_self_pairs_lossless_blocking(spark):
+    """Length-band blocking must lose NOTHING vs brute force: every
+    edit changes length by <=1, so pairs within distance d meet in the
+    left side's length block. Planted corpus exercises insert / delete
+    / substitute across block boundaries."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import fuzzy
+
+    words = [
+        "kitten", "sitting", "kitte", "kittens", "mitten",
+        "abc", "abcd", "xbcd", "zzzzzzz", "a",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        (r.val_a, r.val_b, r.dist)
+        for r in fuzzy.fuzzy_self_pairs(df, "w", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    want = {
+        (min(a, b), max(a, b), lev(a, b))
+        for i, a in enumerate(words)
+        for b in words[i + 1:]
+        if lev(a, b) <= 2
+    }
+    assert got == want
