@@ -1599,6 +1599,18 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm.py): per-document
+    perplexity under a bigram model with add-0.5 smoothing trained on
+    the corpus itself. The NLL accumulates in exact integer micro-nats,
+    so the score is partition-order-proof and the DuckDB oracle replays
+    it to the last digit; only one ln and one exp touch floats."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm.doc_perplexity(docs, "doc_id", "text")
+
+
 def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy similarity self-join (operators/fuzzy.py): all distinct
     part-name pairs within Levenshtein distance 3, via lossless
@@ -2711,6 +2723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_profile_events": q_skew_profile_events,
     "zorder_locality_stats": q_zorder_locality_stats,
     "fuzzy_part_names": q_fuzzy_part_names,
+    "doc_perplexity": q_doc_perplexity,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4433,6 +4446,11 @@ def oracle_sql() -> dict[str, str]:
                min(y) AS min_y, max(y) AS max_y
         FROM d GROUP BY 1
     """
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import lm as _lm
+
+    out["doc_perplexity"] = _lm.perplexity_oracle_sql(
+        "documents", "doc_id", "text"
+    )
     out["fuzzy_part_names"] = """
         WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
         SELECT a.p_name AS name_a, b.p_name AS name_b,

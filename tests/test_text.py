@@ -96,3 +96,31 @@ def test_bigrams_guard_short_docs(spark):
     assert one(spark, "", text.bigrams) == []
     assert one(spark, "one", text.bigrams) == []
     assert one(spark, "one two", text.bigrams) == ["one two"]
+
+
+def test_doc_perplexity_ranks_formulaic_below_novel(spark):
+    """The corpus LM must assign lower perplexity to documents made of
+    corpus-frequent bigrams than to one-off word salad — the property
+    the keep/filter decision rides on."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import lm
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(20)] + [
+        (100, "zebra quantum paradox nimbus vortex kettle"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.ppl for r in lm.doc_perplexity(docs, "doc_id", "text").collect()}
+    assert out[0] == out[19]  # identical docs, identical score
+    assert out[100] > out[0] * 3  # novel text is much more surprising
+
+
+def test_doc_perplexity_short_docs_excluded(spark):
+    """Docs with fewer than two tokens have no bigrams and no score —
+    and must NOT fabricate a pair via descending sequence()."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two tokens")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in lm.doc_perplexity(docs, "doc_id", "text").collect()}
+    assert got == {3}
