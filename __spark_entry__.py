@@ -1599,6 +1599,16 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier audit per event type
+    (aggregation.mad_outlier_stats) — the heavy-tail-safe counterpart
+    to the z-score audit (value_outliers): medians don't get dragged by
+    the outliers they're hunting. k=4.4478 = 3*1.4826 (3-sigma
+    equivalent under normality)."""
+    events = _t(spark, sf_dir, "events")
+    return aggregation.mad_outlier_stats(events, "event_type", "value")
+
+
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/lm.py): per-document
     perplexity under a bigram model with add-0.5 smoothing trained on
@@ -2724,6 +2734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_locality_stats": q_zorder_locality_stats,
     "fuzzy_part_names": q_fuzzy_part_names,
     "doc_perplexity": q_doc_perplexity,
+    "mad_value_outliers": q_mad_value_outliers,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4451,6 +4462,28 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["mad_value_outliers"] = """
+        WITH vals AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ), med AS (
+            SELECT event_type, round(median(value), 6) AS med
+            FROM vals GROUP BY event_type
+        ), dev AS (
+            SELECT v.event_type, m.med, abs(v.value - m.med) AS adev
+            FROM vals v JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, round(median(adev), 6) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               count(*) AS n_rows,
+               max(d.med) AS med,
+               max(a.mad) AS mad,
+               count(CASE WHEN d.adev > 4.4478 * a.mad THEN 1 END)
+                 AS n_outliers
+        FROM dev d JOIN mad a USING (event_type)
+        GROUP BY d.event_type
+    """
     out["fuzzy_part_names"] = """
         WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
         SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -110,3 +110,39 @@ def ewma_final(
 
     out_schema = f"{key_col} {key_field.dataType.simpleString()}, ewma double"
     return df.groupBy(key_col).applyInPandas(fold, out_schema)
+
+
+def mad_outlier_stats(
+    df: DataFrame, group_col: str, value_col: str, k: float = 4.4478
+) -> DataFrame:
+    """Robust outlier audit per group via Median Absolute Deviation —
+    the heavy-tail-safe alternative to z-scores (one wild value drags
+    mean AND stddev, masking itself; the median pair doesn't budge).
+    k = 3 * 1.4826 makes the cut equivalent to 3 sigma under normality.
+
+    Two grouped exact medians + one counting pass, each a single
+    shuffle on the group key; the per-group stats (a few rows) come
+    BACK to the fact rows by broadcast, so the fact table is scanned,
+    never re-shuffled. Both medians are rounded to 6 before any
+    comparison so the |dev| > k*MAD cut is bit-identical across
+    engines and partitionings."""
+    vals = df.select(group_col, value_col).filter(F.col(value_col).isNotNull())
+    med = vals.groupBy(group_col).agg(
+        F.round(F.median(value_col), 6).alias("med")
+    )
+    dev = vals.join(F.broadcast(med), group_col).select(
+        group_col, "med", F.abs(F.col(value_col) - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy(group_col).agg(F.round(F.median("adev"), 6).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(
+                F.when(F.col("adev") > F.lit(k) * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+    )

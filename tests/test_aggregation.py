@@ -52,3 +52,18 @@ def test_grouped_stats_with_metadata(spark):
     assert {"data_source", "file_name", "ingestion_ts"} <= set(out.columns)
     assert all(r["data_source"] == "local_dir" for r in rows)
     assert all(r["file_name"] == "public.sensors_agg" for r in rows)
+
+
+def test_mad_outliers_resist_masking(spark):
+    """The property z-scores lack: a huge outlier inflates stddev and
+    can mask itself, but leaves the medians untouched — MAD still
+    flags it."""
+    from pyspark.sql import functions as F
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import aggregation
+
+    rows = [("a", 10.0)] * 50 + [("a", 1_000_000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = aggregation.mad_outlier_stats(df, "g", "v").collect()[0]
+    assert out.med == 10.0 and out.mad == 0.0
+    assert out.n_outliers == 1
