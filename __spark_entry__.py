@@ -1599,6 +1599,44 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (maintenance.merge_agg_delta): the orders table arrives as three
+    date-sliced batches; per-priority SUM/COUNT state is folded batch
+    by batch. SUM/COUNT are commutative monoids over integer cents, so
+    the maintained state equals the oracle's single-shot recompute
+    EXACTLY — the equality a 100 TB pipeline relies on to avoid
+    re-scanning history on every refresh."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    batches = [
+        orders.filter(F.col("o_orderdate") < "1996-01-01"),
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        ),
+        orders.filter(F.col("o_orderdate") >= "1997-01-01"),
+    ]
+    state = None
+    for b in batches:
+        state = maintenance.merge_agg_delta(
+            state, b, keys=["o_orderpriority"], sum_cols=["cents"]
+        )
+    return state.select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_cents"),
+        F.round(
+            F.col("sum_cents").cast("double") / F.col("n_rows") / F.lit(100.0), 6
+        ).alias("avg_price"),
+    )
+
+
 def q_mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust MAD outlier audit per event type
     (aggregation.mad_outlier_stats) — the heavy-tail-safe counterpart
@@ -2735,6 +2773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_part_names": q_fuzzy_part_names,
     "doc_perplexity": q_doc_perplexity,
     "mad_value_outliers": q_mad_value_outliers,
+    "incremental_agg_orders": q_incremental_agg_orders,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4462,6 +4501,14 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["incremental_agg_orders"] = """
+        SELECT o_orderpriority,
+               count(*) AS n_rows,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100.0, 6) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+    """
     out["mad_value_outliers"] = """
         WITH vals AS (
             SELECT event_type, value FROM events WHERE value IS NOT NULL

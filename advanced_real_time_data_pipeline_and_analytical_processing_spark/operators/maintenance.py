@@ -220,3 +220,42 @@ def write_partitioned(
     (event date, tenant) — never high-cardinality keys, which explode
     the directory tree."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def merge_agg_delta(
+    state: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a delta
+    batch's partial SUM/COUNT aggregates into the maintained state
+    without touching historical rows — the O(|delta| + |state|) path
+    that replaces a full recompute. SUM and COUNT are commutative
+    monoids, so state + delta-partials == recompute-from-scratch
+    EXACTLY (integer/decimal sums); avg/rate views derive downstream.
+
+    Shape at 100 TB: the delta aggregates map-side first (tiny), then
+    one full-outer merge on the group key against the state table —
+    the same join a MERGE INTO runs. With the state bucketed on the
+    key (write_bucketed above), the merge is shuffle-free on the
+    state side."""
+    partial = delta.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+    )
+    if state is None:
+        return partial
+    val_cols = [count_col] + [f"sum_{c}" for c in sum_cols]
+    s = state.select(*keys, *[F.col(c).alias(f"_s_{c}") for c in val_cols])
+    d = partial.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in val_cols])
+    merged = s.join(d, on=keys, how="full_outer")
+    out_cols = [
+        (
+            F.coalesce(F.col(f"_s_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+        ).alias(c)
+        for c in val_cols
+    ]
+    return merged.select(*keys, *out_cols)

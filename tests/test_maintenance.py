@@ -188,3 +188,19 @@ def test_zorder_layout_files_cover_disjoint_ranges(spark):
     ranges = sorted((r.lo, r.hi) for r in per_part.collect())
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+def test_merge_agg_delta_handles_new_and_missing_keys(spark):
+    """Keys present only in state (no new rows) and only in delta
+    (first appearance) both survive the full-outer fold with correct
+    zero-filled arithmetic."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], "k string, v long"
+    )
+    delta = spark.createDataFrame([("b", 5), ("c", 7)], "k string, v long")
+    state = maintenance.merge_agg_delta(None, base, ["k"], ["v"])
+    state = maintenance.merge_agg_delta(state, delta, ["k"], ["v"])
+    got = {r.k: (r.n_rows, r.sum_v) for r in state.collect()}
+    assert got == {"a": (2, 3), "b": (2, 15), "c": (1, 7)}
