@@ -1599,6 +1599,36 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (operators/graph.py) over the same 10-minute
+    co-purchase graph as user_triangles: 5 driver-loop rounds, each one
+    shuffle, lineage cut per round by localCheckpoint. Rank mass is
+    integer micro-probability with div-truncation, so all 5 rounds are
+    partition-order-proof and the oracle unrolls the identical rounds
+    as chained CTEs — exact bigint equality, no float tolerance."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import graph
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cells = events.select(
+        "user_id",
+        F.expr("unix_timestamp(date_trunc('minute', ts)) div 600").alias("_cell"),
+    ).distinct()
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    pr = graph.pagerank_micro(edges, iters=5)
+    return pr.select(F.col("node").alias("user_id"), "pr_micro")
+
+
 def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance
     (maintenance.merge_agg_delta): the orders table arrives as three
@@ -2774,6 +2804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_perplexity": q_doc_perplexity,
     "mad_value_outliers": q_mad_value_outliers,
     "incremental_agg_orders": q_incremental_agg_orders,
+    "user_pagerank": q_user_pagerank,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4500,6 +4531,22 @@ def oracle_sql() -> dict[str, str]:
 
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
+    )
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import graph as _graph
+
+    _pr_edges = """
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM (SELECT DISTINCT user_id,
+                     CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 600 AS cell
+              FROM events WHERE event_type = 'purchase') a
+        JOIN (SELECT DISTINCT user_id,
+                     CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 600 AS cell
+              FROM events WHERE event_type = 'purchase') b
+          ON a.cell = b.cell AND a.user_id < b.user_id
+    """
+    out["user_pagerank"] = (
+        _graph.pagerank_oracle_sql(_pr_edges, iters=5)
+        .replace("SELECT u AS node, pr AS pr_micro", "SELECT u AS user_id, pr AS pr_micro")
     )
     out["incremental_agg_orders"] = """
         SELECT o_orderpriority,

@@ -1,0 +1,94 @@
+"""Iterative graph analytics as driver-loop DataFrame compositions.
+
+PageRank here is the template for EVERY iterative algorithm on this
+engine (label propagation, connected components, k-means): a driver
+loop over a joined-and-aggregated DataFrame, with localCheckpoint
+cutting the lineage each round so plan size and scheduler overhead
+stay constant no matter how many iterations run. Each iteration is
+one shuffle (contributions grouped by destination); the edge list
+with out-degrees is built once and reused.
+
+The arithmetic is INTEGER micro-probability mass: ranks start at
+1_000_000, each round v gets base 150_000 plus
+(pr(u) * 85) div (deg(u) * 100) from every in-neighbor. Integer
+division makes every iteration deterministic on any partitioning and
+replayable in plain SQL (the oracle unrolls the same rounds as chained
+CTEs) — no float summation order anywhere. The div-truncation "loses"
+a little mass each round, identically in both engines; convergence
+behavior is the standard damped fixed point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    iters: int = 5,
+    base: int = 150_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    init: int = 1_000_000,
+) -> DataFrame:
+    """(node, pr_micro) after ``iters`` rounds over an UNDIRECTED edge
+    list (u, v) — each edge contributes in both directions. Nodes are
+    those incident to an edge (an isolated node never exchanges mass).
+    """
+    dir_edges = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = dir_edges.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+    # (src, dst, src_degree) built once, reused every round
+    ed = dir_edges.join(deg, "u").localCheckpoint(eager=False)
+    ranks = deg.select("u", F.lit(init).cast("bigint").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, "u")
+            .select(
+                F.col("v").alias("u"),
+                F.expr(f"(pr * {damp_num}) div (_d * {damp_den})").alias("_c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = contrib.select(
+            "u", (F.lit(base).cast("bigint") + F.col("_in")).alias("pr")
+        ).localCheckpoint(eager=False)
+    return ranks.select(F.col("u").alias("node"), F.col("pr").alias("pr_micro"))
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iters: int = 5,
+    base: int = 150_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    init: int = 1_000_000,
+) -> str:
+    """The identical computation as ``iters`` chained CTE rounds (no
+    recursive CTE needed — unrolled, like the engine's driver loop).
+    ``edges_sql`` must yield columns (u, v), one row per undirected
+    edge."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "dir_e AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges)",
+        "deg AS (SELECT u, count(*) AS d FROM dir_e GROUP BY u)",
+        f"pr0 AS (SELECT u, CAST({init} AS BIGINT) AS pr FROM deg)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""pr{i + 1} AS (
+                SELECT e.v AS u,
+                       {base} + sum((p.pr * {damp_num}) // (d.d * {damp_den})) AS pr
+                FROM pr{i} p
+                JOIN dir_e e ON p.u = e.u
+                JOIN deg d ON p.u = d.u
+                GROUP BY e.v
+            )"""
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT u AS node, pr AS pr_micro FROM pr{iters}"
+    )

@@ -374,3 +374,18 @@ def test_fuzzy_self_pairs_lossless_blocking(spark):
         if lev(a, b) <= 2
     }
     assert got == want
+
+
+def test_pagerank_star_center_dominates(spark):
+    """On a star graph the hub must outrank every leaf, and symmetric
+    leaves must tie exactly (integer arithmetic -> exact equality, not
+    approximate)."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "u long, v long"
+    )
+    pr = {r.node: r.pr_micro for r in graph.pagerank_micro(edges, iters=5).collect()}
+    leaves = [pr[i] for i in range(1, 9)]
+    assert len(set(leaves)) == 1
+    assert pr[0] > leaves[0] * 3
