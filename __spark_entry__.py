@@ -1599,6 +1599,21 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (operators/profile.py): null counts,
+    distinct counts and min/max per column of the events stream table,
+    computed in a SINGLE wide aggregate (Catalyst Expand handles the
+    multi-DISTINCT) and unpivoted executor-side — one job, not one per
+    column. Doubles go through C-printf on both engines, so the report
+    is byte-identical."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import profile
+
+    events = _t(spark, sf_dir, "events")
+    return profile.table_profile(
+        events, ["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+
 def q_user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank (operators/graph.py) over the same 10-minute
     co-purchase graph as user_triangles: 5 driver-loop rounds, each one
@@ -2805,6 +2820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_value_outliers": q_mad_value_outliers,
     "incremental_agg_orders": q_incremental_agg_orders,
     "user_pagerank": q_user_pagerank,
+    "events_table_profile": q_events_table_profile,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4531,6 +4547,19 @@ def oracle_sql() -> dict[str, str]:
 
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
+    )
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import profile as _profile
+
+    out["events_table_profile"] = _profile.profile_oracle_sql(
+        "events",
+        ["event_id", "user_id", "event_type", "value", "props"],
+        {
+            "event_id": "bigint",
+            "user_id": "bigint",
+            "event_type": "string",
+            "value": "double",
+            "props": "string",
+        },
     )
     from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import graph as _graph
 

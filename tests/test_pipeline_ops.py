@@ -389,3 +389,24 @@ def test_pagerank_star_center_dominates(spark):
     leaves = [pr[i] for i in range(1, 9)]
     assert len(set(leaves)) == 1
     assert pr[0] > leaves[0] * 3
+
+
+def test_table_profile_single_scan_and_counts(spark):
+    """The whole multi-column report must come from ONE scan (Expand
+    handles the multi-DISTINCT), and nulls must count into n_nulls but
+    not n_distinct."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, None, 2.5), (2, "x", 2.5), (3, "x", None), (4, "y", 0.125)],
+        "a long, b string, c double",
+    )
+    out = {r.col_name: r for r in profile.table_profile(df).collect()}
+    assert (out["b"].n_nulls, out["b"].n_distinct) == (1, 2)
+    assert (out["c"].n_nulls, out["c"].n_distinct) == (1, 2)
+    assert out["c"].min_val == "0.1250" and out["c"].max_val == "2.5000"
+    assert out["a"].n_rows == 4
+    plan = (
+        profile.table_profile(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ") <= 1
