@@ -1599,6 +1599,27 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairing over the media table: 63-bit
+    average-hash per payload (multimodal.phash63 — decode stage stubbed
+    deterministically, grid/threshold/fingerprint plumbing real), then
+    Hamming<=6 pairs via the SAME pigeonhole-banded join the simhash
+    path uses (dedup.simhash_hamming_pairs) — one fingerprint long per
+    media, never an all-pairs product. The corpus is doubled (shifted
+    ids) so every media has a planted twin at distance 0; the oracle
+    brute-forces bit_count(xor) over all pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    media = multimodal.media_from_documents(corpus)
+    fp = multimodal.phash63(media)
+    pairs = dedup.simhash_hamming_pairs(
+        fp, "media_id", sim_col="phash", max_hamming=6, bits=63
+    )
+    return pairs
+
+
 def q_events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profiler (operators/profile.py): null counts,
     distinct counts and min/max per column of the events stream table,
@@ -2821,6 +2842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg_orders": q_incremental_agg_orders,
     "user_pagerank": q_user_pagerank,
     "events_table_profile": q_events_table_profile,
+    "media_phash_pairs": q_media_phash_pairs,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4548,6 +4570,30 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["media_phash_pairs"] = """
+        WITH corpus AS (
+            SELECT doc_id AS media_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS media_id, text FROM documents
+        ), px AS (
+            SELECT media_id,
+                   list_transform(range(1, 64),
+                       i -> CAST('0x' || substr(sha256(text), i, 1) AS BIGINT))
+                     AS p
+            FROM corpus
+        ), fp AS (
+            SELECT media_id,
+                   list_sum(list_transform(range(1, 64),
+                       i -> CASE WHEN p[i] * 63 >= list_sum(p)
+                                 THEN CAST(power(2.0, i - 1) AS BIGINT)
+                                 ELSE 0 END)) AS phash
+            FROM px
+        )
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """
     from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import profile as _profile
 
     out["events_table_profile"] = _profile.profile_oracle_sql(

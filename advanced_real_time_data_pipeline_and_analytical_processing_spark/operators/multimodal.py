@@ -221,3 +221,45 @@ def audio_segment_plan(
             "last_segment_samples"
         ),
     )
+
+
+def phash63(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, phash): a 63-bit average-hash over the decoded
+    payload — the perceptual-hash SHAPE (decode -> fixed grid of
+    intensities -> mean-threshold -> bit fingerprint) with the decode
+    stage standing in as sha256 hex digits of the payload text (real
+    pixel decoding is stubbed in this container; the grid/threshold/
+    fingerprint plumbing is the real, tested part and swaps onto real
+    grayscale values unchanged).
+
+    The mean threshold is integer-exact (63*pixel >= sum, no float
+    division) and every step is engine-portable, so fingerprints are
+    value-checkable digit-for-digit. One projection, no shuffle."""
+    hexd = F.sha2(F.decode(F.col(payload_col), "UTF-8"), 256)
+    pixels = F.transform(
+        F.sequence(F.lit(1), F.lit(63)),
+        lambda i: F.conv(F.substring(hexd, i, F.lit(1)), 16, 10).cast("bigint"),
+    )
+    with_px = df.select(
+        F.col("media_id"),
+        pixels.alias("_px"),
+    ).select(
+        "media_id",
+        "_px",
+        F.aggregate(
+            F.col("_px"), F.lit(0).cast("bigint"), lambda a, p: a + p
+        ).alias("_sum"),
+    )
+    phash = F.aggregate(
+        F.zip_with(
+            F.col("_px"),
+            F.sequence(F.lit(0), F.lit(62)),
+            lambda p, i: F.when(
+                p * 63 >= F.col("_sum"),
+                F.pow(F.lit(2.0), i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    return with_px.select("media_id", phash.alias("phash"))

@@ -104,3 +104,36 @@ def test_resize_plan_fit_within_and_no_upscale(spark):
         assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
     # doc 0: 64x48 fits already -> unchanged (no upscale)
     assert (out[0]["out_width"], out[0]["out_height"]) == (64, 48)
+
+
+def test_phash_twins_and_pigeonhole_recall(spark):
+    """Identical payloads must pair at distance 0, and a fingerprint
+    differing in exactly max_hamming bits must still be FOUND by the
+    banded join (pigeonhole guarantee), while >max_hamming must not."""
+    from pyspark.sql import functions as F
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import dedup, multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "other text")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    )
+    fp = multimodal.phash63(multimodal.media_from_documents(docs))
+    vals = {r.media_id: r.phash for r in fp.collect()}
+    near = vals[1] ^ 0b1011011  # flip 5 low bits
+    far = vals[1] ^ ((1 << 9) - 1)  # flip 9 bits
+    fp2 = spark.createDataFrame(
+        [(k, v) for k, v in vals.items()] + [(10, near), (11, far)],
+        "media_id long, phash long",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_hamming_pairs(
+            fp2, "media_id", sim_col="phash", max_hamming=6, bits=63
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 10)] == 5 and pairs[(2, 10)] == 5
+    assert (1, 11) not in pairs
