@@ -1599,6 +1599,73 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_monthly_revenue_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension rollup exercising the date-function corpus
+    (trunc-to-month, add_months, last_day, month-over-month lag).
+    Revenue in integer cents per row before summing; the lag window is
+    unpartitioned but reads the MONTHLY aggregate (a few dozen rows),
+    so the single-reducer sort is safe by construction."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.col("o_orderdate"), "month").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        ),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        F.last_day(F.col("month")).alias("month_end"),
+        F.add_months(F.col("month"), 1).alias("next_month"),
+        "n_orders",
+        "rev_cents",
+        (F.col("rev_cents") - F.lag("rev_cents").over(w)).alias(
+            "mom_delta_cents"
+        ),
+    )
+
+
+def q_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join end to end: the events file stream enriched
+    against the BATCH customer dimension (broadcast — the static side
+    never shuffles, the canonical streaming-enrichment plan), drained
+    through the executor-side parquet sink, then rolled up per
+    (segment, event_type). Value mass in integer cents so the
+    aggregate is engine- and order-exact; the oracle runs the same
+    join as plain batch SQL, proving streaming == batch semantics."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stage_dir = _tempfile.mkdtemp(prefix="stream_enrich_")
+    _os.symlink(path, _os.path.join(stage_dir, "events.parquet"))
+    stream = catalog.normalize_event_time(
+        spark.readStream.schema(schema).parquet(stage_dir)
+    ).select("user_id", "event_type", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id").select(
+        "c_mktsegment",
+        "event_type",
+        F.coalesce(
+            F.round(F.col("value") * 100).cast("bigint"), F.lit(0)
+        ).alias("cents"),
+    )
+    drained = stateful.drain_to_parquet(
+        spark, enriched, shuffle_partitions=8, output_mode="append"
+    )
+    _shutil.rmtree(stage_dir, ignore_errors=True)
+    return drained.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_value_cents"),
+    )
+
+
 def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairing over the media table: 63-bit
     average-hash per payload (multimodal.phash63 — decode stage stubbed
@@ -2843,6 +2910,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_pagerank": q_user_pagerank,
     "events_table_profile": q_events_table_profile,
     "media_phash_pairs": q_media_phash_pairs,
+    "stream_static_enrichment": q_stream_static_enrichment,
+    "monthly_revenue_calendar": q_monthly_revenue_calendar,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4570,6 +4639,30 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["monthly_revenue_calendar"] = """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT month,
+               CAST(last_day(month) AS DATE) AS month_end,
+               CAST(month + INTERVAL 1 MONTH AS DATE) AS next_month,
+               n_orders,
+               rev_cents,
+               rev_cents - lag(rev_cents) OVER (ORDER BY month)
+                 AS mom_delta_cents
+        FROM monthly
+    """
+    out["stream_static_enrichment"] = """
+        SELECT c.c_mktsegment, e.event_type,
+               count(*) AS n_events,
+               sum(COALESCE(CAST(round(e.value * 100) AS BIGINT), 0))
+                 AS sum_value_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment, e.event_type
+    """
     out["media_phash_pairs"] = """
         WITH corpus AS (
             SELECT doc_id AS media_id, text FROM documents
