@@ -1599,6 +1599,48 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the whole pre-training curation funnel
+    in ONE DataFrame program: Gopher quality flags -> whitespace/case
+    fingerprint dedup (min-id survivor) -> kept-token accounting, per
+    source. Three hash aggregates and one semi join over a single
+    corpus scan lineage; every stage is an operator used elsewhere, so
+    the oracle replays the funnel stage by stage in SQL and the
+    PER-STAGE counts must agree — a composition test, not just a
+    per-operator test."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = text.gopher_quality_flags(docs, "doc_id", "text")
+    quality_ids = flags.filter(F.col("passes")).select("doc_id")
+    survivors = docs.join(quality_ids, "doc_id", "left_semi")
+    fps = survivors.select(
+        "doc_id",
+        "source",
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.token_count(F.col("text")).alias("ntok"),
+    )
+    keep = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = fps.join(keep, ["fp", "doc_id"])
+    n_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    n_q = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_quality")
+    )
+    n_k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("ntok").alias("n_tokens_kept"),
+    )
+    return (
+        n_in.join(n_q, "source", "left")
+        .join(n_k, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        )
+    )
+
+
 def q_monthly_revenue_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-dimension rollup exercising the date-function corpus
     (trunc-to-month, add_months, last_day, month-over-month lag).
@@ -2912,6 +2954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash_pairs": q_media_phash_pairs,
     "stream_static_enrichment": q_stream_static_enrichment,
     "monthly_revenue_calendar": q_monthly_revenue_calendar,
+    "curation_funnel": q_curation_funnel,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4639,6 +4682,55 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["curation_funnel"] = f"""
+        WITH m AS (
+            SELECT doc_id, source, text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   END AS n_words,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), flagged AS (
+            SELECT doc_id, source, text,
+                   (n_words BETWEEN 30 AND 100000)
+                   AND ((CASE WHEN len(toks) > 0
+                              THEN list_sum(list_transform(toks, t -> len(t)))
+                                   * 1.0 / len(toks)
+                              ELSE 0.0 END) BETWEEN 3.0 AND 10.0)
+                   AND ((CASE WHEN len(toks) > 0
+                              THEN len(list_filter(toks,
+                                       t -> regexp_matches(t, '[a-z]')))
+                                   * 1.0 / len(toks)
+                              ELSE 0.0 END) >= 0.8)
+                   AND (len(list_filter(toks,
+                            t -> t IN ('the','be','to','of','and','that',
+                                       'have','with'))) >= 2) AS passes
+            FROM m
+        ), q AS (
+            SELECT doc_id, source, text,
+                   sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                     AS fp,
+                   {_TOKCOUNT} AS ntok
+            FROM flagged WHERE passes
+        ), keep AS (
+            SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp
+        ), kept AS (
+            SELECT q.* FROM q JOIN keep k
+              ON q.fp = k.fp AND q.doc_id = k.doc_id
+        )
+        SELECT i.source,
+               i.n_in,
+               COALESCE(qq.n_quality, 0) AS n_quality,
+               COALESCE(kk.n_unique, 0) AS n_unique,
+               COALESCE(kk.n_tokens_kept, 0) AS n_tokens_kept
+        FROM (SELECT source, count(*) AS n_in FROM documents GROUP BY source) i
+        LEFT JOIN (SELECT source, count(*) AS n_quality FROM q GROUP BY source) qq
+          ON i.source = qq.source
+        LEFT JOIN (SELECT source, count(*) AS n_unique,
+                          sum(ntok) AS n_tokens_kept
+                   FROM kept GROUP BY source) kk
+          ON i.source = kk.source
+    """
     out["monthly_revenue_calendar"] = """
         WITH monthly AS (
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
