@@ -122,3 +122,70 @@ def test_latest_wins_merge_semantics_random(spark, base, upd):
         if k not in base or v >= base[k]:
             want[k] = f"u{k}"
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=6),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    d=st.integers(min_value=1, max_value=2),
+)
+def test_fuzzy_pairs_match_bruteforce(spark, words, d):
+    """Blocked fuzzy join == brute force on random short strings over a
+    tiny alphabet (dense edit-distance neighborhoods stress the
+    length-band completeness argument hardest)."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import fuzzy
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        (r.val_a, r.val_b, r.dist)
+        for r in fuzzy.fuzzy_self_pairs(df, "w", max_dist=d).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (min(a, b), max(a, b), lev(a, b))
+        for i, a in enumerate(words)
+        for b in words[i + 1:]
+        if lev(a, b) <= d
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    xs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_zvalue_interleave_roundtrip(spark, xs):
+    """The Morton value must decode back to its inputs exactly —
+    interleaving is a bijection on (x, y)."""
+    from pyspark.sql import functions as F
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import layout
+
+    df = spark.createDataFrame(xs, "x long, y long")
+    rows = df.select(
+        "x", "y", layout.zvalue([F.col("x"), F.col("y")], bits=8).alias("z")
+    ).collect()
+    for r in rows:
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r.x, r.y)
