@@ -1722,7 +1722,11 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
     )
     media = multimodal.media_from_documents(corpus)
-    fp = multimodal.phash63(media)
+    # materialize the fingerprints once: the banded self-join consumes
+    # the frame on both sides and in three expressions — without this
+    # the sha256+fold lineage recomputes per consumer (measured 90s vs
+    # 1.2s at sf0.1). Same localCheckpoint trade as minhash shingles.
+    fp = multimodal.phash63(media).localCheckpoint(eager=False)
     pairs = dedup.simhash_hamming_pairs(
         fp, "media_id", sim_col="phash", max_hamming=6, bits=63
     )

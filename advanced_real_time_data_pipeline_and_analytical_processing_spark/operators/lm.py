@@ -34,13 +34,18 @@ def _tokens(text_col: Column) -> Column:
     return F.split(F.trim(F.lower(text_col)), TOKEN_SPLIT)
 
 
-def _bigrams(text_col: Column) -> Column:
+def _bigrams_from_tokens(toks: Column) -> Column:
     """array<string> of space-joined adjacent token pairs, WITH
     multiplicity (unlike shingles-for-dedup, counts matter here).
     Guarded for <2 tokens: Spark's sequence(1, 0) would count DOWN,
     fabricating a bogus pair, so short docs get an explicit empty
-    array (matching DuckDB's end-exclusive range)."""
-    toks = _tokens(text_col)
+    array (matching DuckDB's end-exclusive range).
+
+    ``toks`` MUST be a materialized column reference, not an inline
+    split expression: a subexpression inside the per-element lambda is
+    re-evaluated per element, so an inline tokenization re-splits the
+    whole document for every bigram (measured 10x slower on the
+    corpus explode)."""
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(
@@ -52,11 +57,18 @@ def _bigrams(text_col: Column) -> Column:
     )
 
 
-def bigram_model(docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame, int]:
+def bigram_model(
+    docs: DataFrame, text_col: str, bg: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, int]:
     """(c2, c1, V): bigram counts, left-context counts, vocab size.
     c1(w1) = sum_w2 c2(w1, w2) is derived FROM c2 so numerator and
-    denominator stay consistent; V counts the full corpus vocabulary."""
-    bg = docs.select(F.explode(_bigrams(F.col(text_col))).alias("bg"))
+    denominator stay consistent; V counts the full corpus vocabulary.
+    Pass a pre-materialized exploded ``bg`` frame (any frame with a
+    ``bg`` column) to share the explode with other consumers."""
+    if bg is None:
+        bg = docs.select(_tokens(F.col(text_col)).alias("_t")).select(
+            F.explode(_bigrams_from_tokens(F.col("_t"))).alias("bg")
+        )
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     c1 = (
         c2.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c2")
@@ -79,10 +91,17 @@ def doc_perplexity(
     integer micro-nat negative log-likelihood; ppl = exp(nll/1e6/n),
     rounded to 4 — the only engine-sensitive float steps are one ln and
     one exp, mirrored verbatim in the oracle."""
-    c2, c1, v = bigram_model(docs, text_col)
-    per_doc = docs.select(
-        F.col(id_col), F.explode(_bigrams(F.col(text_col))).alias("bg")
-    ).select(
+    # ONE explode, materialized: it feeds the c2 aggregate, the c1
+    # aggregate derived from it, and the scoring join — unmaterialized,
+    # each consumer re-runs the shingle explode over the corpus
+    # (measured 5x slower at sf0.1)
+    bgid = (
+        docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_t"))
+        .select(F.col(id_col), F.explode(_bigrams_from_tokens(F.col("_t"))).alias("bg"))
+        .localCheckpoint(eager=False)
+    )
+    c2, c1, v = bigram_model(docs, text_col, bg=bgid)
+    per_doc = bgid.select(
         id_col, "bg", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
     )
     scored = (
