@@ -24,15 +24,38 @@ def _tokens(text_col: Column) -> Column:
     return F.split(F.trim(F.lower(text_col)), TOKEN_SPLIT)
 
 
-def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the lowercased text, as array<string>.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a MATERIALIZED token-array column.
 
     Built with sequence+transform (native, codegen'd) — no UDF.
-    """
-    toks = _tokens(text_col)
+    ``toks`` must be a column reference: a subexpression referenced
+    inside a per-element lambda re-evaluates for EVERY element, so an
+    inline split() re-tokenizes the whole document once per shingle
+    (measured 6x slower over the sf0.1 corpus)."""
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(grams)
+
+
+def _shingled(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_col: str
+) -> DataFrame:
+    """(id, out_col: array<string>) — tokenize in its OWN projection,
+    then shingle from the materialized array (see shingles_from_tokens
+    for why the split must not sit inside the lambda)."""
+    return df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col), shingles_from_tokens(F.col("_toks"), n).alias(out_col)
+    )
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the lowercased text, as array<string>.
+    Convenience single-expression form — fine for small frames and
+    per-row probes; hot corpus paths use _shingled/shingles_from_tokens
+    to keep tokenization out of the lambda."""
+    return shingles_from_tokens(_tokens(text_col), n)
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -88,9 +111,7 @@ def minhash_signatures(
     corpus gets its signatures in one map stage; the only shuffle is the
     parallelism-spreading repartition of (id, text) pairs."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
-    shingled = base.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
-    )
+    shingled = _shingled(base, id_col, text_col, shingle_n, "_sh")
     return shingled.select(id_col, _sig_from_shingles("_sh", num_hashes).alias("sig"))
 
 
@@ -162,9 +183,7 @@ def minhash_near_dup(
     plan; on a fault-tolerant cluster run, swap for persist(DISK) if
     executor loss must be survivable mid-query."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, None)
-    shingled = base.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
-    ).localCheckpoint(eager=False)
+    shingled = _shingled(base, id_col, text_col, shingle_n, "_shingles").localCheckpoint(eager=False)
     sigs = shingled.select(
         id_col, _sig_from_shingles("_shingles", num_hashes).alias("sig")
     )
@@ -447,9 +466,7 @@ def ngram_candidates(
     """Candidate (id_a, id_b) pairs for exact-Jaccard scoring (see
     _ngram_blocked_pairs for the blocking/skew-hardening scheme)."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
-    shingled = base.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
-    )
+    shingled = _shingled(base, id_col, text_col, shingle_n, "_shingles")
     return _ngram_blocked_pairs(shingled, id_col, threshold, length_bucketing)
 
 
@@ -471,9 +488,7 @@ def ngram_jaccard_pairs(
     self-join shuffles only light (id, block, bucket, tag) rows, and
     the shingle arrays come back via id joins for the verify only."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
-    shingled = base.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
-    ).localCheckpoint(eager=False)
+    shingled = _shingled(base, id_col, text_col, shingle_n, "_shingles").localCheckpoint(eager=False)
     cand = _ngram_blocked_pairs(shingled, id_col, threshold, length_bucketing)
     return (
         cand.join(
