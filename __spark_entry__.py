@@ -1333,13 +1333,17 @@ def q_doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document — a per-row array expression, no explode/shuffle; the
     500-row output is value-checked against DuckDB's list algebra."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    bgs = text.bigrams(F.col("text"))
-    return docs.select(
+    # tokens materialized in their own projection: closed-over inline
+    # splits re-evaluate per bigram (see text.bigrams_from_tokens)
+    with_bgs = docs.select(
+        "doc_id", text.tokens(F.col("text")).alias("_toks")
+    ).select("doc_id", text.bigrams_from_tokens(F.col("_toks")).alias("_bgs"))
+    return with_bgs.select(
         "doc_id",
-        F.size(bgs).alias("n_bigrams"),
-        F.round(text.duplicate_bigram_fraction(F.col("text")), 6).alias(
-            "dup_bigram_frac"
-        ),
+        F.size("_bgs").alias("n_bigrams"),
+        F.round(
+            text.duplicate_bigram_fraction_from_bigrams(F.col("_bgs")), 6
+        ).alias("dup_bigram_frac"),
     )
 
 
@@ -2591,12 +2595,25 @@ def q_corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst expressions), then one tiny per-source aggregate."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     t = F.col("text")
-    scored = docs.select(
+    # bigrams staged via a materialized token projection — the inline
+    # form re-tokenizes per bigram inside the lambda (see
+    # text.bigrams_from_tokens)
+    staged = docs.select(
+        "source", "lang", "text", text.tokens(t).alias("_toks")
+    ).select(
+        "source",
+        "lang",
+        "text",
+        text.bigrams_from_tokens(F.col("_toks")).alias("_bgs"),
+    )
+    scored = staged.select(
         "source",
         "lang",
         text.token_count(t).alias("_ntok"),
         text.quality_score(t).alias("_q"),
-        text.duplicate_bigram_fraction(t).alias("_rep"),
+        text.duplicate_bigram_fraction_from_bigrams(F.col("_bgs")).alias(
+            "_rep"
+        ),
         text.lang_id(t).alias("_pred"),
     )
     return scored.groupBy("source").agg(

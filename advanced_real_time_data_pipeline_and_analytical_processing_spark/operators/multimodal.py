@@ -235,12 +235,18 @@ def phash63(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     The mean threshold is integer-exact (63*pixel >= sum, no float
     division) and every step is engine-portable, so fingerprints are
     value-checkable digit-for-digit. One projection, no shuffle."""
-    hexd = F.sha2(F.decode(F.col(payload_col), "UTF-8"), 256)
     pixels = F.transform(
         F.sequence(F.lit(1), F.lit(63)),
-        lambda i: F.conv(F.substring(hexd, i, F.lit(1)), 16, 10).cast("bigint"),
+        lambda i: F.conv(
+            F.substring(F.col("_hex"), i, F.lit(1)), 16, 10
+        ).cast("bigint"),
     )
+    # sha256 materialized in its own projection — closed over by the
+    # lambda it would re-hash the payload once per pixel (63x)
     with_px = df.select(
+        F.col("media_id"),
+        F.sha2(F.decode(F.col(payload_col), "UTF-8"), 256).alias("_hex"),
+    ).select(
         F.col("media_id"),
         pixels.alias("_px"),
     ).select(

@@ -105,15 +105,27 @@ def deterministic_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[fl
     return planes
 
 
+def unit_normalize_with_norm(vec: Column, n: Column) -> Column:
+    """unit_normalize against a MATERIALIZED norm column. The norm must
+    not be an inline fold: an expression closed over by the per-element
+    lambda re-evaluates per element, turning normalization into
+    O(dims^2) per row (the l2 fold runs once per output element)."""
+    return F.transform(
+        vec, lambda x: F.when(n > 0, x.cast("double") / n).otherwise(F.lit(0.0))
+    )
+
+
 def unit_normalize(vec: Column) -> Column:
     """Scale to unit L2 norm (zero vectors stay zero), as array<double>.
     Normalizing ONCE per row turns every later cosine into a plain dot
     product — the decisive rewrite for pairwise workloads, where naive
-    cosine recomputes both norms per PAIR instead of per row."""
-    n = l2_norm(vec)
-    return F.transform(
-        vec, lambda x: F.when(n > 0, x.cast("double") / n).otherwise(F.lit(0.0))
-    )
+    cosine recomputes both norms per PAIR instead of per row.
+
+    Single-expression convenience: the closed-over norm re-evaluates
+    per element (O(dims^2) per row). Fine for small frames; hot paths
+    project l2_norm into a column first and use
+    unit_normalize_with_norm."""
+    return unit_normalize_with_norm(vec, l2_norm(vec))
 
 
 def np_unit_normalize(vec: Column) -> Column:
@@ -157,8 +169,16 @@ def cosine_near_dup(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
         )
+        # norm in its own projection BELOW the exchange: the shuffle is
+        # a CollapseProject barrier, so the fold cannot be re-inlined
+        # into the per-element lambda (see unit_normalize_with_norm)
+        .select("_blk", "_id", "_v", l2_norm(F.col("_v")).alias("_n"))
         .repartition(n, F.col("_id"))
-        .select("_blk", "_id", unit_normalize(F.col("_v")).alias("_u"))
+        .select(
+            "_blk",
+            "_id",
+            unit_normalize_with_norm(F.col("_v"), F.col("_n")).alias("_u"),
+        )
     )
     # Subquery aliases of one identical plan -> the normalize projection
     # and its exchange are built once (ReusedExchange on the other join

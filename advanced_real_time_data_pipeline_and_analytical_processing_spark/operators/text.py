@@ -186,11 +186,12 @@ def gopher_quality_flags(
     )
 
 
-def bigrams(text: Column) -> Column:
-    """Word bigrams as array<string>; empty array for <2 tokens (the
-    sequence(1, 0) guard — unguarded it yields the DESCENDING [1, 0]
-    and element_at(toks, 0) raises)."""
-    toks = tokens(text)
+def bigrams_from_tokens(toks: Column) -> Column:
+    """Word bigrams from a MATERIALIZED token-array column; empty array
+    for <2 tokens (the sequence(1, 0) guard — unguarded it yields the
+    DESCENDING [1, 0] and element_at(toks, 0) raises). ``toks`` must be
+    a column reference: an inline split() closed over by the lambda
+    re-tokenizes the document once per bigram."""
     return F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -202,15 +203,27 @@ def bigrams(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def duplicate_bigram_fraction(text: Column) -> Column:
+def bigrams(text: Column) -> Column:
+    """Single-expression convenience form of bigrams_from_tokens —
+    fine for probes and small frames; corpus-scan paths materialize
+    the tokens first."""
+    return bigrams_from_tokens(tokens(text))
+
+
+def duplicate_bigram_fraction_from_bigrams(bgs: Column) -> Column:
     """Within-document repetition (Gopher §A1.1 'duplicate n-grams'):
-    1 - distinct_bigrams/total_bigrams. 0.0 for docs with <2 tokens.
-    Pure per-row array expression — no explode, no shuffle."""
-    bgs = bigrams(text)
+    1 - distinct_bigrams/total_bigrams over a materialized bigram
+    column. 0.0 for docs with <2 tokens."""
     return F.when(
         F.size(bgs) > 0,
         1.0 - F.size(F.array_distinct(bgs)).cast("double") / F.size(bgs),
     ).otherwise(0.0)
+
+
+def duplicate_bigram_fraction(text: Column) -> Column:
+    """Convenience single-expression form (inline tokenize+bigram;
+    see bigrams_from_tokens for the hot-path variant)."""
+    return duplicate_bigram_fraction_from_bigrams(bigrams(text))
 
 
 def fingerprint(text: Column) -> Column:
