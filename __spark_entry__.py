@@ -2452,7 +2452,15 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("_x")
     )
-    scale = F.array_max(F.transform("_x", lambda v: F.abs(v)))
+    # scale staged in its own projection: closed over by the two
+    # quantize/reconstruct lambdas it would re-run the array_max fold
+    # per element (O(dims^2) per row)
+    emb = emb.select(
+        "label",
+        "_x",
+        F.array_max(F.transform("_x", lambda v: F.abs(v))).alias("_scale"),
+    )
+    scale = F.col("_scale")
     per_vec = emb.select(
         "label",
         F.when(
