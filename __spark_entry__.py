@@ -1603,6 +1603,30 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per day — the window shape
+    SQL engines can't express directly (COUNT(DISTINCT) OVER is
+    unsupported in Spark AND DuckDB). Engine rewrite: dedup to
+    (day, user) grain first (one hash agg — the heavy, scalable step),
+    then size(collect_set()) over a RANGE frame on the bounded daily
+    grain. The oracle rewrites it as a range self-join + GROUP BY,
+    proving the two classic rewrites agree exactly."""
+    events = _t(spark, sf_dir, "events")
+    du = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    day_num = F.datediff(F.col("day"), F.lit("1995-01-01"))
+    w = Window.orderBy(day_num).rangeBetween(-6, 0)
+    return (
+        du.select(
+            "day",
+            F.size(F.collect_set("user_id").over(w)).alias("n_active_7d"),
+        )
+        .groupBy("day")
+        .agg(F.max("n_active_7d").alias("n_active_7d"))
+    )
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the whole pre-training curation funnel
     in ONE DataFrame program: Gopher quality flags -> whitespace/case
@@ -2984,6 +3008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_static_enrichment": q_stream_static_enrichment,
     "monthly_revenue_calendar": q_monthly_revenue_calendar,
     "curation_funnel": q_curation_funnel,
+    "rolling_7day_active_users": q_rolling_7day_active_users,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4711,6 +4736,15 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["rolling_7day_active_users"] = """
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ), days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day, count(DISTINCT u.user_id) AS n_active_7d
+        FROM days d
+        JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """
     out["curation_funnel"] = f"""
         WITH m AS (
             SELECT doc_id, source, text,
