@@ -1603,6 +1603,24 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted sampling
+    (maintenance.weighted_sample, Efraimidis-Spirakis): top-10 docs per
+    language drawn with probability proportional to quality score —
+    the curation step that oversamples high-quality text WITHOUT a
+    hard cutoff. md5-seeded, so the oracle draws the identical sample;
+    reruns and engines agree row for row."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", text.quality_score(F.col("text")).alias("q")
+    )
+    out = maintenance.weighted_sample(
+        docs, "doc_id", "q", k=10, strata_col="lang"
+    )
+    return out.select("doc_id", "lang", "q")
+
+
 def q_rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day DISTINCT active users per day — the window shape
     SQL engines can't express directly (COUNT(DISTINCT) OVER is
@@ -3009,6 +3027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_revenue_calendar": q_monthly_revenue_calendar,
     "curation_funnel": q_curation_funnel,
     "rolling_7day_active_users": q_rolling_7day_active_users,
+    "weighted_quality_sample": q_weighted_quality_sample,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4736,6 +4755,26 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["weighted_quality_sample"] = f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   round(0.6 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                       + 0.4 * (1.0 - least({_PUNCT} * 5.0, 1.0)), 6) AS q
+            FROM documents
+        ), keyed AS (
+            SELECT doc_id, lang, q,
+                   ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                                 AS BIGINT) AS DOUBLE) + 1.0)
+                      / {float(16**13 + 1)}) / q AS es_key
+            FROM scored WHERE q > 0
+        )
+        SELECT doc_id, lang, q FROM (
+            SELECT doc_id, lang, q,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY es_key DESC, doc_id ASC) AS rk
+            FROM keyed
+        ) WHERE rk <= 10
+    """
     out["rolling_7day_active_users"] = """
         WITH du AS (
             SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

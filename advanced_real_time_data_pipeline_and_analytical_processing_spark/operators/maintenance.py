@@ -259,3 +259,44 @@ def merge_agg_delta(
         for c in val_cols
     ]
     return merged.select(*keys, *out_cols)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): key = ln(u)/w with u an md5-derived
+    uniform per row, keep the top-k keys (per stratum if given).
+    Higher weight -> higher inclusion probability, exactly the
+    w_i/sum(w) first-draw law of weighted sampling.
+
+    Deterministic because u comes from the row id, not an RNG: reruns,
+    retries and engines all pick the SAME sample — the property that
+    makes a 100 TB sampling job idempotent and its audit replayable.
+    One projection + one top-k window on the stratum key (single
+    shuffle); rows with non-positive weight are excluded (ln(u)/w
+    would invert the order)."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**13 + 1))
+    keyed = df.filter(F.col(weight_col) > 0).select(
+        "*", (F.log(u) / F.col(weight_col)).alias("_es_key")
+    )
+    part = [strata_col] if strata_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(
+        F.col("_es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.select("*", F.row_number().over(w).alias("_rk"))
+        .filter(F.col("_rk") <= k)
+        .drop("_es_key", "_rk")
+    )

@@ -204,3 +204,19 @@ def test_merge_agg_delta_handles_new_and_missing_keys(spark):
     state = maintenance.merge_agg_delta(state, delta, ["k"], ["v"])
     got = {r.k: (r.n_rows, r.sum_v) for r in state.collect()}
     assert got == {"a": (2, 3), "b": (2, 15), "c": (1, 7)}
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    """With weights 100 vs 1, the heavy rows must dominate the sample
+    (law of the key ln(u)/w), the draw must be deterministic across
+    reruns, and k bounds the output."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    rows = [(i, 100.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = {r.id for r in maintenance.weighted_sample(df, "id", "w", k=15).collect()}
+    s2 = {r.id for r in maintenance.weighted_sample(df, "id", "w", k=15).collect()}
+    assert s1 == s2  # deterministic
+    assert len(s1) == 15
+    heavy = sum(1 for i in s1 if i < 20)
+    assert heavy >= 10  # 20 heavy rows carry ~91% of the weight mass
