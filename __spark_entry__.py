@@ -1603,6 +1603,23 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_ann_planted_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked ANN ground truth: both index structures (LSH
+    bucket join, IVF probed cells) must retrieve each query's planted
+    exact copy at rank 1. The full top-k lists stay rows-only (bucket
+    membership is index-specific), but THIS projection of the same
+    pipelines is exact — the oracle simply states the planted mapping,
+    so any retrieval regression hash-fails the gate."""
+    lsh = q_lsh_ann_topk(spark, sf_dir).filter(F.col("rank") == 1)
+    ivf = q_ivf_ann_topk(spark, sf_dir).filter(F.col("rank") == 1)
+    return (
+        lsh.select(F.lit("lsh").alias("method"), "query_id", F.col("neighbor_id").alias("top1_id"))
+        .unionByName(
+            ivf.select(F.lit("ivf").alias("method"), "query_id", F.col("neighbor_id").alias("top1_id"))
+        )
+    )
+
+
 def q_weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality-weighted sampling
     (maintenance.weighted_sample, Efraimidis-Spirakis): top-10 docs per
@@ -3028,6 +3045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel": q_curation_funnel,
     "rolling_7day_active_users": q_rolling_7day_active_users,
     "weighted_quality_sample": q_weighted_quality_sample,
+    "ann_planted_truth": q_ann_planted_truth,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4755,6 +4773,15 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["ann_planted_truth"] = """
+        SELECT 'lsh' AS method, vec_id AS query_id,
+               vec_id + 100000 AS top1_id
+        FROM embeddings WHERE vec_id < 8
+        UNION ALL
+        SELECT 'ivf' AS method, vec_id AS query_id,
+               vec_id + 100000 AS top1_id
+        FROM embeddings WHERE vec_id < 8
+    """
     out["weighted_quality_sample"] = f"""
         WITH scored AS (
             SELECT doc_id, lang,
