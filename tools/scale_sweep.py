@@ -1,0 +1,58 @@
+"""Scale-stability sweep: run the full oracle gate at sf0.1 in
+timeout-safe batches (one Spark session per batch keeps any single
+invocation under the driver's per-command limits).
+
+    python tools/scale_sweep.py [sf_dir] [batch_size]
+
+Excludes the queries whose DuckDB oracle is brute-force quadratic
+(fine at the sf0.01 gate, too slow at sf0.1) — their sf0.1 behavior is
+covered by pytest planted-case tests instead. Everything else must
+PASS at sf0.1 too: this sweep is what catches partition-order float
+drift that the smaller gate can miss (see verify SKILL.md)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+# brute-force (all-pairs) oracles: quadratic in corpus size
+QUADRATIC_ORACLES = {
+    "minhash_near_dup",
+    "ngram_jaccard_pairs",
+    "media_phash_pairs",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    names = [n for n in entrymod.queries() if n not in QUADRATIC_ORACLES]
+    here = os.path.dirname(os.path.abspath(__file__))
+    failures = 0
+    for i in range(0, len(names), batch):
+        chunk = names[i : i + batch]
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "check_oracle.py"), sf_dir, *chunk],
+            capture_output=True,
+            text=True,
+        )
+        for line in proc.stdout.splitlines():
+            # Spark progress bars glue \r fragments onto result lines —
+            # match anywhere in the line, not just at the start
+            for tag in ("PASS ", "FAIL ", "ok?  "):
+                idx = line.find(tag)
+                if idx >= 0:
+                    print(line[idx:])
+                    if tag == "FAIL ":
+                        failures += 1
+    print(f"swept {len(names)} queries, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
