@@ -199,3 +199,70 @@ def vacuum(table_dir: str, keep_latest: int = 1) -> list[str]:
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Time travel: read the table AS OF an earlier batch
+# ---------------------------------------------------------------------------
+# Snapshots are retained until vacuum() trims them, so any batch id
+# still on disk is a readable point-in-time view — the same AS OF
+# contract table formats expose, driven by the same manifest-per-
+# snapshot layout. Bucketed tables rewrite only touched buckets, so
+# "as of batch B" per bucket means its newest snapshot with id <= B.
+
+
+def list_snapshot_ids(table_dir: str) -> list[int]:
+    """Batch ids with a readable snapshot (flat layout: this root;
+    bucketed layout: union over buckets)."""
+    ids: set[int] = set()
+    roots = [table_dir] + [
+        os.path.join(table_dir, d)
+        for d in sorted(os.listdir(table_dir))
+        if d.startswith("bucket=")
+    ]
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for d in os.listdir(root):
+            if d.startswith("snap_"):
+                ids.add(int(d.split("_", 1)[1]))
+    return sorted(ids)
+
+
+def _snap_as_of(root: str, batch_id: int) -> str | None:
+    if not os.path.isdir(root):
+        return None
+    best = None
+    for d in os.listdir(root):
+        if d.startswith("snap_"):
+            sid = int(d.split("_", 1)[1])
+            if sid <= batch_id and (best is None or sid > best):
+                best = sid
+    return os.path.join(root, f"snap_{best}") if best is not None else None
+
+
+def read_table_as_of(
+    spark: SparkSession, table_dir: str, batch_id: int
+) -> DataFrame | None:
+    """Point-in-time read: the table state right after ``batch_id``
+    was merged. Flat tables read one snapshot; bucketed tables read,
+    per bucket, the newest snapshot at or before ``batch_id`` (buckets
+    untouched by later batches already ARE the as-of state; a bucket
+    whose earliest snapshot is newer than ``batch_id`` did not exist
+    yet and contributes nothing). Returns None when nothing that old
+    exists anywhere.
+
+    Caveat shared with every snapshot-table format: an as-of read is
+    only faithful while vacuum() has not trimmed the snapshots that
+    id needs — size ``vacuum(keep_latest=...)`` to the history window
+    you intend to query."""
+    buckets = [
+        os.path.join(table_dir, d)
+        for d in sorted(os.listdir(table_dir))
+        if d.startswith("bucket=")
+    ]
+    if not buckets:
+        snap = _snap_as_of(table_dir, batch_id)
+        return spark.read.parquet(snap) if snap else None
+    dirs = [s for b in buckets if (s := _snap_as_of(b, batch_id))]
+    return spark.read.parquet(*dirs) if dirs else None

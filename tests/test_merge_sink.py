@@ -183,3 +183,47 @@ def test_vacuum_bucketed_layout(spark, tmp_path):
     assert len(removed) == 2
     got = merge_sink.read_bucketed_table(spark, table, 4).first()
     assert got.v == "v2"
+
+
+def test_time_travel_flat_table(spark, tmp_path):
+    """Every merged batch stays readable AS OF its id until vacuumed;
+    the as-of state must equal what read_table returned at that point
+    in history."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.sinks import merge_sink
+
+    tdir = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "k long, v string, ver long")
+    b1 = spark.createDataFrame([(2, "b2", 1), (3, "c", 1)], "k long, v string, ver long")
+    merge_sink.merge_batch(spark, b0, tdir, ["k"], "ver", batch_id=0)
+    merge_sink.merge_batch(spark, b1, tdir, ["k"], "ver", batch_id=1)
+    assert merge_sink.list_snapshot_ids(tdir) == [0, 1]
+    asof0 = {(r.k, r.v) for r in merge_sink.read_table_as_of(spark, tdir, 0).collect()}
+    asof1 = {(r.k, r.v) for r in merge_sink.read_table_as_of(spark, tdir, 1).collect()}
+    assert asof0 == {(1, "a"), (2, "b")}
+    assert asof1 == {(1, "a"), (2, "b2"), (3, "c")}
+    assert merge_sink.read_table_as_of(spark, tdir, -1) is None
+    # current read and the newest as-of agree
+    cur = {(r.k, r.v) for r in merge_sink.read_table(spark, tdir).collect()}
+    assert cur == asof1
+
+
+def test_time_travel_bucketed_untouched_buckets(spark, tmp_path):
+    """Bucketed as-of: a bucket untouched by later batches serves its
+    older snapshot — the union reconstructs the exact historical
+    table."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.sinks import merge_sink
+
+    tdir = str(tmp_path / "tb")
+    b0 = spark.createDataFrame(
+        [(k, f"v{k}", 0) for k in range(8)], "k long, v string, ver long"
+    )
+    b1 = spark.createDataFrame([(3, "v3x", 1)], "k long, v string, ver long")
+    merge_sink.merge_batch_bucketed(spark, b0, tdir, ["k"], "ver", 0, num_buckets=4)
+    touched = merge_sink.merge_batch_bucketed(
+        spark, b1, tdir, ["k"], "ver", 1, num_buckets=4
+    )
+    assert len(touched) == 1  # one key -> one rewritten bucket
+    asof0 = {(r.k, r.v) for r in merge_sink.read_table_as_of(spark, tdir, 0).collect()}
+    asof1 = {(r.k, r.v) for r in merge_sink.read_table_as_of(spark, tdir, 1).collect()}
+    assert asof0 == {(k, f"v{k}") for k in range(8)}
+    assert asof1 == {(k, f"v{k}") for k in range(8) if k != 3} | {(3, "v3x")}
