@@ -2775,8 +2775,14 @@ def q_hll_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for label, table, key in _HLL_SPECS:
         df = _t(spark, sf_dir, table)
-        est = sketches.hll_estimate(sketches.hll_registers(df, key))
-        exact = df.agg(F.count_distinct(F.col(key)).alias("exact_n"))
+        # one scan per key set: the md5 buckets partition the key
+        # space, so per-bucket exact distincts ride the register
+        # aggregate and sum to the global exact count
+        regs = sketches.hll_registers_with_exact(df, key).localCheckpoint(
+            eager=False
+        )  # <=256 rows; both consumers read it, the table scans once
+        est = sketches.hll_estimate(regs.select("bucket", "rank"))
+        exact = regs.agg(F.sum("n_keys").alias("exact_n"))
         parts.append(
             est.crossJoin(exact).select(
                 F.lit(label).alias("key_set"),

@@ -202,3 +202,19 @@ def hll_oracle_sql(source_sql: str, key_expr: str) -> str:
                n_present AS n_registers
         FROM agg
     """
+
+
+def hll_registers_with_exact(df: DataFrame, key_col: str) -> DataFrame:
+    """(bucket, rank, n_keys): registers AND the exact distinct count
+    in ONE scan — the md5 buckets partition the key space, so per-
+    bucket count_distinct sums to the global exact count. Halves the
+    input passes of an estimate-vs-exact audit; at 100 TB the scan IS
+    the cost."""
+    bucket, rank = hll_bucket_rank(F.col(key_col))
+    rows = df.filter(F.col(key_col).isNotNull()).select(
+        bucket.alias("bucket"), rank.alias("rank"), F.col(key_col).alias("_k")
+    )
+    return rows.groupBy("bucket").agg(
+        F.max("rank").alias("rank"),
+        F.count_distinct("_k").alias("n_keys"),
+    )
