@@ -1603,6 +1603,34 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_region_nation_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ANSI LISTAGG ... WITHIN GROUP):
+    per region, the comma-joined sorted nation list plus supplier
+    coverage stats. The explicit WITHIN GROUP ordering is what makes a
+    string aggregate deterministic under any partitioning — unordered
+    listagg/string_agg is a flaky-test factory."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supplier = _t(spark, sf_dir, "supplier")
+    per_nation = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(
+            supplier, nation.n_nationkey == supplier.s_nationkey, "left"
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+    per_nation.createOrReplaceTempView("_rollcall")
+    return spark.sql("""
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS nations,
+               count(*) AS n_nations,
+               sum(n_suppliers) AS n_suppliers
+        FROM _rollcall GROUP BY r_name
+    """)
+
+
 def q_ann_planted_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-checked ANN ground truth: both index structures (LSH
     bucket join, IVF probed cells) must retrieve each query's planted
@@ -3052,6 +3080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_7day_active_users": q_rolling_7day_active_users,
     "weighted_quality_sample": q_weighted_quality_sample,
     "ann_planted_truth": q_ann_planted_truth,
+    "region_nation_rollcall": q_region_nation_rollcall,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4779,6 +4808,20 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["region_nation_rollcall"] = """
+        WITH per_nation AS (
+            SELECT r.r_name, n.n_name, count(s.s_suppkey) AS n_suppliers
+            FROM nation n
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations,
+               sum(n_suppliers) AS n_suppliers
+        FROM per_nation GROUP BY r_name
+    """
     out["ann_planted_truth"] = """
         SELECT 'lsh' AS method, vec_id AS query_id,
                vec_id + 100000 AS top1_id
