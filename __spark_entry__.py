@@ -1603,6 +1603,31 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): events.props parsed
+    ONCE into a variant column (binary-encoded, schema-on-read), then
+    typed variant_get extraction feeding an integer aggregate — the
+    open-table-format answer to schema drift in event payloads, vs the
+    per-field get_json_object re-parse in json_props_stats. Oracle
+    extracts the same path with DuckDB's JSON reader."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type", F.try_parse_json("props").alias("_v")
+    )
+    k = F.variant_get(F.col("_v"), "$.k", "bigint")
+    return (
+        parsed.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
 def q_region_nation_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (ANSI LISTAGG ... WITHIN GROUP):
     per region, the comma-joined sorted nation list plus supplier
@@ -3081,6 +3106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_quality_sample": q_weighted_quality_sample,
     "ann_planted_truth": q_ann_planted_truth,
     "region_nation_rollcall": q_region_nation_rollcall,
+    "variant_props_extract": q_variant_props_extract,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4808,6 +4834,18 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["variant_props_extract"] = """
+        WITH k AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events WHERE props IS NOT NULL
+        )
+        SELECT event_type,
+               count(*) AS n_with_k,
+               min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k
+        FROM k WHERE k IS NOT NULL
+        GROUP BY event_type
+    """
     out["region_nation_rollcall"] = """
         WITH per_nation AS (
             SELECT r.r_name, n.n_name, count(s.s_suppkey) AS n_suppliers
