@@ -207,14 +207,19 @@ def hll_oracle_sql(source_sql: str, key_expr: str) -> str:
 def hll_registers_with_exact(df: DataFrame, key_col: str) -> DataFrame:
     """(bucket, rank, n_keys): registers AND the exact distinct count
     in ONE scan — the md5 buckets partition the key space, so per-
-    bucket count_distinct sums to the global exact count. Halves the
-    input passes of an estimate-vs-exact audit; at 100 TB the scan IS
-    the cost."""
-    bucket, rank = hll_bucket_rank(F.col(key_col))
-    rows = df.filter(F.col(key_col).isNotNull()).select(
-        bucket.alias("bucket"), rank.alias("rank"), F.col(key_col).alias("_k")
+    bucket key counts sum to the global exact count. Shape: distinct
+    the keys FIRST (plain hash agg, no Expand), then md5 each distinct
+    key once — strictly less hashing than per-row md5 + multi-distinct,
+    and still a single pass over the input; at 100 TB the scan IS the
+    cost."""
+    keys = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("_k"))
+        .distinct()
     )
-    return rows.groupBy("bucket").agg(
-        F.max("rank").alias("rank"),
-        F.count_distinct("_k").alias("n_keys"),
+    bucket, rank = hll_bucket_rank(F.col("_k"))
+    return (
+        keys.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("rank"), F.count(F.lit(1)).alias("n_keys"))
     )
