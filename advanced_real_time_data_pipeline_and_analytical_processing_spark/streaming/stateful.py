@@ -146,3 +146,70 @@ def drain_to_memory_table(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def session_close_on_timeout(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUT — the arbitrary-
+    stateful shape native session_window cannot generalize: sessions
+    close (and emit EXACTLY ONE row) when the watermark passes
+    last_event + gap, regardless of whether the key ever appears
+    again. State per key is three numbers; memory is bounded by live
+    keys, and the timeout sweep — not data arrival — drives emission.
+
+    The input must already be watermarked on ``ts_col`` (the timeout
+    clock IS the watermark). Output mode 'append': closed sessions
+    only — the contract downstream dedup-free sinks need."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [end_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, end_us, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = pdf[ts_col].astype("int64") // 1000  # ns -> us
+            lo, hi = int(us.min()), int(us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+        state.update((start_us, end_us, n))
+        # wake up when the watermark passes the session gap
+        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="int64"),
+                "session_start_us": pd.Series([], dtype="int64"),
+                "session_end_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} bigint, session_start_us bigint, "
+            "session_end_us bigint, n_events bigint"
+        ),
+        stateStructType="session_start_us bigint, session_end_us bigint, n_events bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

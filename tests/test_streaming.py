@@ -490,3 +490,56 @@ def test_sliding_avg_exact_integer_contract(spark):
     # sum_scaled = 30001; floor(30001 * 100 / 2) = 1500050 -> 1.50005
     assert got[("2024-01-01 00:00:00", "a")] == 1.50005
     assert len(got) == 2
+
+
+def test_session_close_on_event_time_timeout(spark, tmp_path):
+    """Sessions must close via the TIMEOUT sweep, not data arrival: a
+    key that never reappears still emits exactly one closed session
+    once the watermark passes last_event + gap. Three single-file
+    micro-batches advance the watermark past the gap."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import stateful
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(60)), (2, ts(0))], "user_id bigint, ts timestamp"
+    )
+    # far-future events: advance the watermark past 60 + gap for users
+    # 1 and 2, while starting a new live session for user 3
+    b2 = spark.createDataFrame([(3, ts(100_000))], "user_id bigint, ts timestamp")
+    b3 = spark.createDataFrame([(3, ts(100_001))], "user_id bigint, ts timestamp")
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    b3.coalesce(1).write.parquet(str(src / "f3"))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "10 seconds")
+    )
+    closed = stateful.session_close_on_timeout(
+        stream, key_col="user_id", ts_col="ts", gap_seconds=100
+    )
+    final = stateful.drain_to_parquet(
+        spark,
+        closed,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    rows = {r.user_id: r for r in final.collect()}
+    # users 1 and 2 timed out and emitted exactly one session each;
+    # user 3's session is still live (never emitted)
+    assert set(rows) == {1, 2}
+    assert rows[1].n_events == 2
+    assert rows[1].session_start_us == 1704067200 * 10**6
+    assert rows[1].session_end_us == (1704067200 + 60) * 10**6
+    assert rows[2].n_events == 1
