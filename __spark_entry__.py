@@ -1603,6 +1603,68 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_stateful_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization END TO END, value-checked:
+    session_close_on_timeout (applyInPandasWithState +
+    EventTimeTimeout) over the real events table, staged as three
+    micro-batches — the two tiny synthetic batches exist only to march
+    the watermark past every real session's gap so the timeout sweep
+    closes them all. The emitted (start, end, count) rows must equal
+    the batch gap-island semantics EXACTLY (integer microseconds),
+    which is what the DuckDB oracle computes — proving the streaming
+    operator implements the batch definition, splits included."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    max_ts = (
+        catalog.normalize_event_time(spark.read.parquet(path))
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .collect()[0]["m"]
+    )
+    sentinel = 10**9
+    gap_s = 1800
+    fut1 = max_ts + (gap_s + 3600) * 1_000_000
+    stage_dir = _tempfile.mkdtemp(prefix="stream_sess_")
+    _os.symlink(path, _os.path.join(stage_dir, "f1_events.parquet"))
+    arrow_schema = _pq.read_schema(path)
+    for name, ts_us in (("f2", fut1), ("f3", fut1 + 1_000_000)):
+        cols = {}
+        for field in arrow_schema:
+            if field.name == "ts":
+                cols["ts"] = _pa.array([ts_us], type=_pa.int64()).cast(field.type)
+            elif field.name == "user_id":
+                cols["user_id"] = _pa.array([sentinel], type=field.type)
+            elif field.name == "event_id":
+                cols["event_id"] = _pa.array([10**12], type=field.type)
+            else:
+                cols[field.name] = _pa.nulls(1, type=field.type)
+        _pq.write_table(
+            _pa.table(cols, schema=arrow_schema),
+            _os.path.join(stage_dir, f"{name}_tick.parquet"),
+        )
+    stream = catalog.normalize_event_time(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    ).select("user_id", "ts").withWatermark("ts", "10 seconds")
+    closed = stateful.session_close_on_timeout(
+        stream, key_col="user_id", ts_col="ts", gap_seconds=gap_s
+    )
+    drained = stateful.drain_to_parquet(
+        spark, closed, shuffle_partitions=8, output_mode="append"
+    )
+    _shutil.rmtree(stage_dir, ignore_errors=True)
+    return drained.filter(F.col("user_id") != sentinel).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+
+
 def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured VARIANT path (Spark 4): events.props parsed
     ONCE into a variant column (binary-encoded, schema-on-read), then
@@ -3107,6 +3169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_planted_truth": q_ann_planted_truth,
     "region_nation_rollcall": q_region_nation_rollcall,
     "variant_props_extract": q_variant_props_extract,
+    "stateful_session_report": q_stateful_session_report,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4834,6 +4897,29 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    out["stateful_session_report"] = """
+        WITH ordered AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                     AS prev_us
+            FROM events
+        ), flags AS (
+            SELECT user_id, us,
+                   CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM ordered
+        ), sess AS (
+            SELECT user_id, us,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        )
+        SELECT user_id,
+               min(us) AS session_start_us,
+               max(us) AS session_end_us,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """
     out["variant_props_extract"] = """
         WITH k AS (
             SELECT event_type,

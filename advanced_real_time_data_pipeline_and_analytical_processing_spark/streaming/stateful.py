@@ -165,6 +165,18 @@ def session_close_on_timeout(
     clock IS the watermark). Output mode 'append': closed sessions
     only — the contract downstream dedup-free sinks need."""
 
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(rows: list) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series([r[0] for r in rows], dtype="int64"),
+                "session_start_us": pd.Series([r[1] for r in rows], dtype="int64"),
+                "session_end_us": pd.Series([r[2] for r in rows], dtype="int64"),
+                "n_events": pd.Series([r[3] for r in rows], dtype="int64"),
+            }
+        )
+
     def update(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -173,35 +185,35 @@ def session_close_on_timeout(
         if state.hasTimedOut:
             start_us, end_us, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    key_col: [key[0]],
-                    "session_start_us": [start_us],
-                    "session_end_us": [end_us],
-                    "n_events": [n],
-                }
-            )
+            yield _emit([(key[0], start_us, end_us, n)])
             return
-        start_us, end_us, n = state.get if state.exists else (None, None, 0)
+        # gather this batch's event times (integer us, sorted)
+        parts = []
         for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            us = pdf[ts_col].astype("int64") // 1000  # ns -> us
-            lo, hi = int(us.min()), int(us.max())
-            start_us = lo if start_us is None else min(start_us, lo)
-            end_us = hi if end_us is None else max(end_us, hi)
-            n += len(pdf)
+            if len(pdf):
+                parts.append(pdf[ts_col].astype("int64") // 1000)  # ns -> us
+        closed: list = []
+        start_us, end_us, n = state.get if state.exists else (None, None, 0)
+        if parts:
+            us = pd.concat(parts).sort_values().to_numpy()
+            # batch arrivals can span MULTIPLE sessions: split into
+            # gap-separated islands here, not just at timeout sweeps —
+            # otherwise two bursts landing in one micro-batch would
+            # merge and batch/streaming semantics would diverge
+            for t in us:
+                t = int(t)
+                if start_us is None:
+                    start_us, end_us, n = t, t, 1
+                elif t - end_us > gap_us:
+                    closed.append((key[0], start_us, end_us, n))
+                    start_us, end_us, n = t, t, 1
+                else:
+                    end_us = max(end_us, t)
+                    n += 1
         state.update((start_us, end_us, n))
         # wake up when the watermark passes the session gap
         state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
-        yield pd.DataFrame(
-            {
-                key_col: pd.Series([], dtype="int64"),
-                "session_start_us": pd.Series([], dtype="int64"),
-                "session_end_us": pd.Series([], dtype="int64"),
-                "n_events": pd.Series([], dtype="int64"),
-            }
-        )
+        yield _emit(closed)
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
