@@ -1603,6 +1603,35 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_eventgen_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source end to end (sources/eventgen.py): a
+    deterministic in-cluster event generator — 20k rows fanned over 8
+    independent partitions with zero I/O — aggregated per event type.
+    Every cell derives from md5(event_id) arithmetic, so the DuckDB
+    oracle REGENERATES the identical table from generate_series and
+    the aggregate hash-matches: the pluggable source is value-checked,
+    not just smoke-tested. (sf_dir unused: the source generates.)"""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.sources import eventgen
+
+    eventgen.register(spark)
+    df = (
+        spark.read.format("eventgen")
+        .option("n_rows", "20000")
+        .option("n_users", "500")
+        .option("n_partitions", "8")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias(
+            "sum_value_micro"
+        ),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
 def q_stateful_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization END TO END, value-checked:
     session_close_on_timeout (applyInPandasWithState +
@@ -3170,6 +3199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_nation_rollcall": q_region_nation_rollcall,
     "variant_props_extract": q_variant_props_extract,
     "stateful_session_report": q_stateful_session_report,
+    "eventgen_source_stats": q_eventgen_source_stats,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4897,6 +4927,18 @@ def oracle_sql() -> dict[str, str]:
     out["doc_perplexity"] = _lm.perplexity_oracle_sql(
         "documents", "doc_id", "text"
     )
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.sources import eventgen as _eg
+
+    out["eventgen_source_stats"] = f"""
+        WITH gen AS ({_eg.oracle_sql(20000, 500)})
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_value_micro,
+               min(event_id) AS min_id,
+               max(event_id) AS max_id
+        FROM gen GROUP BY event_type
+    """
     out["stateful_session_report"] = """
         WITH ordered AS (
             SELECT user_id, epoch_us(ts) AS us,

@@ -65,3 +65,35 @@ def test_json_reader_inference(spark, tmp_path):
     with open(p, "w") as fh:
         fh.write('{"a": 1}\n{"a": 2}\n')
     assert read_batch_files(spark, p, "json").count() == 2
+
+
+def test_eventgen_partition_independence(spark):
+    """The custom source must return the SAME rows at any partition
+    fan-out — retries and scale-ups cannot change the data."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.sources import eventgen
+
+    eventgen.register(spark)
+
+    def rows(nparts):
+        return sorted(
+            map(
+                tuple,
+                spark.read.format("eventgen")
+                .option("n_rows", "997")
+                .option("n_users", "31")
+                .option("n_partitions", str(nparts))
+                .load()
+                .collect(),
+            )
+        )
+
+    a, b = rows(1), rows(7)
+    assert a == b
+    assert len(a) == 997
+    df = (
+        spark.read.format("eventgen")
+        .option("n_rows", "100")
+        .option("n_partitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
