@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("click", "view", "purchase", "scroll", "signup")
 _SCALE = float(1 << 52)  # 13 hex digits = 52 bits, exact in a double
@@ -75,6 +80,9 @@ class EventGenDataSource(DataSource):
     def reader(self, schema):
         return _Reader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return _StreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(EventGenDataSource)
@@ -94,3 +102,31 @@ def oracle_sql(n_rows: int, n_users: int) -> str:
                     AS DOUBLE) / {_SCALE} * 100.0 AS value
         FROM generate_series(0, {n_rows - 1}) AS t(i)
     """
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: the offset is just the
+    next event_id, so checkpoint recovery and readBetweenOffsets
+    replay are trivially exact — gen_row is pure, a replayed offset
+    range regenerates byte-identical rows (exactly-once without any
+    source-side bookkeeping)."""
+
+    def __init__(self, options):
+        self.per_batch = int(options.get("rows_per_batch", 1000))
+        self.n_users = int(options.get("n_users", 100))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = lo + self.per_batch
+        return (
+            iter([gen_row(i, self.n_users) for i in range(lo, hi)]),
+            {"next": hi},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [gen_row(i, self.n_users) for i in range(start["next"], end["next"])]
+        )

@@ -543,3 +543,55 @@ def test_session_close_on_event_time_timeout(spark, tmp_path):
     assert rows[1].session_start_us == 1704067200 * 10**6
     assert rows[1].session_end_us == (1704067200 + 60) * 10**6
     assert rows[2].n_events == 1
+
+
+def test_eventgen_stream_exactly_once_across_restart(spark, tmp_path):
+    """The streaming face of the custom source: offsets checkpoint,
+    the query is KILLED and restarted from the checkpoint, and the
+    landed rows must be gap-free and duplicate-free — exactly-once
+    from a pure generator + offset replay, no source-side
+    bookkeeping."""
+    import time
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.sources import eventgen
+
+    eventgen.register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_until(min_rows, timeout_s=90):
+        q = (
+            spark.readStream.format("eventgen")
+            .option("rows_per_batch", "50")
+            .option("n_users", "17")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        deadline = time.time() + timeout_s
+        n = 0
+        while time.time() < deadline and n < min_rows:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+        return n
+
+    assert run_until(100) >= 100
+    first_leg = spark.read.parquet(out).count()
+    assert run_until(first_leg + 100) >= first_leg + 100  # resumed, grew
+
+    rows = sorted(
+        (r.event_id, r.user_id, r.event_type) for r in spark.read.parquet(out).collect()
+    )
+    ids = [r[0] for r in rows]
+    assert ids == list(range(len(ids)))  # contiguous: no gaps, no dups
+    # rows regenerate identically: spot-check against the pure function
+    for i in (0, 1, len(ids) - 1):
+        assert rows[i][:3] == eventgen.gen_row(ids[i], 17)[:3]
