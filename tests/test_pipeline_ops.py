@@ -410,3 +410,56 @@ def test_table_profile_single_scan_and_counts(spark):
         profile.table_profile(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan ") <= 1
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session factory claims AQE skew-join handling; prove the
+    runtime plan actually marks and splits the hot key: a 95%-one-key
+    fact joined to a dim (broadcast disabled so a shuffle join runs)
+    must show skew=true in the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_part = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_factor = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    )
+    prev_size = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    )
+    prev_advisory = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id").cast("string")).alias("p"),
+        )
+        dim = spark.range(200_001).select(F.col("id").alias("k"), (F.col("id") * 2).alias("d"))
+        joined = fact.join(dim, "k")
+        # collect() drives THIS frame's QueryExecution (count() would
+        # build a separate execution whose adaptive plan we can't read)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_part)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", prev_factor
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            prev_size,
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_advisory
+        )
