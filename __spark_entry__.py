@@ -1603,6 +1603,39 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: the split key is the md5 of each
+    document's DUPLICATE-CLUSTER representative (min doc_id sharing a
+    normalization fingerprint), so exact/near copies always land in
+    the SAME split — assigning by doc_id would leak duplicated text
+    across the eval boundary, the classic benchmark-inflation bug.
+    Deterministic (md5, no RNG): reruns and engines agree row-for-row.
+    The corpus is doubled (shifted ids) so co-travel is actually
+    exercised, not vacuous."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    fps = corpus.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("_fp")
+    )
+    reps = fps.groupBy("_fp").agg(F.min("doc_id").alias("rep_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("rep_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        fps.join(reps, "_fp")
+        .select(
+            "doc_id",
+            "rep_id",
+            F.when(bucket < 90, F.lit("train")).otherwise(F.lit("val")).alias(
+                "split"
+            ),
+        )
+    )
+
+
 def q_eventgen_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python Data Source end to end (sources/eventgen.py): a
     deterministic in-cluster event generator — 20k rows fanned over 8
@@ -3200,6 +3233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_props_extract": q_variant_props_extract,
     "stateful_session_report": q_stateful_session_report,
     "eventgen_source_stats": q_eventgen_source_stats,
+    "leakage_safe_split": q_leakage_safe_split,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4938,6 +4972,25 @@ def oracle_sql() -> dict[str, str]:
                min(event_id) AS min_id,
                max(event_id) AS max_id
         FROM gen GROUP BY event_type
+    """
+    out["leakage_safe_split"] = """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+        ), fps AS (
+            SELECT doc_id,
+                   sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                     AS fp
+            FROM corpus
+        ), reps AS (
+            SELECT fp, min(doc_id) AS rep_id FROM fps GROUP BY fp
+        )
+        SELECT f.doc_id, r.rep_id,
+               CASE WHEN CAST('0x' || substr(md5(CAST(r.rep_id AS VARCHAR)), 1, 4)
+                         AS BIGINT) % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM fps f JOIN reps r ON f.fp = r.fp
     """
     out["stateful_session_report"] = """
         WITH ordered AS (

@@ -192,3 +192,25 @@ def test_simhash_hamming_pairs_equals_brute_force(spark):
         if h <= 3:
             want[(i, j)] = h
     assert got == want and len(want) > 0
+
+
+def test_leakage_safe_split_cotravel(spark):
+    """Near-identical docs (same normalization fingerprint) must land
+    in the SAME split — the property doc_id-keyed splitting violates."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["leakage_safe_split"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r.rep_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_rep.values())  # co-travel
+    # the doubled corpus means every rep has at least its twin
+    sizes = [sum(1 for r in out if r.rep_id == rep) for rep in list(by_rep)[:5]]
+    assert all(n >= 2 for n in sizes)
+    splits = {r.split for r in out}
+    assert splits == {"train", "val"}
