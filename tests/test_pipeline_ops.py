@@ -463,3 +463,61 @@ def test_aqe_splits_skewed_join_partitions(spark):
         spark.conf.set(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_advisory
         )
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """A filter on the DIMENSION must prune the partitioned FACT scan
+    at runtime (DPP) — the 100 TB star-join discipline: only 3 of 20
+    fact partitions read."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "fact")
+    spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 20).cast("string").alias("part")
+    ).write.partitionBy("part").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = (
+        spark.range(20)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 20).cast("string").alias("part"),
+        )
+        .filter(F.col("k") < 3)
+    )
+    j = fact.join(dim, "part")
+    assert len(j.collect()) == 15_000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark, tmp_path):
+    """With runtime bloom filters on, a selective small side must
+    inject a BloomFilter onto the big side's scan — rows drop before
+    the join shuffle instead of after it."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    d1, d2 = str(tmp_path / "big"), str(tmp_path / "small")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.range(1_000_000).select(
+            (F.col("id") % 50_000).alias("k"), F.col("id").alias("v")
+        ).write.mode("overwrite").parquet(d1)
+        spark.range(100).select((F.col("id") * 13).alias("k")).write.mode(
+            "overwrite"
+        ).parquet(d2)
+        big, small = spark.read.parquet(d1), spark.read.parquet(d2)
+        j = big.join(small.filter(F.col("k") % 2 == 0), "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in plan.lower().replace(" ", "")
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
