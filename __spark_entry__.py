@@ -1603,6 +1603,26 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_discrete_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates (ANSI PERCENTILE_DISC ... WITHIN GROUP):
+    discrete quartiles per event type. Discrete percentiles RETURN A
+    SOURCE VALUE (no interpolation, no float synthesis), so the result
+    hash-matches without any rounding discipline — the right quantile
+    flavor when the answer must be an actual observed value."""
+    events = _t(spark, sf_dir, "events")
+    events.filter(F.col("value").isNotNull()).createOrReplaceTempView(
+        "_disc_src"
+    )
+    return spark.sql("""
+        SELECT event_type,
+               count(*) AS n,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75
+        FROM _disc_src GROUP BY event_type
+    """)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val split: the split key is the md5 of each
     document's DUPLICATE-CLUSTER representative (min doc_id sharing a
@@ -3234,6 +3254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stateful_session_report": q_stateful_session_report,
     "eventgen_source_stats": q_eventgen_source_stats,
     "leakage_safe_split": q_leakage_safe_split,
+    "discrete_percentiles_by_type": q_discrete_percentiles_by_type,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4972,6 +4993,15 @@ def oracle_sql() -> dict[str, str]:
                min(event_id) AS min_id,
                max(event_id) AS max_id
         FROM gen GROUP BY event_type
+    """
+    out["discrete_percentiles_by_type"] = """
+        SELECT event_type,
+               count(*) AS n,
+               quantile_disc(value, 0.25) AS p25,
+               quantile_disc(value, 0.5)  AS p50,
+               quantile_disc(value, 0.75) AS p75
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
     """
     out["leakage_safe_split"] = """
         WITH corpus AS (
