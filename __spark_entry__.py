@@ -1603,6 +1603,38 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_hll_union_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA as a query: the distinct-actor count across TWO
+    datasets (event users ∪ customer keys) from the UNION of their HLL
+    sketches — per-bucket MAX over two 256-row register tables, no
+    second pass over either input. This is how per-day / per-dataset
+    sketches roll up at 100 TB. The union estimate is value-checked
+    exactly (portable registers), next to the exact distinct count of
+    the union."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import sketches
+
+    events = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    r1 = sketches.hll_registers(events, "user_id")
+    r2 = sketches.hll_registers(cust, "c_custkey")
+    unioned = sketches.hll_union([r1, r2])
+    est = sketches.hll_estimate(unioned)
+    exact = (
+        events.select(F.col("user_id").alias("k"))
+        .unionByName(cust.select(F.col("c_custkey").alias("k")))
+        .agg(F.count_distinct("k").alias("exact_n"))
+    )
+    return est.crossJoin(exact).select(
+        "exact_n",
+        "hll_est",
+        "n_registers",
+        F.round(
+            (F.col("hll_est") - F.col("exact_n")) / F.col("exact_n") * F.lit(100.0),
+            4,
+        ).alias("rel_err_pct"),
+    )
+
+
 def q_discrete_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregates (ANSI PERCENTILE_DISC ... WITHIN GROUP):
     discrete quartiles per event type. Discrete percentiles RETURN A
@@ -3255,6 +3287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eventgen_source_stats": q_eventgen_source_stats,
     "leakage_safe_split": q_leakage_safe_split,
     "discrete_percentiles_by_type": q_discrete_percentiles_by_type,
+    "hll_union_actors": q_hll_union_actors,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -4993,6 +5026,27 @@ def oracle_sql() -> dict[str, str]:
                min(event_id) AS min_id,
                max(event_id) AS max_id
         FROM gen GROUP BY event_type
+    """
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import sketches as _sk2
+
+    _union_regs = (
+        _sk2.hll_ranked_sql("events", "user_id")
+        + " UNION ALL "
+        + _sk2.hll_ranked_sql("customer", "c_custkey")
+    )
+    out["hll_union_actors"] = f"""
+        WITH est AS ({_sk2.hll_estimate_sql(_union_regs)}),
+        ex AS (
+            SELECT count(DISTINCT k) AS exact_n FROM (
+                SELECT user_id AS k FROM events WHERE user_id IS NOT NULL
+                UNION ALL
+                SELECT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL
+            )
+        )
+        SELECT ex.exact_n, est.hll_est, est.n_registers,
+               round((est.hll_est - ex.exact_n) / ex.exact_n * 100.0, 4)
+                 AS rel_err_pct
+        FROM est CROSS JOIN ex
     """
     out["discrete_percentiles_by_type"] = """
         SELECT event_type,

@@ -223,3 +223,60 @@ def hll_registers_with_exact(df: DataFrame, key_col: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rank").alias("rank"), F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+def hll_union(registers: list[DataFrame]) -> DataFrame:
+    """Union of HLL sketches = per-bucket MAX over their registers —
+    the algebra that lets per-dataset/per-partition/per-day sketches
+    roll up without touching raw data again. Input register frames
+    are tiny (<=256 rows each); the union is a single hash agg."""
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(F.max("rank").alias("rank"))
+
+
+def hll_ranked_sql(source_sql: str, key_expr: str) -> str:
+    """DuckDB fragment: (bucket, rank) rows for one key set — the
+    registers BEFORE per-bucket max, for composing union oracles."""
+    tail_bits = HLL_TAIL_HEX * 4 + 1
+    lz = f"length(regexp_extract(substr(h, 3, {HLL_TAIL_HEX}), '^(0*)', 1))"
+    digit = (
+        f"CAST('0x' || substr(substr(h, 3, {HLL_TAIL_HEX}), {lz} + 1, 1) AS BIGINT)"
+    )
+    return f"""
+        SELECT CAST('0x' || substr(h, 1, 2) AS BIGINT) AS bucket,
+               CASE WHEN {lz} = {HLL_TAIL_HEX} THEN {tail_bits}
+                    ELSE {lz} * 4
+                         + (CASE WHEN {digit} >= 8 THEN 0
+                                 WHEN {digit} >= 4 THEN 1
+                                 WHEN {digit} >= 2 THEN 2
+                                 ELSE 3 END) + 1
+               END AS rank
+        FROM (SELECT md5(CAST({key_expr} AS VARCHAR)) AS h
+              FROM {source_sql} WHERE {key_expr} IS NOT NULL)
+    """
+
+
+def hll_estimate_sql(regs_sql: str) -> str:
+    """DuckDB estimate over a (bucket, rank) relation — same integer
+    harmonic sum and float expressions as hll_estimate."""
+    tail_bits = HLL_TAIL_HEX * 4 + 1
+    return f"""
+        WITH regs AS (
+            SELECT bucket, max(rank) AS rank FROM ({regs_sql}) GROUP BY bucket
+        ), agg AS (
+            SELECT count(*) AS n_present,
+                   sum(CAST(power(2.0, {tail_bits} - rank) AS BIGINT)) AS s_present
+            FROM regs
+        )
+        SELECT round(CASE WHEN (0.7213 / (1.0 + 1.079 / {float(HLL_M)})) * {float(HLL_M * HLL_M)} * {float(_HLL_SCALE)}
+                               / CAST(s_present + ({HLL_M} - n_present) * CAST({_HLL_SCALE} AS BIGINT) AS DOUBLE) <= {2.5 * HLL_M}
+                          AND ({HLL_M} - n_present) > 0
+                     THEN {float(HLL_M)} * ln({float(HLL_M)} / CAST({HLL_M} - n_present AS DOUBLE))
+                     ELSE (0.7213 / (1.0 + 1.079 / {float(HLL_M)})) * {float(HLL_M * HLL_M)} * {float(_HLL_SCALE)}
+                          / CAST(s_present + ({HLL_M} - n_present) * CAST({_HLL_SCALE} AS BIGINT) AS DOUBLE)
+                END, 4) AS hll_est,
+               n_present AS n_registers
+        FROM agg
+    """

@@ -521,3 +521,22 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark, tmp_path):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_hll_union_equals_sketch_of_union(spark):
+    """Sketch algebra: union-of-registers must equal the sketch built
+    directly on the concatenated keys — exactly, register for
+    register."""
+    from pyspark.sql import functions as F
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import sketches
+
+    a = spark.range(0, 1500).select(F.col("id").alias("k"))
+    b = spark.range(1000, 2500).select(F.col("id").alias("k"))
+    u = sketches.hll_union(
+        [sketches.hll_registers(a, "k"), sketches.hll_registers(b, "k")]
+    )
+    direct = sketches.hll_registers(a.unionByName(b), "k")
+    assert {(r.bucket, r.rank) for r in u.collect()} == {
+        (r.bucket, r.rank) for r in direct.collect()
+    }
