@@ -220,3 +220,25 @@ def test_weighted_sample_favors_heavy_weights(spark):
     assert len(s1) == 15
     heavy = sum(1 for i in s1 if i < 20)
     assert heavy >= 10  # 20 heavy rows carry ~91% of the weight mass
+
+
+def test_zvalue_three_dims_roundtrip(spark):
+    """The interleave generalizes beyond 2-D: a 3-dim z-value must
+    decode back to its inputs exactly."""
+    from pyspark.sql import functions as F
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import layout
+
+    df = spark.createDataFrame(
+        [(11, 250, 3), (0, 0, 0), (255, 255, 255), (128, 64, 200)],
+        "x long, y long, z long",
+    )
+    rows = df.select(
+        "x", "y", "z",
+        layout.zvalue([F.col("x"), F.col("y"), F.col("z")], bits=8).alias("m"),
+    ).collect()
+    for r in rows:
+        x = sum(((r.m >> (3 * i)) & 1) << i for i in range(8))
+        y = sum(((r.m >> (3 * i + 1)) & 1) << i for i in range(8))
+        z = sum(((r.m >> (3 * i + 2)) & 1) << i for i in range(8))
+        assert (x, y, z) == (r.x, r.y, r.z)
