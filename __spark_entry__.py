@@ -1603,6 +1603,38 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.asof_join_forward): for every
+    click, the time to the same user's NEXT purchase — the mirror of
+    asof_purchase_click, same one-shuffle union+window shape with the
+    frame flipped. Integer-microsecond gaps; NULL when no later
+    purchase exists. Oracle: correlated min() subquery in DuckDB."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import asof
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    joined = asof.asof_join_forward(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["p_us"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        (F.col("p_us") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
 def q_hll_union_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch ALGEBRA as a query: the distinct-actor count across TWO
     datasets (event users ∪ customer keys) from the UNION of their HLL
@@ -3288,6 +3320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "discrete_percentiles_by_type": q_discrete_percentiles_by_type,
     "hll_union_actors": q_hll_union_actors,
+    "asof_next_purchase": q_asof_next_purchase,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -5047,6 +5080,20 @@ def oracle_sql() -> dict[str, str]:
                round((est.hll_est - ex.exact_n) / ex.exact_n * 100.0, 4)
                  AS rel_err_pct
         FROM est CROSS JOIN ex
+    """
+    out["asof_next_purchase"] = """
+        WITH clicks AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'click'
+        ), purch AS (
+            SELECT user_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id,
+               (SELECT min(p.us) FROM purch p
+                WHERE p.user_id = c.user_id AND p.us >= c.us) - c.us
+                 AS gap_us
+        FROM clicks c
     """
     out["discrete_percentiles_by_type"] = """
         SELECT event_type,

@@ -76,3 +76,61 @@ def asof_join(
             *[F.col("_f").getField(c).alias(c) for c in value_cols],
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Forward as-of: attach `value_cols` from the EARLIEST right row
+    with right_ts >= left_ts — "next quote after the order", the
+    mirror of asof_join. Same union+window shape and cost (one shuffle
+    + sort per key), with the frame flipped to currentRow..unbounded
+    FOLLOWING and first() instead of last(). Left tags _side=0 so at
+    equal ts it sorts BEFORE the right row, which therefore sits
+    inside the left row's frame — ties match (>= semantics), the
+    mirror of the backward join's right-before-left ordering."""
+    from pyspark.sql.types import StructField, StructType
+
+    on = list(on)
+    lcols = left.columns
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # left sorts BEFORE right at equal ts
+        *[F.col(c) for c in lcols if c not in on and c != left_ts],
+        F.lit(None).cast(r_struct_type).alias("_r"),
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in on and c != left_ts
+        ],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        "*", F.first("_r", ignorenulls=True).over(w).alias("_f")
+    )
+    return filled.filter(F.col("_side") == 0).select(
+        *on,
+        F.col("_ts").alias(left_ts),
+        *[c for c in lcols if c not in on and c != left_ts],
+        *[F.col("_f").getField(c).alias(c) for c in value_cols],
+    )

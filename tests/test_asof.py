@@ -30,3 +30,25 @@ def test_asof_preserves_left_columns(spark):
     assert row["lpay"] == "payload"
     assert row["ts"] == 10
     assert row["rval"] == 1.0
+
+
+def test_forward_asof_matches_next_and_ties(spark):
+    """Forward as-of: earliest right at-or-after left ts; equal-ts
+    rows MATCH (>= semantics); no later right -> NULL."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (1, 100, "c"), (2, 5, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 30, 2.0), (1, 90, 3.0)],
+        "k long, ts long, v double",
+    )
+    out = {
+        r.tag: r.v
+        for r in asof.asof_join_forward(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    assert out == {"a": 1.0, "b": 2.0, "c": None, "d": None}
