@@ -1603,6 +1603,35 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_nullsafe_props_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): events
+    joined to their own distinct-props dimension so the NULL-props
+    group JOINS AS A KEY instead of silently dropping — the semantics
+    plain equi-joins get wrong on nullable keys. Per matched dim row:
+    event count and integer-cent value mass."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        # the fixture has no NULL props; nullify a deterministic slice
+        # so the null-safe semantics are exercised, not vacuous
+        "props",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("props")
+        ),
+    )
+    dim = events.select("props").distinct().withColumn(
+        "props_group",
+        F.coalesce(F.col("props"), F.lit("<NULL>")),
+    )
+    joined = events.join(
+        F.broadcast(dim), events["props"].eqNullSafe(dim["props"])
+    )
+    return joined.groupBy("props_group").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.coalesce(F.round(F.col("value") * 100).cast("bigint"), F.lit(0))
+        ).alias("sum_value_cents"),
+    )
+
+
 def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join (operators/asof.asof_join_forward): for every
     click, the time to the same user's NEXT purchase — the mirror of
@@ -3321,6 +3350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "discrete_percentiles_by_type": q_discrete_percentiles_by_type,
     "hll_union_actors": q_hll_union_actors,
     "asof_next_purchase": q_asof_next_purchase,
+    "nullsafe_props_join": q_nullsafe_props_join,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -5080,6 +5110,20 @@ def oracle_sql() -> dict[str, str]:
                round((est.hll_est - ex.exact_n) / ex.exact_n * 100.0, 4)
                  AS rel_err_pct
         FROM est CROSS JOIN ex
+    """
+    out["nullsafe_props_join"] = """
+        WITH ev AS (
+            SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END
+                     AS props,
+                   value
+            FROM events
+        ), dim AS (SELECT DISTINCT props FROM ev)
+        SELECT COALESCE(d.props, '<NULL>') AS props_group,
+               count(*) AS n_events,
+               sum(COALESCE(CAST(round(e.value * 100) AS BIGINT), 0))
+                 AS sum_value_cents
+        FROM ev e JOIN dim d ON e.props IS NOT DISTINCT FROM d.props
+        GROUP BY 1
     """
     out["asof_next_purchase"] = """
         WITH clicks AS (
