@@ -1603,6 +1603,34 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics: the Markov transition counts of order
+    priorities within each customer's order history (lag over a total
+    order — date then orderkey, so ties can't flip the matrix), plus
+    each transition's share of its source row. One window shuffle on
+    the customer key + one tiny aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    trans = orders.select(
+        F.lag("o_orderpriority").over(w).alias("from_priority"),
+        F.col("o_orderpriority").alias("to_priority"),
+    ).filter(F.col("from_priority").isNotNull())
+    counts = trans.groupBy("from_priority", "to_priority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = Window.partitionBy("from_priority")
+    return counts.select(
+        "from_priority",
+        "to_priority",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(row_tot), 6
+        ).alias("share"),
+    )
+
+
 def q_nullsafe_props_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (<=> / IS NOT DISTINCT FROM): events
     joined to their own distinct-props dimension so the NULL-props
@@ -3351,6 +3379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_union_actors": q_hll_union_actors,
     "asof_next_purchase": q_asof_next_purchase,
     "nullsafe_props_join": q_nullsafe_props_join,
+    "priority_transition_matrix": q_priority_transition_matrix,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -5110,6 +5139,22 @@ def oracle_sql() -> dict[str, str]:
                round((est.hll_est - ex.exact_n) / ex.exact_n * 100.0, 4)
                  AS rel_err_pct
         FROM est CROSS JOIN ex
+    """
+    out["priority_transition_matrix"] = """
+        WITH seq AS (
+            SELECT lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS from_priority,
+                   o_orderpriority AS to_priority
+            FROM orders
+        ), counts AS (
+            SELECT from_priority, to_priority, count(*) AS n
+            FROM seq WHERE from_priority IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_priority, to_priority, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY from_priority), 6) AS share
+        FROM counts
     """
     out["nullsafe_props_join"] = """
         WITH ev AS (
