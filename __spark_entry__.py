@@ -1603,6 +1603,40 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, step one: corpus-weighted adjacent
+    character-pair frequencies — exactly what the first BPE merge
+    maximizes. Shape matters at scale: pair generation runs over the
+    DISTINCT token vocabulary (tiny) weighted by token frequency, not
+    over every corpus token occurrence. Top-20 with a total order
+    (count desc, pair asc) so the cut is deterministic. Guarded for
+    1-char tokens (Spark's sequence(1, 0) counts DOWN)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok_freq = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = tok_freq.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.length("tok") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
 def q_priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence analytics: the Markov transition counts of order
     priorities within each customer's order history (lag over a total
@@ -3380,6 +3414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_next_purchase": q_asof_next_purchase,
     "nullsafe_props_join": q_nullsafe_props_join,
     "priority_transition_matrix": q_priority_transition_matrix,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -5139,6 +5174,25 @@ def oracle_sql() -> dict[str, str]:
                round((est.hll_est - ex.exact_n) / ex.exact_n * 100.0, 4)
                  AS rel_err_pct
         FROM est CROSS JOIN ex
+    """
+    out["bpe_pair_counts"] = """
+        WITH tf AS (
+            SELECT tok, count(*) AS freq FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS tok
+                FROM documents
+            ) GROUP BY tok
+        ), pairs AS (
+            SELECT freq,
+                   unnest(CASE WHEN length(tok) >= 2
+                               THEN list_transform(range(1, length(tok)),
+                                                   i -> substr(tok, CAST(i AS INT), 2))
+                               ELSE [] END) AS pair
+            FROM tf
+        )
+        SELECT pair, sum(freq) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 20
     """
     out["priority_transition_matrix"] = """
         WITH seq AS (
