@@ -1603,6 +1603,34 @@ def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.skew_profile(events, "user_id", top_n=10)
 
 
+def q_user_credit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-capped running balance per user
+    (aggregation.capped_running_final): purchases debit, other events
+    credit, the balance never goes below zero — the non-linear
+    sequential fold no window frame expresses. Integer cents over a
+    total order (us, event_id), so DuckDB's list_reduce over the
+    identically-ordered sequence matches EXACTLY with zero float
+    discipline."""
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("_us"),
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                -F.round(F.col("value") * 100).cast("bigint"),
+            )
+            .otherwise(F.round(F.col("value") * 100).cast("bigint"))
+            .alias("delta_cents"),
+        )
+    )
+    return aggregation.capped_running_final(
+        events, "user_id", ["_us", "event_id"], "delta_cents", floor=0
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer induction, step one: corpus-weighted adjacent
     character-pair frequencies — exactly what the first BPE merge
@@ -3415,6 +3443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nullsafe_props_join": q_nullsafe_props_join,
     "priority_transition_matrix": q_priority_transition_matrix,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "user_credit_balance": q_user_credit_balance,
     "stateful_running_counts": q_stateful_running_counts,
     "stream_stream_join": q_stream_stream_join,
     "multimodal_feature_stats": q_multimodal_feature_stats,
@@ -5174,6 +5203,21 @@ def oracle_sql() -> dict[str, str]:
                round((est.hll_est - ex.exact_n) / ex.exact_n * 100.0, 4)
                  AS rel_err_pct
         FROM est CROSS JOIN ex
+    """
+    out["user_credit_balance"] = """
+        WITH seq AS (
+            SELECT user_id,
+                   list(CASE WHEN event_type = 'purchase'
+                             THEN -CAST(round(value * 100) AS BIGINT)
+                             ELSE CAST(round(value * 100) AS BIGINT) END
+                        ORDER BY epoch_us(ts), event_id) AS deltas
+            FROM events WHERE value IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), deltas),
+                           (acc, d) -> greatest(acc + d, 0)) AS balance
+        FROM seq
     """
     out["bpe_pair_counts"] = """
         WITH tf AS (

@@ -146,3 +146,35 @@ def mad_outlier_stats(
             ).alias("n_outliers"),
         )
     )
+
+
+def capped_running_final(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    delta_col: str,
+    floor: int = 0,
+):
+    """Per-key floor-capped running balance (final value):
+    b_t = max(b_{t-1} + delta_t, floor) over rows ordered by
+    ``order_cols`` — the inventory/credit-balance recurrence. Like
+    ewma_final this is a sequential fold no window frame can express
+    (the cap makes it non-linear), but the state is INTEGER, so the
+    result is exact on any engine folding the same total order — no
+    float discipline needed at all. One shuffle on the key; Arrow
+    batches per group."""
+    import pandas as pd
+
+    key_field = df.schema[key_col]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        acc = 0
+        for d in pdf[delta_col].astype("int64"):
+            acc = max(acc + int(d), floor)
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "balance": [acc]}
+        )
+
+    out_schema = f"{key_col} {key_field.dataType.simpleString()}, balance bigint"
+    return df.groupBy(key_col).applyInPandas(fold, out_schema)

@@ -67,3 +67,25 @@ def test_mad_outliers_resist_masking(spark):
     out = aggregation.mad_outlier_stats(df, "g", "v").collect()[0]
     assert out.med == 10.0 and out.mad == 0.0
     assert out.n_outliers == 1
+
+
+def test_capped_running_balance_floor_semantics(spark):
+    """The cap must bind mid-sequence (not just at the end): a deep
+    early debit is forgiven, it does not haunt later credits."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import aggregation
+
+    rows = [
+        (1, 1, -1000),  # capped to 0
+        (1, 2, 50),
+        (1, 3, -20),  # 30
+        (2, 1, 10),
+        (2, 2, -5),  # 5
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, d long")
+    out = {
+        r.k: r.balance
+        for r in aggregation.capped_running_final(
+            df, "k", ["seq"], "d", floor=0
+        ).collect()
+    }
+    assert out == {1: 30, 2: 5}
