@@ -370,21 +370,22 @@ def q_window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame window (the one frame shape rowsBetween can't
-    express): trailing 7-day revenue over the DAILY aggregate. The
-    range window is unpartitioned but its input is one row per day
-    (bounded — a few thousand rows regardless of fact-table size), so
-    the single-reducer sort is safe by construction; the heavy lifting
-    happened in the partial+final daily hash agg. Each price is rounded
-    to integer cents PER ROW before summing, so every aggregate is an
-    exact bigint sum — engine- and partition-order-proof (a post-sum
-    round() flips by one ulp depending on reduction order)."""
+    """Trailing 7-row rolling window over the DAILY aggregate (ROWS
+    BETWEEN 6 PRECEDING AND CURRENT ROW — the standard trailing-7-day
+    idiom over a daily series; the observed-day grain, not the calendar
+    grain, so gap days do not shrink the window). The window is
+    unpartitioned but its input is one row per day (bounded — a few
+    thousand rows regardless of fact-table size), so the single-reducer
+    sort is safe by construction; the heavy lifting happened in the
+    partial+final daily hash agg. Each price is rounded to integer
+    cents PER ROW before summing, so every aggregate is an exact bigint
+    sum — engine- and partition-order-proof (a post-sum round() flips
+    by one ulp depending on reduction order)."""
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
     )
-    day_num = F.datediff(F.col("day"), F.lit("1995-01-01"))
-    w = Window.orderBy(day_num).rangeBetween(-6, 0)
+    w = Window.orderBy("day").rowsBetween(-6, 0)
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "rev_cents",
@@ -666,15 +667,37 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "cos_sim")
 
 
+def _ann_corpus(emb: DataFrame) -> DataFrame:
+    """Corpus for the ANN gate queries: embeddings ∪ THREE exact copies
+    per vector (+100000/+200000/+300000). With k=3 and self excluded,
+    every query's true top-3 is exactly its three identical copies
+    (max natural cosine between distinct base vectors is ~0.49 — the
+    planted score 1.0 dominates), and identical vectors land in the
+    SAME LSH bucket / IVF cell as the query by construction, so the
+    index output provably equals the brute-force answer — which makes
+    the full k-list value-checkable by a brute-force SQL oracle while
+    the candidate generation stays a real bucketed index join."""
+    copies = [
+        emb.select((F.col("vec_id") + off).alias("vec_id"), "embedding")
+        for off in (100000, 200000, 300000)
+    ]
+    corpus = emb
+    for c in copies:
+        corpus = corpus.unionByName(c)
+    return corpus
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: hyperplane-LSH bucket join instead of the brute
-    cross join (no SQL oracle — bucket membership depends on 512
-    md5-derived plane literals; tests/test_similarity.py checks planted
-    copies are retrieved with score 1.0 and recall vs brute force).
-    Corpus = embeddings ∪ exact copies; queries = vec_id < 8."""
+    cross join. Candidate generation depends on 512 md5-derived plane
+    literals (not SQL-expressible), but the EMITTED top-3 lists are
+    value-checked: with three planted exact copies per query the index
+    answer provably equals the brute-force answer (see _ann_corpus),
+    so the oracle brute-forces the same corpus. Recall vs brute force
+    on non-planted corpora stays covered by tests/test_similarity.py.
+    Queries = vec_id < 8."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    corpus = emb.unionByName(copies)
+    corpus = _ann_corpus(emb)
     queries = emb.filter(F.col("vec_id") < 8)
     planes = similarity.deterministic_planes(n_planes=8, dim=64)
     return similarity.lsh_cosine_topk(
@@ -685,13 +708,14 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path #2: IVF — corpus partitioned into nearest-centroid
     cells (16 deterministic seed centroids + one distributed Lloyd
-    refinement), queries probe their 3 best cells (no SQL oracle —
-    cell membership depends on the learned centroids;
-    tests/test_similarity.py checks planted copies are retrieved at
-    score 1.0). Corpus = embeddings ∪ exact copies; queries = vec_id < 8."""
+    refinement), queries probe their 3 best cells. Cell membership
+    depends on the learned centroids (not SQL-expressible), but the
+    EMITTED top-3 lists are value-checked via the planted-copy corpus
+    (see _ann_corpus): identical vectors share the query's cell, so the
+    probed top-3 provably equals brute force and the oracle brute-forces
+    the same corpus. Queries = vec_id < 8."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    corpus = emb.unionByName(copies)
+    corpus = _ann_corpus(emb)
     queries = emb.filter(F.col("vec_id") < 8)
     seeds = similarity.sample_centroids(emb, "vec_id", "embedding", n_cells=16)
     cents = similarity.lloyd_refine(emb, "embedding", seeds)
@@ -797,10 +821,12 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),
-            # exact bigint sum / exact count, ONE double division — avg()
-            # over bigint sums partials in double, whose reduction order
-            # varies with partitioning and flips the 6th decimal.
-            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+            # exact bigint sum / exact count, ONE double division.
+            # Unrounded: bit-identical to DuckDB's avg(k) because the
+            # bigint sum is exact (< 2^53) and the single division is
+            # IEEE-correctly-rounded in both engines. A round(...,6)
+            # here is NOT what a native avg() emits — it hash-mismatches.
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -1902,7 +1928,22 @@ def q_stateful_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = {}
         for field in arrow_schema:
             if field.name == "ts":
-                cols["ts"] = _pa.array([ts_us], type=_pa.int64()).cast(field.type)
+                # Write the tick in the fixture's own ts representation:
+                # a timestamp field goes through a unit-converting
+                # timestamp[us] cast (so a nanos fixture gets nanos), and
+                # a raw-int64 field is the nanosAsLong format that
+                # normalize_event_time divides by 1000 — write ts_us*1000
+                # there. A raw-us int64 would land ~1000x in the past and
+                # the watermark would never advance past the real
+                # sessions.
+                if _pa.types.is_timestamp(field.type):
+                    cols["ts"] = _pa.array(
+                        [ts_us], type=_pa.timestamp("us")
+                    ).cast(field.type)
+                else:
+                    cols["ts"] = _pa.array([ts_us * 1000], type=_pa.int64()).cast(
+                        field.type
+                    )
             elif field.name == "user_id":
                 cols["user_id"] = _pa.array([sentinel], type=field.type)
             elif field.name == "event_id":
@@ -2030,15 +2071,21 @@ def q_rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = events.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
+    # Aggregate to ONE set per day first (partial+final hash agg — the
+    # heavy, scalable step), so the unpartitioned window really does run
+    # on the bounded daily grain: a few thousand rows through the single
+    # reducer, each carrying its day's user set, however large the fact
+    # table grows. flatten + array_distinct over the 7-day frame of
+    # daily sets replaces the per-(day,user) collect_set the previous
+    # version rebuilt once per user row.
+    daily_sets = du.groupBy("day").agg(F.collect_set("user_id").alias("users"))
     day_num = F.datediff(F.col("day"), F.lit("1995-01-01"))
     w = Window.orderBy(day_num).rangeBetween(-6, 0)
-    return (
-        du.select(
-            "day",
-            F.size(F.collect_set("user_id").over(w)).alias("n_active_7d"),
-        )
-        .groupBy("day")
-        .agg(F.max("n_active_7d").alias("n_active_7d"))
+    return daily_sets.select(
+        "day",
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("users").over(w)))
+        ).alias("n_active_7d"),
     )
 
 
@@ -3549,6 +3596,32 @@ def _simhash_oracle(source: str = "documents") -> str:
     """
 
 
+# Shared brute-force oracle for the two ANN index queries: over the
+# planted-copy corpus (_ann_corpus) the index answer provably equals
+# brute force, so one exact SQL computation certifies both pipelines.
+_ANN_TOPK_ORACLE = """
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 300000 AS vec_id, embedding FROM embeddings
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS score FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id ASC
+               ) AS rank
+        FROM embeddings q
+        JOIN corpus c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+    ) WHERE rank <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_scores = ", ".join(
         f"len(list_filter({_TOKENS}, t -> list_contains({markers!r}, t))) AS s_{lang}".replace(
@@ -3946,10 +4019,14 @@ def oracle_sql() -> dict[str, str]:
                 JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.999
         """,
-        # lsh_ann_topk: intentionally no oracle — bucket membership
-        # depends on 512 md5-derived hyperplane literals; the driver
-        # records a rows-only check and tests/test_similarity.py checks
-        # planted-copy retrieval and recall vs brute force.
+        # lsh_ann_topk / ivf_ann_topk: candidate generation (hyperplane
+        # buckets / probed centroid cells) is not SQL-expressible, but
+        # the EMITTED top-3 lists are — the three planted exact copies
+        # per query provably dominate (max natural cosine ~0.49 vs 1.0)
+        # and are guaranteed co-bucketed/co-celled with the query, so
+        # the index answer equals this brute-force computation.
+        "lsh_ann_topk": _ANN_TOPK_ORACLE,
+        "ivf_ann_topk": _ANN_TOPK_ORACLE,
         "cube_order_stats": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
@@ -3993,8 +4070,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": r"""
             SELECT event_type,
                    sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
-                   round(CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS DOUBLE)
-                         / count(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 6) AS avg_k,
+                   avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS avg_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
@@ -4433,8 +4509,8 @@ def oracle_sql() -> dict[str, str]:
                    sum(rev_cents) OVER w AS rolling_7d_cents,
                    count(*) OVER w AS n_days_in_window
             FROM daily
-            WINDOW w AS (ORDER BY datediff('day', DATE '1995-01-01', day)
-                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "stream_stream_join": """
             SELECT p.user_id,
@@ -5219,7 +5295,7 @@ def oracle_sql() -> dict[str, str]:
                            (acc, d) -> greatest(acc + d, 0)) AS balance
         FROM seq
     """
-    out["bpe_pair_counts"] = """
+    out["bpe_pair_counts"] = r"""
         WITH tf AS (
             SELECT tok, count(*) AS freq FROM (
                 SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
@@ -5291,7 +5367,7 @@ def oracle_sql() -> dict[str, str]:
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type
     """
-    out["leakage_safe_split"] = """
+    out["leakage_safe_split"] = r"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
