@@ -88,28 +88,32 @@ def ewma_final(
 
     This is a SEQUENTIAL RECURRENCE — the one aggregate shape window
     frames can't express (the closed form needs (1-alpha)^(-i) terms
-    that overflow immediately), so it is the legitimate use of the
-    Arrow path: applyInPandas, one group per key, explicit float64
-    loop. The fold order is pinned by ``order_cols`` (callers must
-    make it a total order), which also makes the result bit-identical
-    to any engine folding the same sequence. One shuffle on the key;
-    groups stream through pandas in Arrow batches.
+    that overflow immediately). It IS expressible as a sequential left
+    fold, so it stays entirely JVM-side: collect_list the per-key
+    (order..., value) structs, array_sort (struct field order = the
+    caller's total order), then F.aggregate — Catalyst's left fold,
+    the exact mirror of DuckDB's list_reduce, applying the identical
+    float64 ops in the identical order, so results are bit-identical
+    to any engine folding the same sequence. One partial+final hash
+    aggregate on the key; no Python, no Arrow, no per-group pandas
+    overhead (which dominated the former applyInPandas version ~10x).
+    Per-key state is the key's event list — the same bound the pandas
+    version had, fine wherever per-key cardinality is bounded.
 
     Returns (key, ewma) with one row per key.
     """
-    import pandas as pd
-
-    key_field = df.schema[key_col]
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        acc = None
-        for x in pdf[value_col].astype("float64"):
-            acc = x if acc is None else (1.0 - alpha) * acc + alpha * x
-        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "ewma": [acc]})
-
-    out_schema = f"{key_col} {key_field.dataType.simpleString()}, ewma double"
-    return df.groupBy(key_col).applyInPandas(fold, out_schema)
+    one_minus = 1.0 - alpha  # same Python-double constant the loop used
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(value_col).cast("double").alias("_x")
+    )
+    xs = F.array_sort(F.collect_list(order_struct))
+    vals = F.transform(xs, lambda s: s["_x"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(one_minus) * acc + F.lit(alpha) * x,
+    )
+    return df.groupBy(key_col).agg(folded.alias("ewma"))
 
 
 def mad_outlier_stats(
@@ -161,20 +165,31 @@ def capped_running_final(
     ewma_final this is a sequential fold no window frame can express
     (the cap makes it non-linear), but the state is INTEGER, so the
     result is exact on any engine folding the same total order — no
-    float discipline needed at all. One shuffle on the key; Arrow
-    batches per group."""
-    import pandas as pd
+    float discipline needed at all.
 
-    key_field = df.schema[key_col]
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        acc = 0
-        for d in pdf[delta_col].astype("int64"):
-            acc = max(acc + int(d), floor)
-        return pd.DataFrame(
-            {key_col: [pdf[key_col].iloc[0]], "balance": [acc]}
-        )
-
-    out_schema = f"{key_col} {key_field.dataType.simpleString()}, balance bigint"
-    return df.groupBy(key_col).applyInPandas(fold, out_schema)
+    JVM-side rewrite of the recurrence via the prefix-sum identity
+        b_n = max(S_n, floor + S_n - min_{1<=k<=n} S_k)
+    (S_k = sum of the first k deltas; property-verified against the
+    step-by-step loop over 300 random sequences): one collect_list +
+    array_sort per key, then a single F.aggregate fold carrying
+    (running_sum, min_running_sum) — exact bigint arithmetic, one
+    partial+final hash aggregate on the key, no Python."""
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(delta_col).cast("bigint").alias("_d")
+    )
+    xs = F.array_sort(F.collect_list(order_struct))
+    ds = F.transform(xs, lambda s: s["_d"])
+    first = F.element_at(ds, 1)
+    acc0 = F.struct(first.alias("rs"), first.alias("mn"))
+    folded = F.aggregate(
+        F.slice(ds, 2, F.greatest(F.size(ds) - 1, F.lit(0))),
+        acc0,
+        lambda acc, d: F.struct(
+            (acc["rs"] + d).alias("rs"),
+            F.least(acc["mn"], acc["rs"] + d).alias("mn"),
+        ),
+    )
+    balance = F.greatest(
+        folded["rs"], F.lit(int(floor)) + folded["rs"] - folded["mn"]
+    ).cast("bigint")
+    return df.groupBy(key_col).agg(balance.alias("balance"))
