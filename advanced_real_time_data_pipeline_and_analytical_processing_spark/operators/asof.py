@@ -59,9 +59,15 @@ def asof_join(
         F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
     )
     unioned = l.unionByName(r)
+    # `_r` as the final sort key: when several RIGHT rows share
+    # (key, ts), last() would otherwise pick a partition-order-dependent
+    # row — the struct itself makes the winner deterministic (the max
+    # payload at the tied timestamp). Left rows carry a NULL struct and
+    # sort first within their side, which changes nothing (_side
+    # dominates).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -120,9 +126,12 @@ def asof_join_forward(
         F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
     )
     unioned = l.unionByName(r)
+    # Deterministic right-side tiebreaker, mirroring the backward join:
+    # first() at a tied (key, ts) picks the MIN payload struct instead
+    # of a partition-order-dependent row.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     filled = unioned.select(

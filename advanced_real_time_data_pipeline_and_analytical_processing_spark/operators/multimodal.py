@@ -100,20 +100,47 @@ def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]
     return [digest[i % 32] / 255.0 for i in range(dim)]
 
 
+def _pil_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image features via PIL: decode, resize to a 4x4 grayscale
+    thumbnail, emit the 16 normalized pixel intensities. Import happens
+    inside the executor-side call (the module must stay importable
+    without PIL). Undecodable/missing payloads yield the zero vector —
+    decode errors must not kill a 100 TB job."""
+    from PIL import Image  # noqa: deferred — only on the real path
+    import io
+
+    if payload is None:
+        return [0.0] * dim
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+    except Exception:
+        return [0.0] * dim
+    px = list(img.getdata())
+    return [px[i % 16] / 255.0 for i in range(dim)]
+
+
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Real decode (PIL/ffmpeg) is unavailable in this container — STUB:
-    raises NotImplementedError unless fake=True, which substitutes the
-    deterministic hash-derived vector. The mapInPandas flow (batch
-    iterator in, batch iterator out, FEATURES_SCHEMA contract) is the
-    real production shape either way.
+    With ``fake=True`` a deterministic hash-derived vector stands in
+    for decoder output (the tested default in this container). With
+    ``fake=False`` the real PIL decode path runs — gated on PIL being
+    importable (it is not present in this container: the driver-side
+    probe raises NotImplementedError so the stub stays honest;
+    tests/test_multimodal.py carries a skipif-marked end-to-end test
+    that exercises this branch automatically wherever PIL exists).
+    The mapInPandas flow (batch iterator in, batch iterator out,
+    FEATURES_SCHEMA contract) is the real production shape either way.
     """
     if not fake:
-        raise NotImplementedError(
-            "media decoding requires PIL/ffmpeg, not present in this "
-            "environment; call with fake=True to exercise the plumbing"
-        )
+        try:
+            import PIL.Image  # noqa: F401 — driver-side availability probe
+        except ImportError as exc:
+            raise NotImplementedError(
+                "media decoding requires PIL/ffmpeg, not present in this "
+                "environment; call with fake=True to exercise the plumbing"
+            ) from exc
+    feat = _fake_features if fake else _pil_features
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,7 +148,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "features": [_fake_features(p) for p in pdf["payload"]],
+                    "features": [feat(p) for p in pdf["payload"]],
                 }
             )
 

@@ -22,9 +22,41 @@ def test_attach_meta_backfills_bytes(spark):
     assert out[4] is None  # null payload -> null n_bytes
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="PIL present: real decode works")
 def test_decode_stub_raises_without_fake(spark):
     with pytest.raises(NotImplementedError):
         M.decode_image_features(media_df(spark))
+
+
+@pytest.mark.skipif(not _pil_available(), reason="PIL not in this container")
+def test_real_decode_end_to_end(spark):
+    """Runs automatically the day the environment gains PIL: real PNG
+    payloads through the fake=False path — decoded 4x4 grayscale
+    thumbnail features, undecodable payloads to the zero vector."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    rows = [
+        (1, "image", bytearray(buf.getvalue()), ("image/png", 8, 8, None, None)),
+        (2, "image", bytearray(b"not-an-image"), ("image/png", 0, 0, None, None)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r["features"] for r in M.decode_image_features(df).collect()}
+    assert len(out[1]) == M.FEATURE_DIM
+    assert all(abs(v - 128 / 255.0) < 1e-6 for v in out[1])
+    assert out[2] == [0.0] * M.FEATURE_DIM
 
 
 def test_fake_decode_deterministic_shape(spark):

@@ -41,6 +41,8 @@ def main() -> int:
             capture_output=True,
             text=True,
         )
+        seen = 0
+        batch_failed = False
         for line in proc.stdout.splitlines():
             # Spark progress bars glue \r fragments onto result lines —
             # match anywhere in the line, not just at the start
@@ -48,8 +50,24 @@ def main() -> int:
                 idx = line.find(tag)
                 if idx >= 0:
                     print(line[idx:])
+                    seen += 1
                     if tag == "FAIL ":
                         failures += 1
+                        batch_failed = True
+        # A subprocess that dies without printing (OOM, timeout, import
+        # error) must count as failed for its WHOLE batch — a silent
+        # skip would report 0 failures while covering nothing.
+        if proc.returncode != 0 and not batch_failed:
+            print(
+                f"FAIL batch {chunk}: check_oracle exited "
+                f"{proc.returncode} without FAIL lines; stderr tail: "
+                f"{proc.stderr.strip().splitlines()[-3:]}"
+            )
+            failures += 1
+        elif seen < len(chunk):
+            missing = len(chunk) - seen
+            print(f"FAIL batch {chunk}: {missing} queries produced no result line")
+            failures += missing
     print(f"swept {len(names)} queries, {failures} failures")
     return 1 if failures else 0
 
