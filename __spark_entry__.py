@@ -2614,6 +2614,23 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs via inverted-index
+    self-join (search.sparse_tfidf_cosine_pairs) — the lexical exact
+    complement to MinHash banding and embedding ANN. Corpus = documents
+    ∪ planted copies(+100000), so every doc pairs with its copy at
+    cos_sim 1.0 regardless of df pruning (identical pruned vectors);
+    natural bigram-overlap pairs above 0.5 surface too. All weights are
+    integer-quantized (milli-nat idf), so the oracle's identical
+    integer pipeline hash-matches exactly."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(copies)
+    return search.sparse_tfidf_cosine_pairs(
+        corpus, "doc_id", "text", df_frac_cap=0.05, threshold=0.5
+    )
+
+
 def q_price_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per order within its status group —
     the remaining ranking-window surface (rank/dense_rank/ntile/
@@ -3530,6 +3547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_triangles": q_user_triangles,
     "balanced_eval_sample": q_balanced_eval_sample,
     "boilerplate_chunks": q_boilerplate_chunks,
+    "sparse_cosine_pairs": q_sparse_cosine_pairs,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -5670,5 +5688,50 @@ def oracle_sql() -> dict[str, str]:
                round(avg(CASE WHEN pred <> lang THEN 1.0 ELSE 0.0 END), 6)
                  AS lang_mismatch_rate
         FROM per_doc GROUP BY source
+    """
+    out["sparse_cosine_pairs"] = r"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+        ), toked AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+            FROM corpus
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ts)),
+                                             i -> ts[i] || ' ' || ts[i + 1]))
+                         AS term
+                FROM toked
+            ) GROUP BY doc_id, term
+        ), n AS (SELECT count(*) AS n_docs FROM corpus),
+        kept AS (
+            SELECT term,
+                   CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000)
+                        AS BIGINT) AS idf_q
+            FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), n
+            WHERE df <= n_docs * 0.05
+        ), w AS (
+            SELECT doc_id, tf.term, tf * idf_q AS w
+            FROM tf JOIN kept ON tf.term = kept.term
+        ), norms AS (
+            SELECT doc_id, sum(w * w) AS ssq FROM w GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+            FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.ssq AS DOUBLE))
+                        * sqrt(CAST(nb.ssq AS DOUBLE))), 6) AS cos_sim
+        FROM dots
+        JOIN norms na ON na.doc_id = id_a
+        JOIN norms nb ON nb.doc_id = id_b
+        WHERE CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na.ssq AS DOUBLE))
+                 * sqrt(CAST(nb.ssq AS DOUBLE))) >= 0.5
     """
     return out

@@ -98,3 +98,87 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("_id").alias(id_col), "bm25", "rank")
     )
+
+
+def sparse_tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    df_frac_cap: float = 0.05,
+    threshold: float = 0.5,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine similarity >= threshold via an
+    INVERTED-INDEX self-join — the lexical complement to MinHash
+    (dedup.py) and embedding ANN (similarity.py): exact cosine over
+    sparse bag-of-bigrams vectors, no embeddings needed.
+
+    Shape, and why it survives 100 TB:
+    - terms are word BIGRAMS (unigram vocabularies are too dense to
+      index); one scan builds (doc, term, tf).
+    - the fan-out bound is the df cap: terms appearing in more than
+      ``df_frac_cap`` of the corpus are dropped BEFORE the self-join,
+      so candidate generation costs sum(df^2) over rare terms only —
+      never corpus^2. This is the classic inverted-index prune: a term
+      shared by 5% of documents carries ~no cosine signal but would
+      dominate the join. (Identical documents keep cosine 1.0 under
+      any pruning — their pruned vectors are still identical.)
+    - the per-pair dot product is a hash aggregate over shared terms;
+      one shuffle on (id_a, id_b). Norms join back per doc id.
+
+    Cross-engine exactness: idf = ln(N/df) is quantized to integer
+    ``idf_scale``-ths (milli-nats by default) so every weight, dot
+    product, and squared norm is an exact BIGINT — summation order
+    cannot matter (same discipline as lm.py's micro-nat NLL). The only
+    float ops are the final sqrt/divide on identical integers, which
+    IEEE-754 rounds identically everywhere; scores are then rounded to
+    6 for the emitted column.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    from .text import bigrams_from_tokens, tokens
+
+    toked = docs.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    tf = (
+        toked.select("_id", F.explode(bigrams_from_tokens(F.col("_toks"))).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # integer-quantized idf over the surviving (rare-enough) terms
+    kept = (
+        dft.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n") * F.lit(df_frac_cap))
+        .select(
+            "term",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("df")) * idf_scale
+            )
+            .cast("bigint")
+            .alias("idf_q"),
+        )
+    )
+    w = tf.join(kept, "term").select(
+        "_id", "term", (F.col("tf") * F.col("idf_q")).alias("w")
+    )
+    norms = w.groupBy("_id").agg(F.sum(F.col("w") * F.col("w")).alias("ssq"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("ssq").alias("ssq_a"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("ssq").alias("ssq_b"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("ssq_a").cast("double")) * F.sqrt(F.col("ssq_b").cast("double"))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+    )

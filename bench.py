@@ -49,17 +49,29 @@ def main() -> None:
     # rerun then takes 3-4 s at sf0.1). A tiny untimed pass compiles
     # every plan's generated class once, so the timed pass below
     # measures steady-state engine throughput, not JVM warmup.
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    # Optional subset (comma-separated names) — used by the sf1.0 scale
+    # sweep to time just the most expensive queries at 10x data.
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if n
+    }
+    to_run = {
+        name: fn
+        for name, fn in entrymod.queries().items()
+        if not only or name in only
+    }
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),
+    )
     if os.path.isdir(warm_dir):
-        for name, fn in entrymod.queries().items():
+        for name, fn in to_run.items():
             try:
                 fn(spark, warm_dir).collect()
             except Exception:
                 pass  # warmup only — the timed pass surfaces real failures
             spark.catalog.clearCache()
-
     timings: dict[str, float] = {}
-    for i, (name, fn) in enumerate(entrymod.queries().items()):
+    for i, (name, fn) in enumerate(to_run.items()):
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -137,6 +137,46 @@ def test_bm25_ranks_planted_relevant_doc_first(spark):
     assert all(rows[i].bm25 >= rows[i + 1].bm25 for i in range(len(rows) - 1))
 
 
+def test_sparse_cosine_planted_copy_survives_any_pruning(spark):
+    """Identical docs keep cos_sim 1.0 under df pruning (their pruned
+    weight vectors are identical), and the df cap drops common-term
+    pairs: docs sharing ONLY a ubiquitous bigram produce no pair."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import search
+
+    common = "the cat"  # appears in every doc -> df = N > cap
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{common} filler{i} word{i} extra{i} tail{i}") for i in range(1, 9)]
+        + [
+            Row(doc_id=100, text="rare bigram alpha beta gamma"),
+            Row(doc_id=200, text="rare bigram alpha beta gamma"),  # exact copy
+        ]
+    )
+    out = search.sparse_tfidf_cosine_pairs(
+        docs, "doc_id", "text", df_frac_cap=0.3, threshold=0.5
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in out}
+    assert pairs.get((100, 200)) == 1.0  # planted copy at exactly 1.0
+    # the filler docs share only the ubiquitous "the cat" bigram, which
+    # the df cap (0.3 * 10 = 3 < 8) prunes -> no pair emitted for them
+    assert all(a == 100 and b == 200 for (a, b) in pairs)
+
+
+def test_sparse_cosine_fanout_bounded_by_df_cap(spark):
+    """The inverted-index join's candidate volume follows sum(df^2)
+    over KEPT terms: with a tight cap, a corpus dominated by one
+    common bigram generates no quadratic pair blow-up."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import search
+
+    # 40 docs all sharing 'zz yy'; each also has one unique bigram
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"zz yy unique{i} tok{i}") for i in range(40)]
+    )
+    out = search.sparse_tfidf_cosine_pairs(
+        docs, "doc_id", "text", df_frac_cap=0.1, threshold=0.1
+    )
+    assert out.count() == 0  # common bigram pruned, uniques never join
+
+
 def test_bm25_corpus_side_not_shuffled_for_df_join(spark):
     from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import search
 
