@@ -2631,6 +2631,69 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROMOS = [
+    ("P1", "1995-07-01"),
+    ("P2", "1996-12-15"),
+    ("P3", "1997-06-01"),
+    ("P4", "1998-11-20"),
+    ("P5", "1999-03-10"),
+    ("P6", "2000-08-05"),
+]
+
+
+def q_promo_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (timeseries.interval_overlap_join): orders'
+    8-day fulfillment windows [orderdate, orderdate+7] x six 14-day
+    promo campaigns, via epoch-day binning (bin=7d) — the temporal-join
+    shape Spark would otherwise plan as a cross product with a range
+    filter. The id-pair frame joins back to order payloads for the
+    per-promo revenue roll-up (exact bigint cents). The oracle replays
+    the overlap predicate directly, proving the binned candidate
+    generation loses nothing."""
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1)
+
+    def _days(s: str) -> int:
+        return (_dt.date.fromisoformat(s) - epoch).days
+
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("start_d"),
+        (F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) + 7).alias(
+            "end_d"
+        ),
+    )
+    promos = spark.createDataFrame(
+        [(pid, _days(s), _days(s) + 13) for pid, s in _PROMOS],
+        "promo_id string, p_start int, p_end int",
+    )
+    pairs = timeseries.interval_overlap_join(
+        left,
+        promos,
+        left_id="o_orderkey",
+        right_id="promo_id",
+        left_start="start_d",
+        left_end="end_d",
+        right_start="p_start",
+        right_end="p_end",
+        bin_width=7,
+    )
+    cents = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        pairs.join(cents, "o_orderkey")
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+        )
+    )
+
+
 def q_price_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per order within its status group —
     the remaining ranking-window surface (rank/dense_rank/ntile/
@@ -3548,6 +3611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "balanced_eval_sample": q_balanced_eval_sample,
     "boilerplate_chunks": q_boilerplate_chunks,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
+    "promo_overlap_stats": q_promo_overlap_stats,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -5733,5 +5797,19 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(dot AS DOUBLE)
               / (sqrt(CAST(na.ssq AS DOUBLE))
                  * sqrt(CAST(nb.ssq AS DOUBLE))) >= 0.5
+    """
+    promo_values = ", ".join(
+        f"('{pid}', DATE '{s}', DATE '{s}' + 13)" for pid, s in _PROMOS
+    )
+    out["promo_overlap_stats"] = f"""
+        WITH promos(promo_id, p_start, p_end) AS (VALUES {promo_values}),
+        o AS (
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT promo_id, count(*) AS n_orders, sum(cents) AS rev_cents
+        FROM promos JOIN o ON d <= p_end AND p_start <= d + 7
+        GROUP BY promo_id
     """
     return out

@@ -64,3 +64,71 @@ def resample_ffill(
         ],
         F.col(value_cols[0]).isNull().alias("is_filled"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval overlap join: all (left_id, right_id) pairs whose CLOSED
+    integer intervals [start, end] intersect (overlap iff
+    l_start <= r_end AND r_start <= l_end) — the temporal-join shape
+    (sessions x incidents, fulfillment windows x promo campaigns) that
+    Spark would otherwise plan as a cross product with a range filter.
+
+    Scale path — epoch binning: each interval explodes into the
+    ``bin_width``-sized bins it covers; candidates come from an
+    EQUI-join on (bin [, keys...]), then the exact overlap predicate
+    prunes same-bin-but-disjoint false positives and a distinct
+    collapses pairs that co-occupy several bins. Overlapping intervals
+    always share the bin containing their intersection point, so the
+    candidate set has NO false negatives (pinned by the brute-force
+    pytest). Cost: fan-out = interval_length / bin_width per row — pick
+    bin_width near the typical interval length so both the fan-out and
+    the per-bin population stay bounded; both sides shuffle once on the
+    bin key, never all-to-all.
+
+    Start/end columns must be integers on a shared axis (epoch seconds,
+    epoch days, ...). Returns distinct (left_id, right_id [, keys...]).
+    """
+    keys = list(keys or [])
+    lb = left.select(
+        *keys,
+        F.col(left_id).alias("_lid"),
+        F.col(left_start).alias("_ls"),
+        F.col(left_end).alias("_le"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / bin_width),
+                F.floor(F.col(left_end) / bin_width),
+            )
+        ).alias("_bin"),
+    )
+    rb = right.select(
+        *keys,
+        F.col(right_id).alias("_rid"),
+        F.col(right_start).alias("_rs"),
+        F.col(right_end).alias("_re"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / bin_width),
+                F.floor(F.col(right_end) / bin_width),
+            )
+        ).alias("_bin"),
+    )
+    return (
+        lb.join(rb, ["_bin", *keys])
+        .filter((F.col("_ls") <= F.col("_re")) & (F.col("_rs") <= F.col("_le")))
+        .select(
+            *keys, F.col("_lid").alias(left_id), F.col("_rid").alias(right_id)
+        )
+        .distinct()
+    )

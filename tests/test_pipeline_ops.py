@@ -177,6 +177,52 @@ def test_sparse_cosine_fanout_bounded_by_df_cap(spark):
     assert out.count() == 0  # common bigram pruned, uniques never join
 
 
+def test_interval_overlap_join_equals_brute_force(spark):
+    """Binned candidate generation must lose nothing: random integer
+    intervals, binned join == brute-force overlap predicate — including
+    same-bin-but-disjoint pairs (pruned) and overlaps that straddle bin
+    boundaries (kept)."""
+    import random
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import timeseries
+
+    rng = random.Random(7)
+    lrows = [
+        Row(lid=i, ls=(s := rng.randrange(0, 500)), le=s + rng.randrange(0, 40))
+        for i in range(60)
+    ]
+    rrows = [
+        Row(rid=i, rs=(s := rng.randrange(0, 500)), re=s + rng.randrange(0, 40))
+        for i in range(60)
+    ]
+    left = spark.createDataFrame(lrows)
+    right = spark.createDataFrame(rrows)
+    got = {
+        (r.lid, r.rid)
+        for r in timeseries.interval_overlap_join(
+            left, right, "lid", "rid", "ls", "le", "rs", "re", bin_width=16
+        ).collect()
+    }
+    want = {
+        (l.lid, r.rid)
+        for l in lrows
+        for r in rrows
+        if l.ls <= r.re and r.rs <= l.le
+    }
+    assert got == want
+    # sanity on the fixture: it must actually exercise both hazards
+    same_bin_disjoint = any(
+        l.ls // 16 <= r.re // 16 and r.rs // 16 <= l.le // 16
+        and not (l.ls <= r.re and r.rs <= l.le)
+        for l in lrows for r in rrows
+    )
+    cross_bin_overlap = any(
+        (l.ls <= r.re and r.rs <= l.le) and l.ls // 16 != r.rs // 16
+        for l in lrows for r in rrows
+    )
+    assert same_bin_disjoint and cross_bin_overlap
+
+
 def test_bm25_corpus_side_not_shuffled_for_df_join(spark):
     from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import search
 
