@@ -2452,6 +2452,112 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join, end to end:
+    purchases left-joined to clicks within 6h. Matched pairs stream out
+    as they pair; an unmatched purchase is emitted NULL-PADDED only
+    when the watermark proves no click can still arrive — the deferred
+    emission that distinguishes streaming outer joins from batch. Two
+    far-future tick files (one purchase + one click row each, so BOTH
+    sides' watermarks advance — a one-sided tick stalls the query
+    watermark at min(sides)) march the watermark past every real
+    purchase's window, so the drained result equals the batch LEFT
+    JOIN, which is exactly what the oracle computes. Counts and exact
+    integer-microsecond gap sums per user."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import joins as _sjoins
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    max_ts = (
+        catalog.normalize_event_time(spark.read.parquet(path))
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .collect()[0]["m"]
+    )
+    sentinel = 10**9
+    # tick1 must put the watermark (tick - 6h delay) past every real
+    # purchase's join window (p_ts + 6h): max_ts + 13h does; tick2
+    # (+7h more) triggers the eviction batch without matching anything.
+    tick1 = max_ts + 13 * 3600 * 1_000_000
+    tick2 = tick1 + 7 * 3600 * 1_000_000
+    stage_dir = _tempfile.mkdtemp(prefix="stream_louter_")
+    _os.symlink(path, _os.path.join(stage_dir, "f1_events.parquet"))
+    arrow_schema = _pq.read_schema(path)
+    for name, ts_us in (("f2", tick1), ("f3", tick2)):
+        cols = {}
+        for field in arrow_schema:
+            if field.name == "ts":
+                if _pa.types.is_timestamp(field.type):
+                    cols["ts"] = _pa.array(
+                        [ts_us, ts_us], type=_pa.timestamp("us")
+                    ).cast(field.type)
+                else:
+                    cols["ts"] = _pa.array(
+                        [ts_us * 1000, ts_us * 1000], type=_pa.int64()
+                    ).cast(field.type)
+            elif field.name == "user_id":
+                cols["user_id"] = _pa.array([sentinel, sentinel], type=field.type)
+            elif field.name == "event_id":
+                cols["event_id"] = _pa.array([10**12, 10**12 + 1], type=field.type)
+            elif field.name == "event_type":
+                cols["event_type"] = _pa.array(["purchase", "click"], type=field.type)
+            else:
+                cols[field.name] = _pa.nulls(2, type=field.type)
+        _pq.write_table(
+            _pa.table(cols, schema=arrow_schema),
+            _os.path.join(stage_dir, f"{name}_tick.parquet"),
+        )
+    raw = catalog.normalize_event_time(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    purchases = raw.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = raw.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = _sjoins.stream_stream_interval_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        left_watermark="6 hours",
+        right_watermark="6 hours",
+        lower="0 seconds",
+        upper="6 hours",
+        how="leftOuter",
+    ).toDF("user_id", "p_ts", "user_id_r", "c_ts")
+    rows = joined.select(
+        "user_id",
+        (F.unix_micros("c_ts") - F.unix_micros("p_ts")).alias("gap_us"),
+    )
+    drained = stateful.drain_to_parquet(
+        spark, rows, shuffle_partitions=8, output_mode="append"
+    )
+    _shutil.rmtree(stage_dir, ignore_errors=True)
+    return (
+        drained.filter(F.col("user_id") != sentinel)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("gap_us").alias("n_matched"),
+            F.sum(
+                F.when(F.col("gap_us").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_unmatched"),
+            F.sum("gap_us").alias("sum_gap_us"),
+        )
+    )
+
+
 def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan audit: per video, how many frames the
     1 s-stride sampler would decode and the last sampled timestamp —
@@ -3612,6 +3718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_chunks": q_boilerplate_chunks,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "promo_overlap_stats": q_promo_overlap_stats,
+    "stream_outer_join_report": q_stream_outer_join_report,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -5811,5 +5918,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT promo_id, count(*) AS n_orders, sum(cents) AS rev_cents
         FROM promos JOIN o ON d <= p_end AND p_start <= d + 7
         GROUP BY promo_id
+    """
+    out["stream_outer_join_report"] = """
+        WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.user_id,
+               count(*) AS n_rows,
+               count(c.ts) AS n_matched,
+               sum(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END) AS n_unmatched,
+               sum(epoch_us(c.ts) - epoch_us(p.ts)) AS sum_gap_us
+        FROM p
+        LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts
+         AND c.ts <= p.ts + INTERVAL 6 HOURS
+        GROUP BY p.user_id
     """
     return out

@@ -44,12 +44,25 @@ def stream_stream_interval_join(
     right_watermark: str,
     lower: str = "0 seconds",
     upper: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream join on equality keys plus the event-time
-    interval ``left_ts <= right_ts <= left_ts + upper`` (shifted by
-    `lower`). Watermarks on BOTH sides + the interval bound make the
-    buffered state finite: rows are dropped from state once the other
-    side's watermark passes their join window."""
+    """Stream-stream join on equality keys plus the event-time interval
+    ``left_ts <= right_ts <= left_ts + upper`` (shifted by `lower`).
+    Watermarks on BOTH sides + the interval bound make the buffered
+    state finite: rows are dropped from state once the other side's
+    watermark passes their join window.
+
+    ``how``: "inner", or "leftOuter" — matched rows stream out as they
+    pair; an UNMATCHED left row is emitted null-padded only once the
+    watermark passes its join window (it provably cannot match anymore).
+    That deferred emission is the semantic difference from a batch left
+    join and the reason outer results trail the watermark: a drain-style
+    caller must push the watermark past every left row's window (e.g.
+    with far-future ticks on both inputs) to collect the full outer
+    result."""
+    allowed = {"inner", "leftOuter", "rightOuter", "fullOuter"}
+    if how not in allowed:
+        raise ValueError(f"how must be one of {sorted(allowed)}")
     l = left.withWatermark(left_ts, left_watermark)
     r = right.withWatermark(right_ts, right_watermark)
     cond = None
@@ -59,4 +72,4 @@ def stream_stream_interval_join(
     time_lo = r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower}")
     time_hi = r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}")
     cond = (cond & time_lo & time_hi) if cond is not None else (time_lo & time_hi)
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
