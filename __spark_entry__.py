@@ -2800,6 +2800,51 @@ def q_promo_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd1_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full insert/update/delete CDC merge
+    (maintenance.latest_wins_merge_with_deletes): a synthetic change
+    feed over orders — keys %10==3 get a v2 priority update, keys
+    %10==7 a v2 DELETE tombstone, and keys %100==47 additionally a v3
+    re-insert (status 'R'), proving tombstones kill the key only until
+    a newer version resurrects it. One shuffle (rank-1-per-key over
+    base ∪ updates), tombstone filter after winner selection. The
+    oracle replays the identical rank/tombstone pipeline in SQL."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.lit(1).alias("ver"),
+        F.lit(False).alias("_deleted"),
+    )
+    upd_update = base.filter(F.col("k") % 10 == 3).select(
+        "k", "st", F.lit("X-UPDATED").alias("pr"), "cents",
+        F.lit(2).alias("ver"), F.lit(False).alias("_deleted"),
+    )
+    upd_delete = base.filter(F.col("k") % 10 == 7).select(
+        "k", "st", "pr", "cents",
+        F.lit(2).alias("ver"), F.lit(True).alias("_deleted"),
+    )
+    upd_resurrect = base.filter(F.col("k") % 100 == 47).select(
+        "k", F.lit("R").alias("st"), "pr", "cents",
+        F.lit(3).alias("ver"), F.lit(False).alias("_deleted"),
+    )
+    updates = upd_update.unionByName(upd_delete).unionByName(upd_resurrect)
+    merged = maintenance.latest_wins_merge_with_deletes(
+        base, updates, key_cols=["k"], version_col="ver"
+    )
+    return merged.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("pr") == "X-UPDATED", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum("cents").alias("rev_cents"),
+    )
+
+
 def q_price_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per order within its status group —
     the remaining ranking-window surface (rank/dense_rank/ntile/
@@ -3719,6 +3764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "promo_overlap_stats": q_promo_overlap_stats,
     "stream_outer_join_report": q_stream_outer_join_report,
+    "scd1_delete_merge": q_scd1_delete_merge,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -5933,5 +5979,32 @@ def oracle_sql() -> dict[str, str]:
          AND c.ts >= p.ts
          AND c.ts <= p.ts + INTERVAL 6 HOURS
         GROUP BY p.user_id
+    """
+    out["scd1_delete_merge"] = """
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS st,
+                   o_orderpriority AS pr,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   1 AS ver, false AS del, 0 AS src
+            FROM orders
+        ), upd AS (
+            SELECT k, st, 'X-UPDATED' AS pr, cents, 2 AS ver,
+                   false AS del, 1 AS src
+            FROM base WHERE k % 10 = 3
+            UNION ALL
+            SELECT k, st, pr, cents, 2, true, 1 FROM base WHERE k % 10 = 7
+            UNION ALL
+            SELECT k, 'R', pr, cents, 3, false, 1 FROM base WHERE k % 100 = 47
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY k ORDER BY ver DESC, src DESC) AS rn
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        )
+        SELECT st AS o_orderstatus,
+               count(*) AS n_rows,
+               sum(CASE WHEN pr = 'X-UPDATED' THEN 1 ELSE 0 END) AS n_updated,
+               sum(cents) AS rev_cents
+        FROM ranked WHERE rn = 1 AND NOT del
+        GROUP BY st
     """
     return out

@@ -204,6 +204,43 @@ def latest_wins_merge(
     )
 
 
+def latest_wins_merge_with_deletes(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    delete_col: str = "_deleted",
+) -> DataFrame:
+    """CDC compaction with DELETE tombstones — the full
+    insert/update/delete merge. ``updates`` rows where ``delete_col``
+    is true are tombstones: if the tombstone is the newest version of
+    its key, the key disappears from the compacted output (a LATER
+    re-insert resurrects it, standard CDC semantics). Same
+    single-shuffle rank-1-per-key shape as latest_wins_merge, with the
+    tombstone filter applied AFTER the winner is chosen — filtering
+    tombstones first would wrongly resurrect the older live row.
+    Idempotent under replay like the base merge. Base rows without the
+    marker column are treated as live."""
+    from pyspark.sql import Window
+
+    if delete_col not in base.columns:
+        base = base.withColumn(delete_col, F.lit(False))
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            & ~F.coalesce(F.col(delete_col), F.lit(False))
+        )
+        .drop("_rn", "_src", delete_col)
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -115,6 +115,39 @@ def test_latest_wins_merge_update_beats_base_on_version_tie(spark):
     assert merged.first().v == "update"
 
 
+def test_latest_wins_merge_with_deletes_semantics(spark):
+    """Tombstone kills the key only while it is the newest version:
+    update->delete removes, delete->re-insert resurrects, a STALE
+    tombstone (older than the live row) must not delete, and replaying
+    the same updates is a no-op (idempotent)."""
+    base = spark.createDataFrame(
+        [Row(k=k, v=f"base{k}", ver=1, _deleted=False) for k in (1, 2, 3, 4)]
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k=1, v="upd1", ver=2, _deleted=False),   # plain update
+            Row(k=2, v=None, ver=2, _deleted=True),      # delete
+            Row(k=3, v=None, ver=2, _deleted=True),      # delete...
+            Row(k=3, v="back3", ver=3, _deleted=False),  # ...then resurrect
+            Row(k=4, v=None, ver=0, _deleted=True),      # STALE tombstone
+        ]
+    )
+    merged = maintenance.latest_wins_merge_with_deletes(
+        base, updates, ["k"], "ver"
+    )
+    got = {r.k: r.v for r in merged.collect()}
+    assert got == {1: "upd1", 3: "back3", 4: "base4"}
+    # idempotent: re-merging the same feed over the compacted result
+    # (carrying versions forward) changes nothing
+    again = maintenance.latest_wins_merge_with_deletes(
+        merged.withColumn("ver", F.when(F.col("k") == 3, 3).otherwise(2)),
+        updates,
+        ["k"],
+        "ver",
+    )
+    assert {r.k: r.v for r in again.collect()} == got
+
+
 # ------------------------------------------------------------- bm25
 
 
