@@ -2845,6 +2845,89 @@ def q_scd1_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_value_item_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Pearson correlation between order value (cents) and
+    line-item count — computed from EXACT integer moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) sums of bigint
+    products), not F.corr: a float moment aggregate sums partials in
+    partition order and drifts in the last ulp, while exact integer
+    moments make the one terminal double expression bit-identical on
+    any engine and any partitioning (same discipline as the integer
+    micro-nat NLL in lm.py). Two hash aggregates (per-order item count,
+    then per-priority moments) + one broadcast-scale join."""
+    dec = "decimal(38,0)"
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("y"))
+    per_order = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    ).join(items, F.col("o_orderkey") == F.col("l_orderkey"))
+    m = per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(num / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias(
+            "corr_value_items"
+        ),
+    )
+
+
+def q_event_dow_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and day-of-week — the
+    feature-association statistic a curation pipeline uses to find
+    leaky/confounded attributes. Exactness discipline: all cell counts
+    are exact bigints; each cell's log-ratio ln(c_xy*N/(c_x*c_y)) is
+    quantized to integer MICRO-NATS and the MI numerator is the exact
+    integer Σ c_xy * lq — order-proof, like lm.py's NLL. Day-of-week is
+    epoch-day % 7 (portable; engine dayofweek() conventions differ).
+    One row: (n_events, n_cells, mi_micronat_weighted)."""
+    events = _t(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7
+        ).alias("dow"),
+    )
+    cxy = e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("cxy"))
+    cx = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cx"))
+    cy = e.groupBy("dow").agg(F.count(F.lit(1)).alias("cy"))
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    lq = (
+        F.round(
+            F.log(
+                (F.col("cxy") * F.col("n")).cast("double")
+                / (F.col("cx") * F.col("cy")).cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("lq")
+    )
+    cells = (
+        cxy.join(F.broadcast(cx), "event_type")
+        .join(F.broadcast(cy), "dow")
+        .crossJoin(F.broadcast(n))
+        .select("cxy", "n", lq)
+    )
+    return cells.agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("cxy") * F.col("lq")).alias("mi_micronat_weighted"),
+    )
+
+
 def q_price_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per order within its status group —
     the remaining ranking-window surface (rank/dense_rank/ntile/
@@ -3765,6 +3848,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_overlap_stats": q_promo_overlap_stats,
     "stream_outer_join_report": q_stream_outer_join_report,
     "scd1_delete_merge": q_scd1_delete_merge,
+    "order_value_item_corr": q_order_value_item_corr,
+    "event_dow_mutual_info": q_event_dow_mutual_info,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6006,5 +6091,54 @@ def oracle_sql() -> dict[str, str]:
                sum(cents) AS rev_cents
         FROM ranked WHERE rn = 1 AND NOT del
         GROUP BY st
+    """
+    out["order_value_item_corr"] = """
+        WITH per_order AS (
+            SELECT o.o_orderpriority AS pri,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
+                   l.y AS y
+            FROM orders o
+            JOIN (SELECT l_orderkey, count(*) AS y
+                  FROM lineitem GROUP BY l_orderkey) l
+              ON l.l_orderkey = o.o_orderkey
+        ), m AS (
+            SELECT pri, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM per_order GROUP BY pri
+        )
+        SELECT pri AS o_orderpriority,
+               n AS n_orders,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                 AS corr_value_items
+        FROM m
+    """
+    out["event_dow_mutual_info"] = """
+        WITH e AS (
+            SELECT event_type,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                     AS dow
+            FROM events
+        ), cxy AS (
+            SELECT event_type, dow, count(*) AS cxy
+            FROM e GROUP BY 1, 2
+        ), cx AS (SELECT event_type, count(*) AS cx FROM e GROUP BY 1),
+        cy AS (SELECT dow, count(*) AS cy FROM e GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM e),
+        cells AS (
+            SELECT cxy.cxy, n.n,
+                   CAST(round(ln(CAST(cxy.cxy * n.n AS DOUBLE)
+                                 / CAST(cx.cx * cy.cy AS DOUBLE))
+                              * 1000000) AS BIGINT) AS lq
+            FROM cxy
+            JOIN cx ON cx.event_type = cxy.event_type
+            JOIN cy ON cy.dow = cxy.dow, n
+        )
+        SELECT max(n) AS n_events,
+               count(*) AS n_cells,
+               sum(cxy * lq) AS mi_micronat_weighted
+        FROM cells
     """
     return out
