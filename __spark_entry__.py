@@ -2928,6 +2928,47 @@ def q_event_dow_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FK_RELATIONS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: for every FK relation in
+    the schema, total row count + orphan count (FK value with no match,
+    NULLs counted as orphans) in ONE left-join + conditional-count pass
+    per relation — the data-quality sweep a warehouse runs after every
+    load. Dim key sets are distinct-projected before the join (the
+    probe side carries only the key column); the seven one-row results
+    union into a single frame. At 100 TB each leg is one shuffle of a
+    single bigint column, or zero shuffles where the dim broadcasts."""
+    legs = []
+    for rel, fact, fk, dim, pk in _FK_RELATIONS:
+        fact_keys = _t(spark, sf_dir, fact).select(F.col(fk).alias("_k"))
+        dim_keys = (
+            _t(spark, sf_dir, dim)
+            .select(F.col(pk).alias("_k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        leg = fact_keys.join(dim_keys, "_k", "left").agg(
+            F.lit(rel).alias("relation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("_hit").isNull(), 1)).alias("n_orphans"),
+        )
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 def q_price_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per order within its status group —
     the remaining ranking-window surface (rank/dense_rank/ntile/
@@ -3850,6 +3891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd1_delete_merge": q_scd1_delete_merge,
     "order_value_item_corr": q_order_value_item_corr,
     "event_dow_mutual_info": q_event_dow_mutual_info,
+    "referential_integrity_audit": q_referential_integrity_audit,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6141,4 +6183,14 @@ def oracle_sql() -> dict[str, str]:
                sum(cxy * lq) AS mi_micronat_weighted
         FROM cells
     """
+    fk_legs = "\n        UNION ALL\n".join(
+        f"""        SELECT '{rel}' AS relation,
+               count(*) AS n_rows,
+               count(CASE WHEN d._k IS NULL THEN 1 END) AS n_orphans
+        FROM (SELECT {fk} AS _k FROM {fact}) f
+        LEFT JOIN (SELECT DISTINCT {pk} AS _k FROM {dim}) d
+          ON f._k = d._k"""
+        for rel, fact, fk, dim, pk in _FK_RELATIONS
+    )
+    out["referential_integrity_audit"] = fk_legs
     return out
