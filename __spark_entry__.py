@@ -2721,19 +2721,31 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse TF-IDF cosine similarity pairs via inverted-index
-    self-join (search.sparse_tfidf_cosine_pairs) — the lexical exact
-    complement to MinHash banding and embedding ANN. Corpus = documents
-    ∪ planted copies(+100000), so every doc pairs with its copy at
-    cos_sim 1.0 regardless of df pruning (identical pruned vectors);
-    natural bigram-overlap pairs above 0.5 surface too. All weights are
-    integer-quantized (milli-nat idf), so the oracle's identical
-    integer pipeline hash-matches exactly."""
+    """Sparse TF-IDF cosine similarity via inverted-index self-join
+    (search.sparse_tfidf_cosine_pairs) — the lexical exact complement
+    to MinHash banding and embedding ANN. Corpus = documents ∪ planted
+    copies(+100000), so every doc pairs with its copy at cos_sim 1.0
+    regardless of df pruning (identical pruned vectors). The full pair
+    set (1.2M rows at sf0.1 — this corpus is template-generated and
+    genuinely near-dup-dense) compacts to a per-doc NEIGHBOR PROFILE:
+    degree, max and exact integer micro-cos sum over each doc's ≥0.5
+    neighbors, which pins every pair's rounded score without hauling
+    the pair list through the gate. Weights are integer-quantized
+    (milli-nat idf), so the oracle's identical pipeline hash-matches."""
     docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     corpus = docs.unionByName(copies)
-    return search.sparse_tfidf_cosine_pairs(
+    pairs = search.sparse_tfidf_cosine_pairs(
         corpus, "doc_id", "text", df_frac_cap=0.05, threshold=0.5
+    )
+    micro = F.round(F.col("cos_sim") * 1_000_000).cast("bigint").alias("micro")
+    sym = pairs.select(F.col("id_a").alias("doc_id"), micro).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"), micro)
+    )
+    return sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_similar"),
+        F.max("micro").alias("max_cos_micro"),
+        F.sum("micro").alias("sum_cos_micro"),
     )
 
 
@@ -6067,16 +6079,27 @@ def oracle_sql() -> dict[str, str]:
             FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
-        SELECT id_a, id_b,
-               round(CAST(dot AS DOUBLE)
-                     / (sqrt(CAST(na.ssq AS DOUBLE))
-                        * sqrt(CAST(nb.ssq AS DOUBLE))), 6) AS cos_sim
-        FROM dots
-        JOIN norms na ON na.doc_id = id_a
-        JOIN norms nb ON nb.doc_id = id_b
-        WHERE CAST(dot AS DOUBLE)
-              / (sqrt(CAST(na.ssq AS DOUBLE))
-                 * sqrt(CAST(nb.ssq AS DOUBLE))) >= 0.5
+        , pairs AS (
+            SELECT id_a, id_b,
+                   CAST(round(round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(na.ssq AS DOUBLE))
+                            * sqrt(CAST(nb.ssq AS DOUBLE))), 6) * 1000000)
+                        AS BIGINT) AS micro
+            FROM dots
+            JOIN norms na ON na.doc_id = id_a
+            JOIN norms nb ON nb.doc_id = id_b
+            WHERE CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.ssq AS DOUBLE))
+                     * sqrt(CAST(nb.ssq AS DOUBLE))) >= 0.5
+        ), sym AS (
+            SELECT id_a AS doc_id, micro FROM pairs
+            UNION ALL
+            SELECT id_b AS doc_id, micro FROM pairs
+        )
+        SELECT doc_id, count(*) AS n_similar,
+               max(micro) AS max_cos_micro,
+               sum(micro) AS sum_cos_micro
+        FROM sym GROUP BY doc_id
     """
     promo_values = ", ".join(
         f"('{pid}', DATE '{s}', DATE '{s}' + 13)" for pid, s in _PROMOS

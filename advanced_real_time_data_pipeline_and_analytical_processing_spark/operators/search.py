@@ -164,6 +164,12 @@ def sparse_tfidf_cosine_pairs(
     w = tf.join(kept, "term").select(
         "_id", "term", (F.col("tf") * F.col("idf_q")).alias("w")
     )
+    # The weighted inverted index feeds THREE consumers (norms + both
+    # sides of the self-join); un-materialized, each consumer re-runs
+    # the whole tokenize→explode→aggregate lineage (the
+    # media_phash_pairs recompute hazard — see verify SKILL.md).
+    # localCheckpoint truncates the lineage so it is built once.
+    w = w.localCheckpoint(eager=False)
     norms = w.groupBy("_id").agg(F.sum(F.col("w") * F.col("w")).alias("ssq"))
     a, b = w.alias("a"), w.alias("b")
     dots = (

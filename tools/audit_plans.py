@@ -21,7 +21,12 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.session im
 
 # streaming-execution queries run a real stream on build — skip their
 # plan here (their micro-batch plans are visible in the Spark UI)
-STREAMING = {"stateful_running_counts", "stream_stream_join", "streaming_upsert"}
+STREAMING = {
+    "stateful_running_counts",
+    "stream_stream_join",
+    "stream_outer_join_report",
+    "streaming_upsert",
+}
 
 
 def main() -> None:
