@@ -2981,6 +2981,48 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over click events — the
+    TWAP integral Σ v_i·(t_{i+1}−t_i) / Σ(t_{i+1}−t_i), the right
+    average for irregularly-sampled series (a plain avg overweights
+    burst periods). Exactness discipline: values quantized to integer
+    ten-thousandths, durations in integer microseconds, products summed
+    as DECIMAL(38,0) (v_q·dur can exceed int64), ONE terminal double
+    division — partition-order-proof. One shuffle on user_id; the lead
+    window and the aggregate share that partitioning."""
+    dec = "decimal(38,0)"
+    events = _t(spark, sf_dir, "events")
+    c = events.filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    d = c.select(
+        "user_id", "vq", (F.lead("t").over(w) - F.col("t")).alias("dur")
+    ).filter(F.col("dur").isNotNull())
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count("dur").alias("n_segments"),
+            F.sum(F.col("vq").cast(dec) * F.col("dur").cast(dec)).alias("_sw"),
+            F.sum("dur").alias("_sd"),
+        )
+        .filter(F.col("_sd") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            F.round(
+                F.col("_sw").cast("double") / F.col("_sd").cast("double") / 10000,
+                6,
+            ).alias("twap"),
+        )
+    )
+
+
 def q_price_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per order within its status group —
     the remaining ranking-window surface (rank/dense_rank/ntile/
@@ -3904,6 +3946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_value_item_corr": q_order_value_item_corr,
     "event_dow_mutual_info": q_event_dow_mutual_info,
     "referential_integrity_audit": q_referential_integrity_audit,
+    "user_value_twap": q_user_value_twap,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6216,4 +6259,22 @@ def oracle_sql() -> dict[str, str]:
         for rel, fact, fk, dim, pk in _FK_RELATIONS
     )
     out["referential_integrity_audit"] = fk_legs
+    out["user_value_twap"] = """
+        WITH c AS (
+            SELECT user_id, epoch_us(ts) AS t, event_id,
+                   CAST(round(value * 10000) AS BIGINT) AS vq
+            FROM events
+            WHERE event_type = 'click' AND value IS NOT NULL
+        ), d AS (
+            SELECT user_id, vq,
+                   lead(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) - t AS dur
+            FROM c
+        )
+        SELECT user_id, count(dur) AS n_segments,
+               round(CAST(sum(CAST(vq AS HUGEINT) * dur) AS DOUBLE)
+                     / CAST(sum(dur) AS DOUBLE) / 10000, 6) AS twap
+        FROM d WHERE dur IS NOT NULL
+        GROUP BY user_id HAVING sum(dur) > 0
+    """
     return out
