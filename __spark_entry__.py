@@ -1295,6 +1295,21 @@ def q_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negative_topk): for each
+    query vector (vec_id < 16), the top-2 most-similar vectors with a
+    DIFFERENT label — the contrastive-training negatives that carry the
+    most gradient signal. Exact brute-force baseline (broadcast queries,
+    one corpus scan); at 100 TB the same scoring runs over LSH/IVF
+    candidates instead of the full corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    return similarity.hard_negative_topk(
+        queries, emb, query_id="vec_id", corpus_id="vec_id",
+        label_col="label", k=2,
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (capacity 512 tokens, sharded
     by lang): each doc's (chunk_id, start_offset) from a per-shard
@@ -3947,6 +3962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_dow_mutual_info": q_event_dow_mutual_info,
     "referential_integrity_audit": q_referential_integrity_audit,
     "user_value_twap": q_user_value_twap,
+    "hard_negatives": q_hard_negatives,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6276,5 +6292,27 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(dur) AS DOUBLE) / 10000, 6) AS twap
         FROM d WHERE dur IS NOT NULL
         GROUP BY user_id HAVING sum(dur) > 0
+    """
+    out["hard_negatives"] = """
+        SELECT query_id, neighbor_id, neighbor_label, rank,
+               round(sim, 6) AS score
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   c.label AS neighbor_label,
+                   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) DESC,
+                                c.vec_id ASC
+                   ) AS rank
+            FROM embeddings q
+            JOIN embeddings c
+              ON q.vec_id < 16
+             AND q.vec_id <> c.vec_id
+             AND q.label <> c.label
+        ) WHERE rank <= 2
     """
     return out

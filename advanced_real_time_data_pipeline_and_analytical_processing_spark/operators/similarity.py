@@ -407,3 +407,61 @@ def lsh_cosine_topk(
             F.round(F.col("_score"), 6).alias("score"),
         )
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    label_col: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 1,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    negatives that sit closest to the decision boundary and carry the
+    most gradient signal. Same broadcast-queries / one-corpus-scan /
+    per-query-window shape as cosine_topk (the documented exact
+    baseline; the LSH/IVF indexes are the 100 TB candidate-generation
+    path — run this scoring over their candidates instead of the full
+    corpus). Returns (query_id, neighbor_id, neighbor_label, rank,
+    score)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("_qid"),
+            F.col(label_col).alias("_qlabel"),
+            F.col(query_vec).alias("_qvec"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(label_col).alias("_clabel"),
+        F.col(corpus_vec).alias("_cvec"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(
+            (F.col("_qid") != F.col("_cid"))
+            & (F.col("_qlabel") != F.col("_clabel"))
+        )
+        .select(
+            "_qid",
+            "_cid",
+            "_clabel",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            F.col("_clabel").alias("neighbor_label"),
+            "rank",
+            F.round(F.col("_score"), 6).alias("score"),
+        )
+    )
