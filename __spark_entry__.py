@@ -1310,6 +1310,52 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset/exemplar selection: per label, the 3 vectors nearest
+    their label centroid — the representatives a curation pipeline
+    keeps for dataset distillation or few-shot prompting. Centroids
+    are rebuilt deterministically (array_sort of collected (dim, avg)
+    structs) and broadcast; member scoring is JVM zip_with/aggregate
+    math; top-3 via per-label window rank (score desc, id asc). The
+    shuffle carries only (label, dim) partial sums — the same
+    100 TB-safe shape as label_centroids."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comps = emb.select("label", F.posexplode("v").alias("dim", "val"))
+    centroids = (
+        comps.groupBy("label", "dim")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("centroid")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "centroid", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = dot / (nrm(F.col("v")) * nrm(F.col("centroid")))
+    scored = emb.join(F.broadcast(centroids), "label").select(
+        "label", "vec_id", cos.alias("_cos")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("label", "vec_id", "rank", F.round("_cos", 6).alias("score"))
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (capacity 512 tokens, sharded
     by lang): each doc's (chunk_id, start_offset) from a per-shard
@@ -3963,6 +4009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "referential_integrity_audit": q_referential_integrity_audit,
     "user_value_twap": q_user_value_twap,
     "hard_negatives": q_hard_negatives,
+    "label_exemplars": q_label_exemplars,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6314,5 +6361,33 @@ def oracle_sql() -> dict[str, str]:
              AND q.vec_id <> c.vec_id
              AND q.label <> c.label
         ) WHERE rank <= 2
+    """
+    out["label_exemplars"] = """
+        WITH comps AS (
+            SELECT label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        ), cent AS (
+            SELECT label, dim, avg(val) AS cval FROM comps GROUP BY 1, 2
+        ), member AS (
+            SELECT vec_id, label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        ), cosines AS (
+            SELECT m.label, m.vec_id,
+                   sum(m.val * c.cval)
+                     / (sqrt(sum(m.val * m.val)) * sqrt(sum(c.cval * c.cval)))
+                     AS cosv
+            FROM member m JOIN cent c ON m.label = c.label AND m.dim = c.dim
+            GROUP BY m.label, m.vec_id
+        )
+        SELECT label, vec_id, rank, round(cosv, 6) AS score FROM (
+            SELECT label, vec_id, cosv,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY cosv DESC, vec_id ASC) AS rank
+            FROM cosines
+        ) WHERE rank <= 3
     """
     return out
