@@ -89,3 +89,66 @@ def test_capped_running_balance_floor_semantics(spark):
         ).collect()
     }
     assert out == {1: 30, 2: 5}
+
+
+def test_capped_running_closed_form_equals_step_loop_property(spark):
+    """Property pin for the round-4 JVM rewrite: the prefix-sum closed
+    form b_n = max(S_n, floor + S_n - min_k S_k) must equal the
+    step-by-step recurrence max(b+d, floor) on randomized sequences,
+    including negative floors and all-negative runs."""
+    import random
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import aggregation
+
+    rng = random.Random(11)
+    rows, want = [], {}
+    for k in range(30):
+        floor = rng.choice([0, 0, -50, 10])
+        n = rng.randrange(1, 40)
+        acc = 0
+        for seq in range(n):
+            d = rng.randrange(-100, 101)
+            rows.append((k, floor, seq, d))
+            acc = max(acc + d, floor)
+        want[k] = acc
+    # one operator call per floor value (floor is an operator param)
+    got = {}
+    df = spark.createDataFrame(rows, "k long, floor long, seq long, d long")
+    for floor in {r[1] for r in rows}:
+        sub = df.filter(df.floor == floor)
+        for r in aggregation.capped_running_final(
+            sub, "k", ["seq"], "d", floor=floor
+        ).collect():
+            got[r.k] = r.balance
+    assert got == want
+
+
+def test_ewma_jvm_fold_bit_identical_to_python_loop(spark):
+    """Property pin for the round-4 JVM rewrite: the F.aggregate left
+    fold must be BIT-identical (repr-exact doubles) to the reference
+    Python recurrence — the guarantee the DuckDB list_reduce oracle
+    relies on. (pandas ewm(adjust=False) fails this by one ulp, which
+    is why the rewrite went JVM-side, not pandas-side.)"""
+    import random
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import aggregation
+
+    rng = random.Random(13)
+    alpha = 0.2
+    rows, want = [], {}
+    for k in range(25):
+        n = rng.randrange(1, 60)
+        acc = None
+        for seq in range(n):
+            x = rng.uniform(-1000.0, 1000.0)
+            rows.append((k, seq, x))
+            acc = x if acc is None else (1.0 - alpha) * acc + alpha * x
+        want[k] = acc
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    got = {
+        r.k: r.ewma
+        for r in aggregation.ewma_final(df, "k", ["seq"], "v", alpha=alpha).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert repr(got[k]) == repr(want[k]), (k, got[k], want[k])
