@@ -648,6 +648,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "jaccard_sim")
 
 
+def q_quote_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment detection (dedup.overlap_coefficient_pairs): corpus
+    = documents ∪ planted 12-token SNIPPETS (doc_id+200000, docs with
+    ≥15 tokens) — each snippet's shingles are a strict subset of its
+    source's, so the pair scores overlap-coefficient 1.0 while its
+    Jaccard is near 0: the quote-inside-document case symmetric
+    near-dup misses by construction. Candidates via the rare-shingle
+    inverted index (df ≤ 2% of corpus); exact |A∩B| verify on
+    candidates only. The oracle replays the identical pruned-index
+    pipeline."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    snippets = (
+        docs.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") >= 15)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat_ws(" ", F.slice("_toks", 1, 12)).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(snippets)
+    return dedup.overlap_coefficient_pairs(
+        corpus, "doc_id", "text", shingle_n=3, threshold=0.9, df_frac_cap=0.02
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked exact compare.
     Corpus = embeddings ∪ exact copies(id+100000) → each vector pairs
@@ -4010,6 +4036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_twap": q_user_value_twap,
     "hard_negatives": q_hard_negatives,
     "label_exemplars": q_label_exemplars,
+    "quote_containment_pairs": q_quote_containment_pairs,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6389,5 +6416,48 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY cosv DESC, vec_id ASC) AS rank
             FROM cosines
         ) WHERE rank <= 3
+    """
+    out["quote_containment_pairs"] = r"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id,
+                   array_to_string(
+                       regexp_split_to_array(trim(lower(text)), '\s+')[1:12],
+                       ' ') AS text
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 15
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM corpus)
+        ), postings AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        n AS (SELECT count(*) AS n_docs FROM corpus),
+        kept AS (
+            SELECT s
+            FROM (SELECT s, count(*) AS df FROM postings GROUP BY s), n
+            WHERE df <= n_docs * 0.02
+        ), rare AS (
+            SELECT p.doc_id, p.s FROM postings p JOIN kept k ON p.s = k.s
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM rare a JOIN rare b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, overlap_coef FROM (
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_filter(sa.shingles,
+                                  x -> list_contains(sb.shingles, x)))
+                              AS DOUBLE)
+                         / least(len(sa.shingles), len(sb.shingles)), 6)
+                     AS overlap_coef
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+        ) WHERE overlap_coef >= 0.9
     """
     return out

@@ -567,3 +567,69 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def overlap_coefficient_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    df_frac_cap: float = 0.02,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Containment / overlap-coefficient near-dup pairs:
+    |A∩B| / min(|A|,|B|) over distinct word shingles — the ASYMMETRIC
+    complement to Jaccard: a 12-token quote inside a 500-token document
+    scores 1.0 here but near 0 on Jaccard, so this is the detector for
+    quotes, excerpts, and boilerplate embedded in longer documents
+    (where jaccard-style length bucketing is exactly wrong).
+
+    Candidates = pairs sharing at least one RARE shingle (document
+    frequency <= df_frac_cap of the corpus) from an inverted-index
+    equi-join — the sparse-cosine play: the df cap bounds the join
+    fan-out to sum(df^2) over rare shingles, and a pair whose overlap
+    consists ONLY of corpus-common shingles carries no containment
+    specificity to begin with. Exact |A∩B| verify runs on candidates
+    only, fetch-payload-late (the shingle arrays never enter the
+    candidate shuffle). Returns (id_a, id_b, overlap_coef) >= threshold.
+    """
+    base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
+    sh = _shingled(base, id_col, text_col, shingle_n, "_shingles").localCheckpoint(
+        eager=False
+    )
+    postings = sh.select(F.col(id_col), F.explode("_shingles").alias("_s"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    dfreq = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") <= F.col("_n") * F.lit(df_frac_cap))
+        .select("_s")
+    )
+    rare = postings.join(kept, "_s")
+    a = rare.select(F.col(id_col).alias("id_a"), "_s")
+    b = rare.select(F.col(id_col).alias("id_b"), "_s")
+    cand = (
+        a.join(b, ["_s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    score = F.round(
+        inter.cast("double")
+        / F.least(F.size("_sa"), F.size("_sb")).cast("double"),
+        6,
+    )
+    return (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", score.alias("overlap_coef"))
+        .filter(F.col("overlap_coef") >= threshold)
+    )

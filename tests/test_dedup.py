@@ -214,3 +214,32 @@ def test_leakage_safe_split_cotravel(spark):
     assert all(n >= 2 for n in sizes)
     splits = {r.split for r in out}
     assert splits == {"train", "val"}
+
+
+def test_overlap_coefficient_catches_quote_jaccard_misses(spark):
+    """A short quote inside a long document: overlap coefficient 1.0,
+    Jaccard tiny — the asymmetric case that justifies the operator.
+    Also: pairs sharing ONLY corpus-common shingles generate no
+    candidate (the df cap prunes them)."""
+    from pyspark.sql import Row
+
+    long_words = " ".join(f"w{i}" for i in range(200))
+    quote = " ".join(f"w{i}" for i in range(40, 52))  # 12-word excerpt
+    common = "the cat sat on the mat again and again"   # shared by many
+    rows = (
+        [Row(doc_id=1, text=long_words), Row(doc_id=2, text=quote)]
+        + [Row(doc_id=100 + i, text=common) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows)
+    out = dedup.overlap_coefficient_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.9, df_frac_cap=0.2
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.overlap_coef for r in out}
+    assert pairs.get((1, 2)) == 1.0          # quote fully contained
+    assert all(a < 100 for (a, b) in pairs)  # common-only docs: no pairs
+    # contrast: the same pair's Jaccard is far below any useful threshold
+    jac = dedup.ngram_jaccard_pairs(
+        df.filter(df.doc_id < 100), "doc_id", "text", threshold=0.0
+    ).collect()
+    j = {(r.id_a, r.id_b): r.jaccard_sim for r in jac}
+    assert j.get((1, 2), 0.0) < 0.1
