@@ -674,6 +674,44 @@ def q_quote_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TREND_LAMBDA = 0.693147180559945 / (7 * 86400 * 1_000_000)  # ln2 / 7d in µs
+
+
+def q_trending_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay popularity ("trending") per event type:
+    score = Σ exp(-λ·age) with a 7-day half-life, evaluated at the
+    corpus max timestamp — the recency-weighted count every feed/
+    popularity ranker computes. Exactness discipline: each row's decay
+    factor is quantized to integer MICRO-units and summed as exact
+    bigints (a float Σexp is partition-order-dependent); λ is one
+    shared double literal on both engines. Ages in exact integer
+    microseconds. One scan + broadcast of the 1-row max-ts aggregate +
+    one hash agg."""
+    events = _t(spark, sf_dir, "events")
+    e = events.select("event_type", F.unix_micros("ts").alias("t"))
+    maxt = e.agg(F.max("t").alias("tmax"))
+    decay_micro = (
+        F.round(
+            F.exp(
+                -(F.col("tmax") - F.col("t")).cast("double")
+                * F.lit(_TREND_LAMBDA)
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("dm")
+    )
+    return (
+        e.crossJoin(F.broadcast(maxt))
+        .select("event_type", decay_micro)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dm").alias("decayed_count_micro"),
+        )
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked exact compare.
     Corpus = embeddings ∪ exact copies(id+100000) → each vector pairs
@@ -4037,6 +4075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "label_exemplars": q_label_exemplars,
     "quote_containment_pairs": q_quote_containment_pairs,
+    "trending_event_scores": q_trending_event_scores,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6459,5 +6498,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sa ON sa.doc_id = c.id_a
             JOIN sh sb ON sb.doc_id = c.id_b
         ) WHERE overlap_coef >= 0.9
+    """
+    out["trending_event_scores"] = f"""
+        WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+        m AS (SELECT max(t) AS tmax FROM e)
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(CAST(round(exp(-CAST(tmax - t AS DOUBLE)
+                                  * {_TREND_LAMBDA!r}) * 1000000)
+                        AS BIGINT)) AS decayed_count_micro
+        FROM e, m
+        GROUP BY event_type
     """
     return out
