@@ -655,7 +655,8 @@ def q_quote_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's, so the pair scores overlap-coefficient 1.0 while its
     Jaccard is near 0: the quote-inside-document case symmetric
     near-dup misses by construction. Candidates via the rare-shingle
-    inverted index (df ≤ 2% of corpus); exact |A∩B| verify on
+    inverted index (ABSOLUTE df ≤ 20 — a fractional cap grows with the
+    corpus and goes quadratic at scale); exact |A∩B| verify on
     candidates only. The oracle replays the identical pruned-index
     pipeline."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -670,7 +671,7 @@ def q_quote_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(snippets)
     return dedup.overlap_coefficient_pairs(
-        corpus, "doc_id", "text", shingle_n=3, threshold=0.9, df_frac_cap=0.02
+        corpus, "doc_id", "text", shingle_n=3, threshold=0.9, df_cap=20
     )
 
 
@@ -2861,7 +2862,7 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     corpus = docs.unionByName(copies)
     pairs = search.sparse_tfidf_cosine_pairs(
-        corpus, "doc_id", "text", df_frac_cap=0.05, threshold=0.5
+        corpus, "doc_id", "text", df_cap=50, threshold=0.5
     )
     micro = F.round(F.col("cos_sim") * 1_000_000).cast("bigint").alias("micro")
     sym = pairs.select(F.col("id_a").alias("doc_id"), micro).unionByName(
@@ -6240,7 +6241,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000)
                         AS BIGINT) AS idf_q
             FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), n
-            WHERE df <= n_docs * 0.05
+            WHERE df <= 50
         ), w AS (
             SELECT doc_id, tf.term, tf * idf_q AS w
             FROM tf JOIN kept ON tf.term = kept.term
@@ -6478,8 +6479,8 @@ def oracle_sql() -> dict[str, str]:
         n AS (SELECT count(*) AS n_docs FROM corpus),
         kept AS (
             SELECT s
-            FROM (SELECT s, count(*) AS df FROM postings GROUP BY s), n
-            WHERE df <= n_docs * 0.02
+            FROM (SELECT s, count(*) AS df FROM postings GROUP BY s)
+            WHERE df <= 20
         ), rare AS (
             SELECT p.doc_id, p.s FROM postings p JOIN kept k ON p.s = k.s
         ), cand AS (

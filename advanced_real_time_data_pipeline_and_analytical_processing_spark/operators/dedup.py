@@ -575,7 +575,7 @@ def overlap_coefficient_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.9,
-    df_frac_cap: float = 0.02,
+    df_cap: int = 50,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Containment / overlap-coefficient near-dup pairs:
@@ -586,11 +586,12 @@ def overlap_coefficient_pairs(
     (where jaccard-style length bucketing is exactly wrong).
 
     Candidates = pairs sharing at least one RARE shingle (document
-    frequency <= df_frac_cap of the corpus) from an inverted-index
-    equi-join — the sparse-cosine play: the df cap bounds the join
-    fan-out to sum(df^2) over rare shingles, and a pair whose overlap
-    consists ONLY of corpus-common shingles carries no containment
-    specificity to begin with. Exact |A∩B| verify runs on candidates
+    frequency <= the ABSOLUTE ``df_cap``) from an inverted-index
+    equi-join — the sparse-cosine play: the absolute cap bounds the
+    join fan-out to sum(df^2) <= df_cap * postings, LINEAR in corpus
+    size (a fractional cap grows with N and goes quadratic at scale),
+    and a pair whose overlap consists ONLY of corpus-common shingles
+    carries no containment specificity to begin with. Exact |A∩B| verify runs on candidates
     only, fetch-payload-late (the shingle arrays never enter the
     candidate shuffle). Returns (id_a, id_b, overlap_coef) >= threshold.
     """
@@ -603,7 +604,7 @@ def overlap_coefficient_pairs(
     dfreq = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     kept = (
         dfreq.crossJoin(F.broadcast(n_docs))
-        .filter(F.col("_df") <= F.col("_n") * F.lit(df_frac_cap))
+        .filter(F.col("_df") <= F.lit(int(df_cap)))
         .select("_s")
     )
     rare = postings.join(kept, "_s")

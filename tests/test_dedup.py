@@ -232,7 +232,7 @@ def test_overlap_coefficient_catches_quote_jaccard_misses(spark):
     )
     df = spark.createDataFrame(rows)
     out = dedup.overlap_coefficient_pairs(
-        df, "doc_id", "text", shingle_n=3, threshold=0.9, df_frac_cap=0.2
+        df, "doc_id", "text", shingle_n=3, threshold=0.9, df_cap=4
     ).collect()
     pairs = {(r.id_a, r.id_b): r.overlap_coef for r in out}
     assert pairs.get((1, 2)) == 1.0          # quote fully contained

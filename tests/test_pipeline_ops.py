@@ -185,7 +185,7 @@ def test_sparse_cosine_planted_copy_survives_any_pruning(spark):
         ]
     )
     out = search.sparse_tfidf_cosine_pairs(
-        docs, "doc_id", "text", df_frac_cap=0.3, threshold=0.5
+        docs, "doc_id", "text", df_cap=3, threshold=0.5
     ).collect()
     pairs = {(r.id_a, r.id_b): r.cos_sim for r in out}
     assert pairs.get((100, 200)) == 1.0  # planted copy at exactly 1.0
@@ -205,7 +205,7 @@ def test_sparse_cosine_fanout_bounded_by_df_cap(spark):
         [Row(doc_id=i, text=f"zz yy unique{i} tok{i}") for i in range(40)]
     )
     out = search.sparse_tfidf_cosine_pairs(
-        docs, "doc_id", "text", df_frac_cap=0.1, threshold=0.1
+        docs, "doc_id", "text", df_cap=4, threshold=0.1
     )
     assert out.count() == 0  # common bigram pruned, uniques never join
 
