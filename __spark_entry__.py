@@ -37,6 +37,7 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming 
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators.enrichment import row_hash_expr
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.session import configure_session
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.windows import (
+    chained_tumbling_rollup,
     session_windows,
     sliding_avg,
     tumbling_counts,
@@ -2684,6 +2685,103 @@ def q_stream_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations end to end
+    (streaming/windows.chained_tumbling_rollup): hourly tumbling
+    partials roll into daily totals inside ONE streaming query — the
+    Spark 3.4+ multiple-stateful-operator pipeline (second groupBy
+    windows on the first stage's window column, shared watermark), the
+    shape that replaces a two-job hourly->daily lambda architecture.
+    Far-future ticks march the watermark past every day window so the
+    append-mode drain emits the complete roll-up; the oracle replays
+    the same double aggregation as batch SQL, proving streaming ==
+    batch semantics. Integer ten-thousandth value sums throughout."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    max_ts = (
+        catalog.normalize_event_time(spark.read.parquet(path))
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .collect()[0]["m"]
+    )
+    sentinel = 10**9
+    # Chained stateful ops flush in STAGES: the hourly state must emit
+    # into the daily state while the day window can still accept rows,
+    # and a daily row appended in batch N is only emitted by batch
+    # N+1's eviction sweep. So the ticks march the watermark up
+    # gradually — +2h (flush trailing hours into the open day), +26h
+    # (pass every day end), then two more batches whose only job is to
+    # run the downstream eviction/emission sweeps.
+    hour_us = 3600 * 1_000_000
+    ticks = [
+        ("f2", max_ts + 2 * hour_us),
+        ("f3", max_ts + 26 * hour_us),
+        ("f4", max_ts + 27 * hour_us),
+        ("f5", max_ts + 28 * hour_us),
+    ]
+    stage_dir = _tempfile.mkdtemp(prefix="stream_chain_")
+    _os.symlink(path, _os.path.join(stage_dir, "f1_events.parquet"))
+    arrow_schema = _pq.read_schema(path)
+    for name, ts_us in ticks:
+        cols = {}
+        for field in arrow_schema:
+            if field.name == "ts":
+                if _pa.types.is_timestamp(field.type):
+                    cols["ts"] = _pa.array([ts_us], type=_pa.timestamp("us")).cast(
+                        field.type
+                    )
+                else:
+                    cols["ts"] = _pa.array(
+                        [ts_us * 1000], type=_pa.int64()
+                    ).cast(field.type)
+            elif field.name == "user_id":
+                cols["user_id"] = _pa.array([sentinel], type=field.type)
+            elif field.name == "event_id":
+                cols["event_id"] = _pa.array([10**12], type=field.type)
+            elif field.name == "event_type":
+                # ticks ride a sentinel GROUP KEY, not a pre-agg filter:
+                # a user_id filter before the aggregation gets pushed
+                # below the EventTimeWatermark node by Catalyst, so the
+                # tick rows would never reach it and the watermark would
+                # stall at the real data's max (measured: the last two
+                # hour windows never flush). As their own group, ticks
+                # advance the watermark, aggregate harmlessly into
+                # '__tick__' rows, and drop out AFTER the drain.
+                cols["event_type"] = _pa.array(["__tick__"], type=field.type)
+            else:
+                cols[field.name] = _pa.nulls(1, type=field.type)
+        _pq.write_table(
+            _pa.table(cols, schema=arrow_schema),
+            _os.path.join(stage_dir, f"{name}_tick.parquet"),
+        )
+    stream = catalog.normalize_event_time(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    ).withWatermark("ts", "1 hour").select("ts", "event_type", "value")
+    rolled = chained_tumbling_rollup(
+        stream, ts_col="ts", group_col="event_type", value_col="value",
+        small="1 hour", big="1 day", watermark=None,  # watermark already set
+    )
+    drained = stateful.drain_to_parquet(
+        spark, rolled, shuffle_partitions=8, output_mode="append"
+    )
+    _shutil.rmtree(stage_dir, ignore_errors=True)
+    return drained.filter(F.col("event_type") != "__tick__").select(
+        F.date_format("day_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "n_hours",
+        "sum_value_q4",
+    )
+
+
 def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan audit: per video, how many frames the
     1 s-stride sampler would decode and the last sampled timestamp —
@@ -4077,6 +4175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_exemplars": q_label_exemplars,
     "quote_containment_pairs": q_quote_containment_pairs,
     "trending_event_scores": q_trending_event_scores,
+    "chained_window_rollup": q_chained_window_rollup,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6510,5 +6609,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT)) AS decayed_count_micro
         FROM e, m
         GROUP BY event_type
+    """
+    out["chained_window_rollup"] = """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   count(*) AS n,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS s
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
+               event_type,
+               sum(n) AS n_events,
+               count(*) AS n_hours,
+               sum(s) AS sum_value_q4
+        FROM hourly
+        GROUP BY 1, 2
     """
     return out

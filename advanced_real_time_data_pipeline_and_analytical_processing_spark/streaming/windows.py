@@ -89,3 +89,47 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def chained_tumbling_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    small: str = "1 hour",
+    big: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """CHAINED stateful windowed aggregations in one query (Spark 3.4+
+    multiple-stateful-operator support): small tumbling windows roll up
+    into big ones — hourly partials feeding a daily total — without
+    landing the intermediate anywhere. The second groupBy windows ON
+    the first stage's window column; both stages share the source
+    watermark, and in streaming mode a big-window row emits once the
+    watermark passes its end. Values are quantized to integer
+    ten-thousandths at the source, so both stages' sums are exact
+    bigints (engine- and partition-order-proof).
+
+    Returns (day_start, group, n_events, n_hours, sum_value_q4)."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    vq = F.round(F.col(value_col) * 10000).cast("bigint")
+    small_agg = src.groupBy(
+        F.window(ts_col, small).alias("_w1"), group_col
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(vq).alias("_s"),
+    )
+    big_agg = small_agg.groupBy(
+        F.window(F.col("_w1"), big).alias("_w2"), group_col
+    ).agg(
+        F.sum("_n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("_s").alias("sum_value_q4"),
+    )
+    return big_agg.select(
+        F.col("_w2.start").alias("day_start"),
+        group_col,
+        "n_events",
+        "n_hours",
+        "sum_value_q4",
+    )
