@@ -2782,6 +2782,66 @@ def q_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type: s_t = max(0, s_{t-1} +
+    (x_t − ref)) over the DAILY value series, reporting the maximum
+    excursion and the first day it peaks — the classic monitoring
+    statistic for 'did this metric drift upward, and when'. The
+    recurrence has the prefix-sum closed form
+        s_t = S_t − min(0, min_{k≤t} S_k)
+    (property-verified against the step loop over 500 random
+    sequences), so it is pure WINDOW FUNCTIONS over the bounded daily
+    grain — no fold, no collected arrays. All state exact integers
+    (values quantized to ten-thousandths, ref = integer-div mean), so
+    the identical SQL windows replay it exactly. Heavy lifting (daily
+    sums) is a partial+final hash agg; the per-type windows run on one
+    row per (type, day)."""
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vq").alias("x"))
+    )
+    refs = daily.groupBy("event_type").agg(
+        F.expr("sum(x) div count(*)").alias("ref_q4"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_s = (
+        daily.join(F.broadcast(refs), "event_type")
+        .withColumn("S", F.sum(F.col("x") - F.col("ref_q4")).over(wcum))
+        .withColumn(
+            "s_t",
+            F.greatest(
+                F.col("S") - F.least(F.lit(0).cast("bigint"), F.min("S").over(wcum)),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+    )
+    wtype = Window.partitionBy("event_type")
+    return (
+        with_s.withColumn("mx", F.max("s_t").over(wtype))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("ref_q4").alias("ref_q4"),
+            F.max("mx").alias("max_cusum_q4"),
+            F.date_format(
+                F.min(F.when((F.col("s_t") == F.col("mx")) & (F.col("mx") > 0), F.col("day"))),
+                "yyyy-MM-dd",
+            ).alias("peak_day"),
+        )
+    )
+
+
 def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan audit: per video, how many frames the
     1 s-stride sampler would decode and the last sampled timestamp —
@@ -4176,6 +4236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quote_containment_pairs": q_quote_containment_pairs,
     "trending_event_scores": q_trending_event_scores,
     "chained_window_rollup": q_chained_window_rollup,
+    "daily_cusum_drift": q_daily_cusum_drift,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6625,5 +6686,44 @@ def oracle_sql() -> dict[str, str]:
                sum(s) AS sum_value_q4
         FROM hourly
         GROUP BY 1, 2
+    """
+    out["daily_cusum_drift"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), refs AS (
+            SELECT event_type, sum(x) // count(*) AS ref_q4,
+                   count(*) AS n_days
+            FROM daily GROUP BY event_type
+        ), sums AS (
+            SELECT d.event_type, d.day, r.ref_q4, r.n_days,
+                   sum(d.x - r.ref_q4) OVER w AS S
+            FROM daily d JOIN refs r USING (event_type)
+            WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                         ROWS UNBOUNDED PRECEDING)
+        ), cum AS (
+            SELECT event_type, day, ref_q4, n_days, S,
+                   min(S) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS minS
+            FROM sums
+        ), st AS (
+            SELECT event_type, day, ref_q4, n_days,
+                   greatest(S - least(CAST(0 AS BIGINT), minS),
+                            CAST(0 AS BIGINT)) AS s_t
+            FROM cum
+        ), mxs AS (
+            SELECT event_type, day, ref_q4, n_days, s_t,
+                   max(s_t) OVER (PARTITION BY event_type) AS mx
+            FROM st
+        )
+        SELECT event_type,
+               max(n_days) AS n_days,
+               max(ref_q4) AS ref_q4,
+               max(mx) AS max_cusum_q4,
+               strftime(min(CASE WHEN s_t = mx AND mx > 0 THEN day END),
+                        '%Y-%m-%d') AS peak_day
+        FROM mxs GROUP BY event_type
     """
     return out
