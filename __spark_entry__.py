@@ -2842,6 +2842,140 @@ def q_daily_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users are cohorted by the ISO
+    week of their FIRST event, then every later active week is counted
+    against its offset from the cohort week — the classic product
+    retention matrix. Week index = epoch-days div 7 anchored on a
+    Monday (1970-01-05), identical integer arithmetic on both engines,
+    so no date_trunc('week') locale semantics in play. Retention rate
+    is exact ppm via bigint div. Shape at scale: the (user, week)
+    distinct and the per-user min both shuffle on user_id (AQE merges
+    them into adjacent stages); everything after runs on the bounded
+    (cohort, offset) grain."""
+    events = _t(spark, sf_dir, "events")
+    wk = F.expr("datediff(to_date(ts), DATE'1970-01-05') div 7")
+    user_weeks = events.select("user_id", wk.alias("wk")).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohorts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.expr("active_users * 1000000 div cohort_users").alias("retention_ppm"),
+        )
+    )
+
+
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view → click → purchase: a
+    user advances a stage only with an event AT OR AFTER the previous
+    stage's first completion (not merely having all three types — the
+    ORDER is the funnel). Three per-user min-aggregations chained by
+    user_id equi-joins — every shuffle is on the same key, so AQE plans
+    them as co-partitioned stages; the final result is a single summary
+    row assembled from 1-row broadcast aggregates. Conversion lag sums
+    in exact integer microseconds."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    t_view = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    t_click = (
+        base.filter(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"), F.max("t_view").alias("t_view"))
+    )
+    t_purch = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .filter(F.col("t") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"), F.max("t_view").alias("t_view"))
+    )
+    n_users = base.agg(F.count_distinct("user_id").alias("n_users"))
+    n_viewed = t_view.agg(F.count(F.lit(1)).alias("n_viewed"))
+    n_clicked = t_click.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))
+    n_purch = t_purch.agg(
+        F.count(F.lit(1)).alias("n_purchased_after_click"),
+        F.sum(F.col("t_purchase") - F.col("t_view")).alias("total_funnel_lag_us"),
+    )
+    return (
+        n_users.crossJoin(F.broadcast(n_viewed))
+        .crossJoin(F.broadcast(n_clicked))
+        .crossJoin(F.broadcast(n_purch))
+    )
+
+
+def q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiler audit over every orders column: exact null count
+    and exact distinct count per column, ONE scan — the multi-distinct
+    aggregate Catalyst plans via Expand (each row fans out once per
+    distinct column, partial-agged before the shuffle), then a 6-way
+    stack() unpivot of the single result row. The profiler every
+    ingestion pipeline runs before trusting a new feed; counts are
+    bigints so the oracle comparison is format-proof."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_expr}) AS (column_name, n_nulls, n_distinct)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def q_lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing plan: per-language sampling weights
+    that move the corpus toward a UNIFORM language mixture, computed in
+    exact integer arithmetic — weight_ppm = (total · 10⁶) div
+    (n_langs · n_docs); a keep-plan that caps weights at 1.0 (never
+    up-samples): n_keep = min(n_docs, total div n_langs). This is the
+    mixture-weights step every multi-lingual pre-training pipeline runs
+    before sampling. One hash agg + a broadcast 1-row total; output is
+    one row per language."""
+    docs = _t(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = by_lang.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return (
+        by_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("total_docs * 1000000 div (n_langs * n_docs)").alias(
+                "weight_ppm"
+            ),
+            F.expr("least(n_docs, total_docs div n_langs)").alias("n_keep"),
+        )
+    )
+
+
 def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan audit: per video, how many frames the
     1 s-stride sampler would decode and the last sampled timestamp —
@@ -4237,6 +4371,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trending_event_scores": q_trending_event_scores,
     "chained_window_rollup": q_chained_window_rollup,
     "daily_cusum_drift": q_daily_cusum_drift,
+    "cohort_retention": q_cohort_retention,
+    "conversion_funnel": q_conversion_funnel,
+    "column_profile_orders": q_column_profile_orders,
+    "lang_mix_weights": q_lang_mix_weights,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6725,5 +6863,91 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(CASE WHEN s_t = mx AND mx > 0 THEN day END),
                         '%Y-%m-%d') AS peak_day
         FROM mxs GROUP BY event_type
+    """
+    out["cohort_retention"] = """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+                       AS wk
+            FROM events
+        ), cohorts AS (
+            SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+        ), sizes AS (
+            SELECT cohort_wk, count(*) AS cohort_users
+            FROM cohorts GROUP BY cohort_wk
+        ), act AS (
+            SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+                   count(*) AS active_users
+            FROM uw JOIN cohorts c USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT a.cohort_wk, a.week_offset, a.active_users, s.cohort_users,
+               a.active_users * 1000000 // s.cohort_users AS retention_ppm
+        FROM act a JOIN sizes s USING (cohort_wk)
+    """
+    out["conversion_funnel"] = """
+        WITH base AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        ), v AS (
+            SELECT user_id, min(t) AS t_view FROM base
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT b.user_id, min(b.t) AS t_click, max(v.t_view) AS t_view
+            FROM base b JOIN v USING (user_id)
+            WHERE b.event_type = 'click' AND b.t >= v.t_view
+            GROUP BY b.user_id
+        ), p AS (
+            SELECT b.user_id, min(b.t) AS t_purchase, max(c.t_view) AS t_view
+            FROM base b JOIN c USING (user_id)
+            WHERE b.event_type = 'purchase' AND b.t >= c.t_click
+            GROUP BY b.user_id
+        )
+        SELECT (SELECT count(DISTINCT user_id) FROM base) AS n_users,
+               (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked_after_view,
+               (SELECT count(*) FROM p) AS n_purchased_after_click,
+               (SELECT sum(t_purchase - t_view) FROM p)
+                   AS total_funnel_lag_us
+    """
+    out["column_profile_orders"] = """
+        SELECT * FROM (
+            SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                       AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_custkey) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_totalprice) FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*),
+                   sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_orderdate) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_orderpriority) FROM orders
+        )
+    """
+    out["lang_mix_weights"] = """
+        WITH by_lang AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT sum(n_docs) AS total_docs, count(*) AS n_langs
+            FROM by_lang
+        )
+        SELECT lang, n_docs,
+               total_docs * 1000000 // (n_langs * n_docs) AS weight_ppm,
+               least(n_docs, total_docs // n_langs) AS n_keep
+        FROM by_lang, tot
     """
     return out
