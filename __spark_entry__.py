@@ -2976,6 +2976,124 @@ def q_lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build from an event stream: compress each
+    user's consecutive same-type events into validity intervals
+    [valid_from, valid_to) — the gaps-and-islands pattern every
+    warehouse dimension-history job runs (lag → change flag → cumsum
+    island id → per-island min/max + lead for the closing edge). All
+    windows partition by user_id (unbounded key cardinality — scales),
+    ordered by (ts, event_id) so ties are deterministic; timestamps in
+    exact integer microseconds; valid_to is NULL for each user's
+    current (open) interval."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = base.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.max("event_type").alias("state"),
+        F.min("t").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_observations"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    return islands.select(
+        "user_id",
+        "island",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wi).alias("valid_to_us"),
+        "n_observations",
+    )
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-path analytics: sessionize each user's events (30-min
+    gap), take the first three event types of every session in order,
+    and count sessions per path string ('view>click>purchase' style).
+    Two user-partitioned window passes (sessionize, rank) then a hash
+    agg on the bounded path vocabulary (≤ |types|³ keys). Path
+    assembly is array_sort(collect_list(struct(rn, type))) — ordered
+    by construction, so the string is deterministic under any
+    partitioning; ties broken by event_id."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gap_us = F.col("t") - F.lag("t").over(w)
+    sess = base.withColumn(
+        "new_s",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("t", "event_id")
+    first3 = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 3
+    )
+    paths = first3.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution: per event type, the histogram
+    of gaps between a user's consecutive events of that type, bucketed
+    on exact integer-microsecond thresholds (<1 m, <10 m, <1 h, <6 h,
+    <1 d, ≥1 d) — the latency/engagement profile behind session-gap
+    and retention tuning. The lag window partitions by (user_id,
+    event_type) — unbounded key cardinality, no single-reducer type
+    partitions; the final agg lands on the bounded (type, bucket)
+    grain."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    gaps = base.withColumn("gap_us", F.col("t") - F.lag("t").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    m = 60 * 1_000_000
+    bucket = (
+        F.when(F.col("gap_us") < 1 * m, "a_lt_1m")
+        .when(F.col("gap_us") < 10 * m, "b_lt_10m")
+        .when(F.col("gap_us") < 60 * m, "c_lt_1h")
+        .when(F.col("gap_us") < 360 * m, "d_lt_6h")
+        .when(F.col("gap_us") < 1440 * m, "e_lt_1d")
+        .otherwise("f_ge_1d")
+    )
+    return (
+        gaps.groupBy("event_type", bucket.alias("gap_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+        )
+    )
+
+
 def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan audit: per video, how many frames the
     1 s-stride sampler would decode and the last sampled timestamp —
@@ -4375,6 +4493,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversion_funnel": q_conversion_funnel,
     "column_profile_orders": q_column_profile_orders,
     "lang_mix_weights": q_lang_mix_weights,
+    "scd2_user_state": q_scd2_user_state,
+    "session_paths": q_session_paths,
+    "interarrival_histogram": q_interarrival_histogram,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6949,5 +7070,87 @@ def oracle_sql() -> dict[str, str]:
                total_docs * 1000000 // (n_langs * n_docs) AS weight_ppm,
                least(n_docs, total_docs // n_langs) AS n_keep
         FROM by_lang, tot
+    """
+    out["scd2_user_state"] = """
+        WITH base AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_type, t, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        ), isl AS (
+            SELECT user_id, event_type, t,
+                   sum(chg) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged
+        ), islands AS (
+            SELECT user_id, island,
+                   max(event_type) AS state,
+                   min(t) AS valid_from_us,
+                   count(*) AS n_observations
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id, island, state, valid_from_us,
+               lead(valid_from_us) OVER
+                   (PARTITION BY user_id ORDER BY island) AS valid_to_us,
+               n_observations
+        FROM islands
+    """
+    out["session_paths"] = """
+        WITH base AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+            FROM events
+        ), sess AS (
+            SELECT user_id, event_type, t, event_id,
+                   sum(CASE WHEN prev_t IS NULL
+                                 OR t - prev_t > 1800 * 1000000
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+                SELECT *, lag(t) OVER
+                       (PARTITION BY user_id ORDER BY t, event_id)
+                       AS prev_t
+                FROM base
+            )
+        ), ranked AS (
+            SELECT user_id, session_id, event_type,
+                   row_number() OVER (PARTITION BY user_id, session_id
+                                      ORDER BY t, event_id) AS rn
+            FROM sess
+        ), paths AS (
+            SELECT user_id, session_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM ranked WHERE rn <= 3
+            GROUP BY user_id, session_id
+        )
+        SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    """
+    out["interarrival_histogram"] = """
+        WITH base AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+            FROM events
+        ), gaps AS (
+            SELECT event_type,
+                   t - lag(t) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY t, event_id) AS gap_us
+            FROM base
+        )
+        SELECT event_type,
+               CASE WHEN gap_us < CAST(1 AS BIGINT) * 60000000 THEN 'a_lt_1m'
+                    WHEN gap_us < CAST(10 AS BIGINT) * 60000000 THEN 'b_lt_10m'
+                    WHEN gap_us < CAST(60 AS BIGINT) * 60000000 THEN 'c_lt_1h'
+                    WHEN gap_us < CAST(360 AS BIGINT) * 60000000 THEN 'd_lt_6h'
+                    WHEN gap_us < CAST(1440 AS BIGINT) * 60000000 THEN 'e_lt_1d'
+                    ELSE 'f_ge_1d' END AS gap_bucket,
+               count(*) AS n_gaps,
+               sum(gap_us) AS total_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY 1, 2
     """
     return out
