@@ -3094,6 +3094,75 @@ def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend: the least-squares slope of DAILY total value
+    against day index — the regr_slope() family, but computed from
+    EXACT integer moment sums (x = small day index, y = value in
+    ten-thousandths) instead of the engines' double-accumulating
+    regr_* aggregates, whose partial-sum reduction order flips last
+    ulps across partitionings. slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    emitted as an exact bigint numerator/denominator pair plus a
+    micro-units quotient. Daily grain = partial+final hash agg; the
+    per-type moment agg runs on the bounded (type, day) grain."""
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("datediff(to_date(ts), DATE'1970-01-01')").alias("d"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("vq").alias("y"))
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(mind)).select(
+        "event_type", (F.col("d") - F.col("d0")).alias("x"), "y"
+    )
+    mom = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        F.expr("n * sxy - sx * sy").alias("slope_num_q4"),
+        F.expr("n * sxx - sx * sx").alias("slope_den"),
+        F.expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)").alias(
+            "slope_micro_q4_per_day"
+        ),
+    )
+
+
+def q_modal_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE: the most frequent order priority
+    within each order status, ties broken by the lexicographically
+    smallest value — built as count-per-(group, value) + a row_number
+    window over the tiny distinct grain, NOT the engines' mode()
+    aggregate (both Spark and DuckDB document arbitrary tie-breaking,
+    which is a hash-compare landmine). The heavy count is a
+    partial+final hash agg; the window runs on ≤ |status|·|priority|
+    rows."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
 def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan audit: per video, how many frames the
     1 s-stride sampler would decode and the last sampled timestamp —
@@ -4496,6 +4565,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_user_state": q_scd2_user_state,
     "session_paths": q_session_paths,
     "interarrival_histogram": q_interarrival_histogram,
+    "daily_trend_slopes": q_daily_trend_slopes,
+    "modal_order_priority": q_modal_order_priority,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -7152,5 +7223,44 @@ def oracle_sql() -> dict[str, str]:
                sum(gap_us) AS total_gap_us
         FROM gaps WHERE gap_us IS NOT NULL
         GROUP BY 1, 2
+    """
+    out["daily_trend_slopes"] = """
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS y
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), mind AS (SELECT min(d) AS d0 FROM daily),
+        pts AS (
+            SELECT event_type, CAST(d - d0 AS BIGINT) AS x, y
+            FROM daily, mind
+        ), mom AS (
+            SELECT event_type, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type, n,
+               n * sxy - sx * sy AS slope_num_q4,
+               n * sxx - sx * sx AS slope_den,
+               CAST((n * sxy - sx * sy) * 1000000 AS BIGINT)
+                   // (n * sxx - sx * sx) AS slope_micro_q4_per_day
+        FROM mom
+    """
+    out["modal_order_priority"] = """
+        WITH counts AS (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY 1, 2
+        ), ranked AS (
+            SELECT *, row_number() OVER
+                   (PARTITION BY o_orderstatus
+                    ORDER BY n DESC, o_orderpriority) AS rn
+            FROM counts
+        )
+        SELECT o_orderstatus, o_orderpriority AS modal_priority,
+               n AS n_orders
+        FROM ranked WHERE rn = 1
     """
     return out
