@@ -2395,6 +2395,41 @@ def q_user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("user_id"), "pr_micro")
 
 
+def q_user_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability profile (operators/graph.py bfs_min_dist) over
+    the same 10-minute co-purchase graph as user_pagerank: minimum hop
+    distance from the smallest user id, 3 rounds, one
+    frontier-expand + anti-join shuffle per round with localCheckpoint
+    lineage cuts. Distances are exact level-order integers, so the
+    oracle unrolls the identical rounds as chained CTEs. Output is the
+    per-distance reach profile (bounded: max_depth+1 rows)."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import graph
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cells = events.select(
+        "user_id",
+        F.expr("unix_timestamp(date_trunc('minute', ts)) div 600").alias("_cell"),
+    ).distinct()
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    dists = graph.bfs_min_dist(edges, max_depth=3)
+    return dists.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("node").alias("min_user"),
+        F.max("node").alias("max_user"),
+    )
+
+
 def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance
     (maintenance.merge_agg_delta): the orders table arrives as three
@@ -2920,32 +2955,27 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-profiler audit over every orders column: exact null count
-    and exact distinct count per column, ONE scan — the multi-distinct
-    aggregate Catalyst plans via Expand (each row fans out once per
-    distinct column, partial-agged before the shuffle), then a 6-way
-    stack() unpivot of the single result row. The profiler every
-    ingestion pipeline runs before trusting a new feed; counts are
-    bigints so the oracle comparison is format-proof."""
+    """Data-profiler audit over every orders column (operators/
+    profile.py — the same one-scan multi-DISTINCT Expand profiler as
+    events_table_profile, here over the orders feed): exact null and
+    distinct counts plus cross-engine-formatted min/max per column.
+    The profiler every ingestion pipeline runs before trusting a new
+    feed."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import profile
+
     orders = _t(spark, sf_dir, "orders")
-    cols = [
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_totalprice",
-        "o_orderdate",
-        "o_orderpriority",
-    ]
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}"))
-        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
-    one = orders.agg(*aggs)
-    stack_expr = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
-    return one.selectExpr(
-        "n_rows",
-        f"stack({len(cols)}, {stack_expr}) AS (column_name, n_nulls, n_distinct)",
-    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+    # o_orderdate excluded like events_table_profile's ts: timestamp
+    # min/max STRING-formatting is engine-specific, not value-checkable
+    return profile.table_profile(
+        orders,
+        cols=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ],
+    )
 
 
 def q_lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4567,6 +4597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interarrival_histogram": q_interarrival_histogram,
     "daily_trend_slopes": q_daily_trend_slopes,
     "modal_order_priority": q_modal_order_priority,
+    "user_bfs_reach": q_user_bfs_reach,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -6636,6 +6667,12 @@ def oracle_sql() -> dict[str, str]:
         _graph.pagerank_oracle_sql(_pr_edges, iters=5)
         .replace("SELECT u AS node, pr AS pr_micro", "SELECT u AS user_id, pr AS pr_micro")
     )
+    out["user_bfs_reach"] = (
+        "SELECT dist, count(*) AS n_users, min(node) AS min_user, "
+        "max(node) AS max_user FROM ("
+        + _graph.bfs_oracle_sql(_pr_edges, max_depth=3)
+        + ") GROUP BY dist"
+    )
     out["incremental_agg_orders"] = """
         SELECT o_orderpriority,
                count(*) AS n_rows,
@@ -7101,35 +7138,25 @@ def oracle_sql() -> dict[str, str]:
                (SELECT sum(t_purchase - t_view) FROM p)
                    AS total_funnel_lag_us
     """
-    out["column_profile_orders"] = """
-        SELECT * FROM (
-            SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
-                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-                       AS n_nulls,
-                   count(DISTINCT o_orderkey) AS n_distinct
-            FROM orders
-            UNION ALL
-            SELECT 'o_custkey', count(*),
-                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
-                   count(DISTINCT o_custkey) FROM orders
-            UNION ALL
-            SELECT 'o_orderstatus', count(*),
-                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
-                   count(DISTINCT o_orderstatus) FROM orders
-            UNION ALL
-            SELECT 'o_totalprice', count(*),
-                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
-                   count(DISTINCT o_totalprice) FROM orders
-            UNION ALL
-            SELECT 'o_orderdate', count(*),
-                   sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
-                   count(DISTINCT o_orderdate) FROM orders
-            UNION ALL
-            SELECT 'o_orderpriority', count(*),
-                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
-                   count(DISTINCT o_orderpriority) FROM orders
-        )
-    """
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import profile as _profile2
+
+    out["column_profile_orders"] = _profile2.profile_oracle_sql(
+        "orders",
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ],
+        {
+            "o_orderkey": "bigint",
+            "o_custkey": "bigint",
+            "o_orderstatus": "string",
+            "o_totalprice": "double",
+            "o_orderpriority": "string",
+        },
+    )
     out["lang_mix_weights"] = """
         WITH by_lang AS (
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

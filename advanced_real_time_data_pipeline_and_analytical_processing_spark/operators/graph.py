@@ -92,3 +92,64 @@ def pagerank_oracle_sql(
         ", ".join(parts)
         + f" SELECT u AS node, pr AS pr_micro FROM pr{iters}"
     )
+
+
+def bfs_min_dist(edges: DataFrame, max_depth: int = 3) -> DataFrame:
+    """(node, dist) — minimum hop distance from the seed node (the
+    globally smallest node id, which always appears in column u of the
+    u<v edge list) over the UNDIRECTED edges, up to ``max_depth`` hops.
+
+    Same driver-loop shape as :func:`pagerank_micro`: each round is one
+    frontier-expand join + an anti-join against the visited set (both
+    shuffles on node id), with localCheckpoint cutting lineage so round
+    N's plan doesn't replay rounds 1..N-1. Distances are exact integers
+    by construction — BFS level order IS the minimum distance, no
+    floats anywhere. At 100 TB the frontier/visited sets shuffle on an
+    unbounded key; rounds are O(diameter-bounded)."""
+    dir_e = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    visited = dir_e.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(dir_e, frontier.node == dir_e.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(d).cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited
+
+
+def bfs_oracle_sql(edges_sql: str, max_depth: int = 3) -> str:
+    """The identical BFS as unrolled CTE rounds (mirrors the driver
+    loop exactly — one frontier CTE and one visited CTE per depth).
+    ``edges_sql`` must yield (u, v) undirected edges with u < v."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "dir_e AS (SELECT u, v FROM edges "
+        "UNION ALL SELECT v AS u, u AS v FROM edges)",
+        "f0 AS (SELECT min(u) AS node FROM dir_e)",
+        "v0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM f0)",
+    ]
+    for d in range(1, max_depth + 1):
+        parts.append(
+            f"""f{d} AS (
+                SELECT DISTINCT e.v AS node
+                FROM f{d - 1} f JOIN dir_e e ON e.u = f.node
+                WHERE e.v NOT IN (SELECT node FROM v{d - 1})
+            )"""
+        )
+        parts.append(
+            f"v{d} AS (SELECT node, dist FROM v{d - 1} "
+            f"UNION ALL SELECT node, CAST({d} AS BIGINT) AS dist FROM f{d})"
+        )
+    return ", ".join(parts) + f" SELECT node, dist FROM v{max_depth}"

@@ -510,6 +510,33 @@ def test_pagerank_star_center_dominates(spark):
     assert pr[0] > leaves[0] * 3
 
 
+def test_bfs_min_dist_levels_and_unreachable(spark):
+    """On a path graph 0-1-2-3-4-5 plus a disconnected edge 10-11, BFS
+    from the min node (0) with max_depth=3 must report exact level
+    distances, truncate at the depth bound (4, 5 absent), and never
+    reach the other component."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "u long, v long",
+    )
+    got = {r.node: r.dist for r in graph.bfs_min_dist(edges, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_min_dist_shortcut_wins(spark):
+    """A node reachable by two routes gets the SHORTER distance (level
+    order, not discovery order): 0-1-2-3 chain plus direct 0-3 edge."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "u long, v long"
+    )
+    got = {r.node: r.dist for r in graph.bfs_min_dist(edges, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2}
+
+
 def test_table_profile_single_scan_and_counts(spark):
     """The whole multi-column report must come from ONE scan (Expand
     handles the multi-DISTINCT), and nulls must count into n_nulls but
