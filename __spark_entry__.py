@@ -2430,6 +2430,33 @@ def q_user_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the financial resample): per (event type,
+    week) the opening value, high, low, closing value, tick count, and
+    exact q4 volume. Open/close are min/max over the struct
+    (t, event_id, vq) — lexicographic struct comparison inside a plain
+    partial+final HASH AGG, so first/last-by-time needs NO window sort
+    and scales like any aggregate; (t, event_id) is unique so the
+    result is deterministic. The oracle replays first/last with
+    row_number windows — different plan, same values."""
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = events.select(
+        "event_type",
+        F.expr("datediff(to_date(ts), DATE'1970-01-05') div 7").alias("wk"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
+    )
+    return base.groupBy("event_type", "wk").agg(
+        F.min(F.struct("t", "event_id", "vq"))["vq"].alias("open_q4"),
+        F.max("vq").alias("high_q4"),
+        F.min("vq").alias("low_q4"),
+        F.max(F.struct("t", "event_id", "vq"))["vq"].alias("close_q4"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("vq").alias("volume_q4"),
+    )
+
+
 def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance
     (maintenance.merge_agg_delta): the orders table arrives as three
@@ -4598,6 +4625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_trend_slopes": q_daily_trend_slopes,
     "modal_order_priority": q_modal_order_priority,
     "user_bfs_reach": q_user_bfs_reach,
+    "weekly_ohlc": q_weekly_ohlc,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -7289,5 +7317,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderstatus, o_orderpriority AS modal_priority,
                n AS n_orders
         FROM ranked WHERE rn = 1
+    """
+    out["weekly_ohlc"] = """
+        WITH base AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+                       // 7 AS wk,
+                   epoch_us(ts) AS t, event_id,
+                   CAST(round(value * 10000) AS BIGINT) AS vq
+            FROM events WHERE value IS NOT NULL
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type, wk
+                                      ORDER BY t, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, wk
+                                      ORDER BY t DESC, event_id DESC)
+                       AS rn_d
+            FROM base
+        )
+        SELECT event_type, wk,
+               max(CASE WHEN rn_a = 1 THEN vq END) AS open_q4,
+               max(vq) AS high_q4,
+               min(vq) AS low_q4,
+               max(CASE WHEN rn_d = 1 THEN vq END) AS close_q4,
+               count(*) AS n_ticks,
+               sum(vq) AS volume_q4
+        FROM ranked GROUP BY 1, 2
     """
     return out
