@@ -34,6 +34,12 @@ QUERIES = [
     # sweep) and the curation funnel must also be fan-out-proof
     "stateful_session_report",
     "curation_funnel",
+    # round-4 additions: integer moment sums, struct-ordered
+    # first/last, chained per-user funnel joins, iterative BFS
+    "daily_trend_slopes",
+    "weekly_ohlc",
+    "conversion_funnel",
+    "user_bfs_reach",
 ]
 
 
