@@ -2457,6 +2457,33 @@ def q_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_band_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame (the one frame family no other
+    query exercises): for each order, how many of the SAME customer's
+    orders fall within ±$50 of its price, plus their exact cents sum —
+    RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING over integer
+    cents. Partitioned by customer (unbounded key cardinality — no
+    giant single partitions); prices quantized to cents so the frame
+    boundary comparisons are exact integer, never float-epsilon."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey", "o_custkey", cents.alias("price_cents")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("price_cents")
+        .rangeBetween(-5000, 5000)
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "price_cents",
+        F.count(F.lit(1)).over(w).alias("n_band_orders"),
+        F.sum("price_cents").over(w).alias("band_cents_sum"),
+    )
+
+
 def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance
     (maintenance.merge_agg_delta): the orders table arrives as three
@@ -4626,6 +4653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "modal_order_priority": q_modal_order_priority,
     "user_bfs_reach": q_user_bfs_reach,
     "weekly_ohlc": q_weekly_ohlc,
+    "price_band_window": q_price_band_window,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -7343,5 +7371,18 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_ticks,
                sum(vq) AS volume_q4
         FROM ranked GROUP BY 1, 2
+    """
+    out["price_band_window"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey, price_cents,
+               count(*) OVER w AS n_band_orders,
+               sum(price_cents) OVER w AS band_cents_sum
+        FROM base
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY price_cents
+                     RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
     """
     return out
