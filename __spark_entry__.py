@@ -3032,9 +3032,10 @@ def q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mixture rebalancing plan: per-language sampling weights
-    that move the corpus toward a UNIFORM language mixture, computed in
+def q_uniform_lang_keep_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing plan (the hard-cap counterpart of
+    lang_mixture_weights' temperature softmax): per-language sampling
+    weights that move the corpus toward a UNIFORM language mixture, in
     exact integer arithmetic — weight_ppm = (total · 10⁶) div
     (n_langs · n_docs); a keep-plan that caps weights at 1.0 (never
     up-samples): n_keep = min(n_docs, total div n_langs). This is the
@@ -4645,7 +4646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "conversion_funnel": q_conversion_funnel,
     "column_profile_orders": q_column_profile_orders,
-    "lang_mix_weights": q_lang_mix_weights,
+    "uniform_lang_keep_plan": q_uniform_lang_keep_plan,
     "scd2_user_state": q_scd2_user_state,
     "session_paths": q_session_paths,
     "interarrival_histogram": q_interarrival_histogram,
@@ -7213,7 +7214,7 @@ def oracle_sql() -> dict[str, str]:
             "o_orderpriority": "string",
         },
     )
-    out["lang_mix_weights"] = """
+    out["uniform_lang_keep_plan"] = """
         WITH by_lang AS (
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
         ), tot AS (
