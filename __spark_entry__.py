@@ -2484,6 +2484,35 @@ def q_price_band_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_monthly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: per month, exact-cents revenue, the
+    prior month's revenue (lag over the bounded monthly grain), the
+    absolute delta, and growth in exact ppm via bigint div — the
+    period-over-period report every revenue dashboard leads with. The
+    heavy work is the monthly partial+final hash agg; the unpartitioned
+    lag window sees one row per month (bounded by calendar length, safe
+    at any data scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "rev_cents",
+        F.lag("rev_cents").over(w).alias("prev_cents"),
+        (F.col("rev_cents") - F.lag("rev_cents").over(w)).alias("delta_cents"),
+        F.expr(
+            "(rev_cents - lag(rev_cents) OVER (ORDER BY month)) * 1000000"
+            " div lag(rev_cents) OVER (ORDER BY month)"
+        ).alias("growth_ppm"),
+    )
+
+
 def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance
     (maintenance.merge_agg_delta): the orders table arrives as three
@@ -4655,6 +4684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_bfs_reach": q_user_bfs_reach,
     "weekly_ohlc": q_weekly_ohlc,
     "price_band_window": q_price_band_window,
+    "monthly_growth_rates": q_monthly_growth_rates,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -7385,5 +7415,21 @@ def oracle_sql() -> dict[str, str]:
         FROM base
         WINDOW w AS (PARTITION BY o_custkey ORDER BY price_cents
                      RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+    """
+    out["monthly_growth_rates"] = """
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS rev_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT month, rev_cents,
+               lag(rev_cents) OVER w AS prev_cents,
+               rev_cents - lag(rev_cents) OVER w AS delta_cents,
+               (rev_cents - lag(rev_cents) OVER w) * 1000000
+                   // lag(rev_cents) OVER w AS growth_ppm
+        FROM monthly
+        WINDOW w AS (ORDER BY month)
     """
     return out
