@@ -4507,6 +4507,214 @@ def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: per
+    customer, days since last order vs the corpus anchor date, order
+    count, and exact-cents spend; each dimension scored 1-5 by ntile
+    over the CUSTOMER AGGREGATE (one row per customer, already k×
+    smaller than orders), then rolled up to segment cells. Ntile ties
+    are broken by custkey so bucket assignment is deterministic under
+    any partitioning. Scale note: the three score windows are global
+    sorts of the customer grain; the 100 TB variant broadcasts
+    approx_percentile cut-points and scores map-only — kept windowed
+    here for exact oracle parity."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_dt"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor_dt"))
+    scored = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor_dt", "last_dt").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .select(
+            "*",
+            F.ntile(5)
+            .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+            .alias("r_score"),
+            F.ntile(5)
+            .over(Window.orderBy("frequency", "o_custkey"))
+            .alias("f_score"),
+            F.ntile(5)
+            .over(Window.orderBy("monetary_cents", "o_custkey"))
+            .alias("m_score"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("cell_cents"),
+        F.min("recency_days").alias("min_recency_days"),
+        F.max("frequency").alias("max_frequency"),
+    )
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch marketing attribution: every purchase
+    is credited to the first and the most recent NON-purchase event
+    the same user emitted before it (ignore-nulls first/last over a
+    bounded-above frame), 'direct' when none precedes. One
+    user-partitioned window pass — embarrassingly parallel across
+    users — then a hash agg on the bounded (channel × channel)
+    vocabulary. Revenue carried as value×10⁴ bigint quanta so the
+    attribution totals are associativity-proof."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = base.select(
+        "event_type",
+        "vq",
+        F.first(nonp, ignorenulls=True).over(w).alias("ft"),
+        F.last(nonp, ignorenulls=True).over(w).alias("lt"),
+    ).filter(F.col("event_type") == "purchase")
+    return attributed.groupBy(
+        F.coalesce("ft", F.lit("direct")).alias("first_touch"),
+        F.coalesce("lt", F.lit("direct")).alias("last_touch"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("vq").alias("revenue_q4"),
+    )
+
+
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (the exact-substring
+    flavor of training-data dedup, à la Lee et al. 2022): every
+    whitespace-token 8-gram of every document, grouped corpus-wide,
+    keeping spans that recur in ≥2 DISTINCT documents with their doc
+    and occurrence counts. The explode is map-side (≤ n_tokens rows per
+    doc); the shuffle key is the 8-gram itself (bounded at 8 tokens —
+    at 100 TB substitute xxhash64(gram) as the grouping key and keep
+    one exemplar string via min). Downstream, these spans are the
+    removal list for memorization-risk scrubbing."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 7),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    return grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    ).filter(F.col("n_docs") >= 2)
+
+
+# Benford expected first-digit shares in ppm, precomputed so neither
+# engine evaluates log10 at query time (libm last-ulp divergence would
+# break exact-hash parity): round(log10(1 + 1/d) * 1e6).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law data-quality audit on order amounts: the observed
+    first-significant-digit distribution of o_totalprice (taken from
+    the exact cents integer, so no float formatting is involved)
+    against the Benford expectation, with the deviation in exact ppm.
+    Fabricated or unit-mangled financial feeds show up as fat
+    deviations. One map-side digit projection + a 9-key hash agg; the
+    share window runs over the bounded 9-row digit grain."""
+    orders = _t(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    total_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return counts.select(
+        "digit",
+        "n_orders",
+        F.expr(
+            "n_orders * 1000000 div sum(n_orders)"
+            " OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND UNBOUNDED FOLLOWING)"
+        ).alias("share_ppm"),
+        benford[F.col("digit")].alias("benford_ppm"),
+    ).select(
+        "*",
+        (F.col("share_ppm") - F.col("benford_ppm")).alias("deviation_ppm"),
+    )
+
+
+def q_pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) per market segment: the orders no
+    other same-segment order dominates on (price, order date) — the
+    'best offers' operator. Instead of the quadratic dominance
+    anti-join the oracle runs, one segment-partitioned sort does it in
+    O(n log n): ordered by price_cents DESC with a RANGE frame ending
+    at -1, the frame is exactly the STRICTLY-higher-priced rows, so a
+    point survives iff its date beats max(date) over that frame AND it
+    holds the max date within its own price tie-group (>= + one-strict
+    dominance; equal points both survive)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pts = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d"),
+    )
+    w_higher = (
+        Window.partitionBy("segment")
+        .orderBy(F.col("price_cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tie = Window.partitionBy("segment", "price_cents")
+    flagged = pts.select(
+        "segment",
+        "o_orderkey",
+        "price_cents",
+        "order_date",
+        F.max("d").over(w_higher).alias("maxd_higher"),
+        F.max("d").over(w_tie).alias("maxd_tie"),
+        "d",
+    )
+    return flagged.filter(
+        (F.col("maxd_higher").isNull() | (F.col("maxd_higher") < F.col("d")))
+        & (F.col("maxd_tie") == F.col("d"))
+    ).select("segment", "o_orderkey", "price_cents", "order_date")
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -4685,6 +4893,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekly_ohlc": q_weekly_ohlc,
     "price_band_window": q_price_band_window,
     "monthly_growth_rates": q_monthly_growth_rates,
+    "rfm_segments": q_rfm_segments,
+    "touch_attribution": q_touch_attribution,
+    "repeated_ngram_spans": q_repeated_ngram_spans,
+    "benford_digit_audit": q_benford_digit_audit,
+    "pareto_frontier_orders": q_pareto_frontier_orders,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -7431,5 +7644,105 @@ def oracle_sql() -> dict[str, str]:
                    // lag(rev_cents) OVER w AS growth_ppm
         FROM monthly
         WINDOW w AS (ORDER BY month)
+    """
+    out["rfm_segments"] = """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   max(CAST(o_orderdate AS DATE)) AS last_dt,
+                   count(*) AS frequency,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS monetary_cents
+            FROM orders GROUP BY 1
+        ), anchor AS (
+            SELECT max(CAST(o_orderdate AS DATE)) AS anchor_dt FROM orders
+        ), scored AS (
+            SELECT o_custkey,
+                   date_diff('day', last_dt, anchor_dt) AS recency_days,
+                   frequency, monetary_cents,
+                   ntile(5) OVER (ORDER BY date_diff('day', last_dt, anchor_dt)
+                                      DESC, o_custkey) AS r_score,
+                   ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+                   ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+                       AS m_score
+            FROM per_cust, anchor
+        )
+        SELECT r_score, f_score, m_score,
+               count(*) AS n_customers,
+               sum(monetary_cents) AS cell_cents,
+               min(recency_days) AS min_recency_days,
+               max(frequency) AS max_frequency
+        FROM scored GROUP BY 1, 2, 3
+    """
+    out["touch_attribution"] = """
+        WITH att AS (
+            SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS vq,
+                   first_value(CASE WHEN event_type <> 'purchase'
+                                    THEN event_type END IGNORE NULLS)
+                       OVER w AS ft,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS lt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT coalesce(ft, 'direct') AS first_touch,
+               coalesce(lt, 'direct') AS last_touch,
+               count(*) AS n_purchases,
+               sum(vq) AS revenue_q4
+        FROM att WHERE event_type = 'purchase' GROUP BY 1, 2
+    """
+    out["repeated_ngram_spans"] = r"""
+        WITH g AS (
+            SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+')
+                             AS toks
+                  FROM documents),
+                 UNNEST(generate_series(1, greatest(len(toks) - 7, 0)))
+                     t(i)
+        )
+        SELECT gram,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences
+        FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    """
+    benford_case = " ".join(
+        f"WHEN {d} THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+    )
+    out["benford_digit_audit"] = f"""
+        WITH counts AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                         AS BIGINT) AS VARCHAR), 1, 1)
+                        AS INTEGER) AS digit,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT digit, n_orders,
+               n_orders * 1000000 // sum(n_orders) OVER () AS share_ppm,
+               CASE digit {benford_case} END AS benford_ppm,
+               n_orders * 1000000 // sum(n_orders) OVER ()
+                   - CASE digit {benford_case} END AS deviation_ppm
+        FROM counts
+    """
+    out["pareto_frontier_orders"] = """
+        WITH pts AS (
+            SELECT c.c_mktsegment AS segment, o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS price_cents,
+                   CAST(o.o_orderdate AS DATE) AS order_date
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        SELECT segment, o_orderkey, price_cents, order_date
+        FROM pts q
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts p
+            WHERE p.segment = q.segment
+              AND p.price_cents >= q.price_cents
+              AND p.order_date >= q.order_date
+              AND (p.price_cents > q.price_cents
+                   OR p.order_date > q.order_date))
     """
     return out
