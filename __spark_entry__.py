@@ -4652,9 +4652,6 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
-    total_w = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     benford = F.create_map(
         *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
     )
@@ -4713,6 +4710,165 @@ def q_pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("maxd_higher").isNull() | (F.col("maxd_higher") < F.col("d")))
         & (F.col("maxd_tie") == F.col("d"))
     ).select("segment", "o_orderkey", "price_cents", "order_date")
+
+
+def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs co-purchased in ≥2
+    distinct orders, with support / confidence / lift in exact ppm
+    (bigint arithmetic, identical operation order to the oracle). The
+    pair generation is an orderkey-co-located self-join — pairs per
+    order are bounded by basket size squared, so the blow-up factor is
+    a small constant at any corpus scale; per-part supports broadcast
+    back onto the surviving pairs. Lift numerator n_ab·N·10⁶ stays
+    inside int64 up to ~10⁹ baskets; beyond that promote to
+    DECIMAL(38,0) (same pattern as user_value_twap)."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    part_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = part_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    cb = part_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * 1000000 div n_baskets").alias("support_ppm"),
+            F.expr("n_ab * 1000000 div n_a").alias("confidence_ppm"),
+            F.expr(
+                "n_ab * n_baskets * 1000000 div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def q_wilson_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return-rate time series with 95% Wilson score interval
+    bounds — the small-sample-honest confidence band a naive ±z·SE
+    gets wrong near 0/1. All inputs are bigint counts; the interval
+    arithmetic is IEEE doubles using ONLY exactly-specified operations
+    (+ - * / sqrt), written in the same association order as the
+    oracle so the bits match. One month-grain hash agg then map-only
+    math; z² is computed in-engine as 1.96*1.96 (a 3.8416 literal is a
+    DIFFERENT double)."""
+    lines = _t(spark, sf_dir, "lineitem")
+    counts = lines.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_returned"),
+    )
+    return counts.select(
+        "month",
+        "n_lines",
+        "n_returned",
+        F.expr("round(CAST(n_returned AS DOUBLE) / n_lines, 6)").alias(
+            "rate_r6"
+        ),
+        F.expr(
+            """round(
+              ((CAST(n_returned AS DOUBLE) / n_lines
+                + (1.96*1.96) / (2.0 * n_lines))
+               - 1.96 * sqrt(
+                   (CAST(n_returned AS DOUBLE) / n_lines)
+                   * (1.0 - CAST(n_returned AS DOUBLE) / n_lines) / n_lines
+                   + (1.96*1.96) / (4.0 * n_lines * n_lines)))
+              / (1.0 + (1.96*1.96) / n_lines), 6)"""
+        ).alias("wilson_low_r6"),
+        F.expr(
+            """round(
+              ((CAST(n_returned AS DOUBLE) / n_lines
+                + (1.96*1.96) / (2.0 * n_lines))
+               + 1.96 * sqrt(
+                   (CAST(n_returned AS DOUBLE) / n_lines)
+                   * (1.0 - CAST(n_returned AS DOUBLE) / n_lines) / n_lines
+                   + (1.96*1.96) / (4.0 * n_lines * n_lines)))
+              / (1.0 + (1.96*1.96) / n_lines), 6)"""
+        ).alias("wilson_high_r6"),
+    )
+
+
+def q_theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimation per event type: the median of
+    all pairwise slopes over the DAILY revenue series — outlier days
+    move the OLS fit (daily_trend_slopes) but not this one. The
+    all-pairs join runs on the bounded daily grain (≤ calendar-span²
+    pairs per type regardless of corpus size), partitioned by type.
+    The median is taken by explicit rank selection — both middle
+    slopes picked by row_number, averaged as (s1+s2)/2.0 — instead of
+    each engine's median() whose interpolation forms differ in the
+    last ulp."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("vq")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.vq") - F.col("a.vq")).cast("double")
+            / (F.col("b.day") - F.col("a.day"))
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_pairs"),
+    )
+    middles = ranked.filter(
+        (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        | (F.col("rn") == F.expr("(n_pairs + 2) div 2"))
+    )
+    return middles.groupBy("event_type", "n_pairs").agg(
+        F.round(
+            (F.min("slope") + F.max("slope")) / F.lit(2.0), 6
+        ).alias("median_slope_q4_per_day")
+    )
 
 
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
@@ -4898,6 +5054,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "benford_digit_audit": q_benford_digit_audit,
     "pareto_frontier_orders": q_pareto_frontier_orders,
+    "market_basket_rules": q_market_basket_rules,
+    "wilson_return_rates": q_wilson_return_rates,
+    "theil_sen_trends": q_theil_sen_trends,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -7744,5 +7903,89 @@ def oracle_sql() -> dict[str, str]:
               AND p.order_date >= q.order_date
               AND (p.price_cents > q.price_cents
                    OR p.order_date > q.order_date))
+    """
+    out["market_basket_rules"] = """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), totals AS (
+            SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items
+        ), part_counts AS (
+            SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_ab
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT part_a, part_b, n_ab,
+               ca.n_part AS n_a, cb.n_part AS n_b,
+               n_ab * 1000000 // n_baskets AS support_ppm,
+               n_ab * 1000000 // ca.n_part AS confidence_ppm,
+               n_ab * n_baskets * 1000000 // (ca.n_part * cb.n_part)
+                   AS lift_ppm
+        FROM pairs
+        JOIN part_counts ca ON ca.l_partkey = part_a
+        JOIN part_counts cb ON cb.l_partkey = part_b
+        CROSS JOIN totals
+    """
+    out["wilson_return_rates"] = """
+        WITH counts AS (
+            SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                       AS month,
+                   count(*) AS n_lines,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS n_returned
+            FROM lineitem GROUP BY 1
+        )
+        SELECT month, n_lines, n_returned,
+               round(CAST(n_returned AS DOUBLE) / n_lines, 6) AS rate_r6,
+               round(
+                 ((CAST(n_returned AS DOUBLE) / n_lines
+                   + (1.96*1.96) / (2.0 * n_lines))
+                  - 1.96 * sqrt(
+                      (CAST(n_returned AS DOUBLE) / n_lines)
+                      * (1.0 - CAST(n_returned AS DOUBLE) / n_lines)
+                          / n_lines
+                      + (1.96*1.96) / (4.0 * n_lines * n_lines)))
+                 / (1.0 + (1.96*1.96) / n_lines), 6) AS wilson_low_r6,
+               round(
+                 ((CAST(n_returned AS DOUBLE) / n_lines
+                   + (1.96*1.96) / (2.0 * n_lines))
+                  + 1.96 * sqrt(
+                      (CAST(n_returned AS DOUBLE) / n_lines)
+                      * (1.0 - CAST(n_returned AS DOUBLE) / n_lines)
+                          / n_lines
+                      + (1.96*1.96) / (4.0 * n_lines * n_lines)))
+                 / (1.0 + (1.96*1.96) / n_lines), 6) AS wilson_high_r6
+        FROM counts
+    """
+    out["theil_sen_trends"] = """
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS vq
+            FROM events GROUP BY 1, 2
+        ), slopes AS (
+            SELECT a.event_type,
+                   CAST(b.vq - a.vq AS DOUBLE) / (b.day - a.day) AS slope
+            FROM daily a
+            JOIN daily b ON a.event_type = b.event_type
+                        AND a.day < b.day
+        ), ranked AS (
+            SELECT event_type, slope,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY slope) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n_pairs
+            FROM slopes
+        )
+        SELECT event_type, n_pairs,
+               round((min(slope) + max(slope)) / 2.0, 6)
+                   AS median_slope_q4_per_day
+        FROM ranked
+        WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+        GROUP BY 1, 2
     """
     return out
