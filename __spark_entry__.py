@@ -4679,7 +4679,8 @@ def q_pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     at -1, the frame is exactly the STRICTLY-higher-priced rows, so a
     point survives iff its date beats max(date) over that frame AND it
     holds the max date within its own price tie-group (>= + one-strict
-    dominance; equal points both survive)."""
+    dominance; equal points both survive). Core in topk.skyline_2d,
+    property-pinned against the quadratic brute force."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     pts = orders.join(
@@ -4691,24 +4692,8 @@ def q_pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("order_date"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d"),
     )
-    w_higher = (
-        Window.partitionBy("segment")
-        .orderBy(F.col("price_cents").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_tie = Window.partitionBy("segment", "price_cents")
-    flagged = pts.select(
-        "segment",
-        "o_orderkey",
-        "price_cents",
-        "order_date",
-        F.max("d").over(w_higher).alias("maxd_higher"),
-        F.max("d").over(w_tie).alias("maxd_tie"),
-        "d",
-    )
-    return flagged.filter(
-        (F.col("maxd_higher").isNull() | (F.col("maxd_higher") < F.col("d")))
-        & (F.col("maxd_tie") == F.col("d"))
+    return topk.skyline_2d(
+        pts, ["segment"], "price_cents", "d"
     ).select("segment", "o_orderkey", "price_cents", "order_date")
 
 
@@ -4830,7 +4815,8 @@ def q_theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     The median is taken by explicit rank selection — both middle
     slopes picked by row_number, averaged as (s1+s2)/2.0 — instead of
     each engine's median() whose interpolation forms differ in the
-    last ulp."""
+    last ulp. Core in timeseries.theil_sen_slope, property-pinned
+    against a numpy reference."""
     events = _t(spark, sf_dir, "events")
     daily = events.groupBy(
         "event_type",
@@ -4838,36 +4824,12 @@ def q_theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("vq")
     )
-    a = daily.alias("a")
-    b = daily.alias("b")
-    slopes = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("a.day") < F.col("b.day")),
+    return timeseries.theil_sen_slope(
+        daily, "event_type", "day", "vq"
     ).select(
-        F.col("a.event_type").alias("event_type"),
-        (
-            (F.col("b.vq") - F.col("a.vq")).cast("double")
-            / (F.col("b.day") - F.col("a.day"))
-        ).alias("slope"),
-    )
-    w = Window.partitionBy("event_type").orderBy("slope")
-    ranked = slopes.select(
         "event_type",
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("event_type"))
-        .alias("n_pairs"),
-    )
-    middles = ranked.filter(
-        (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
-        | (F.col("rn") == F.expr("(n_pairs + 2) div 2"))
-    )
-    return middles.groupBy("event_type", "n_pairs").agg(
-        F.round(
-            (F.min("slope") + F.max("slope")) / F.lit(2.0), 6
-        ).alias("median_slope_q4_per_day")
+        "n_pairs",
+        F.round("median_slope", 6).alias("median_slope_q4_per_day"),
     )
 
 

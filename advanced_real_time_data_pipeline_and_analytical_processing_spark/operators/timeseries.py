@@ -132,3 +132,55 @@ def interval_overlap_join(
         )
         .distinct()
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust slope per group: the median of all pairwise
+    slopes (y_j - y_i) / (x_j - x_i) over x_i < x_j — up to ~29% of
+    the points can be arbitrary outliers without moving the estimate,
+    unlike an OLS fit. Returns (group, n_pairs, median_slope).
+
+    Intended for BOUNDED per-group grains (e.g. daily aggregates: the
+    pair count is calendar-span², independent of corpus size). The
+    median is taken by explicit rank selection — both middle slopes
+    picked by row_number, averaged as (lo + hi) / 2.0 — so the result
+    is reproducible across engines (median() interpolation forms
+    differ in the last ulp). ``x_col``/``y_col`` must be integral;
+    slopes are exact-int differences divided in double.
+    """
+    a = df.alias("a")
+    b = df.alias("b")
+    slopes = a.join(
+        b,
+        (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+        & (F.col(f"a.{x_col}") < F.col(f"b.{x_col}")),
+    ).select(
+        F.col(f"a.{group_col}").alias(group_col),
+        (
+            (F.col(f"b.{y_col}") - F.col(f"a.{y_col}")).cast("double")
+            / (F.col(f"b.{x_col}") - F.col(f"a.{x_col}"))
+        ).alias("_slope"),
+    )
+    w = Window.partitionBy(group_col).orderBy("_slope")
+    ranked = slopes.select(
+        group_col,
+        "_slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(group_col))
+        .alias("n_pairs"),
+    )
+    middles = ranked.filter(
+        (F.col("_rn") == F.expr("(n_pairs + 1) div 2"))
+        | (F.col("_rn") == F.expr("(n_pairs + 2) div 2"))
+    )
+    return middles.groupBy(group_col, "n_pairs").agg(
+        ((F.min("_slope") + F.max("_slope")) / F.lit(2.0)).alias(
+            "median_slope"
+        )
+    )

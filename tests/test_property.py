@@ -189,3 +189,67 @@ def test_zvalue_interleave_roundtrip(spark, xs):
         x = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
         y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
         assert (x, y) == (r.x, r.y)
+
+
+@settings(**SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_skyline_2d_matches_quadratic_brute_force(spark, pts):
+    """The O(n log n) RANGE-frame skyline must equal the quadratic
+    dominance definition exactly — including duplicate maxima, which
+    do not dominate each other and must all survive."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import topk
+
+    df = spark.createDataFrame(
+        [(1, i, int(x), int(y)) for i, (x, y) in enumerate(pts)],
+        "g long, rid long, x long, y long",
+    )
+    got = sorted(
+        (r.rid for r in topk.skyline_2d(df, ["g"], "x", "y").collect())
+    )
+    want = sorted(
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            px >= x and py >= y and (px > x or py > y) for px, py in pts
+        )
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    ys=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=2, max_size=14
+    )
+)
+def test_theil_sen_matches_reference_median_of_slopes(spark, ys):
+    """Rank-selected Theil-Sen must equal the plain median of all
+    pairwise slopes, with the even case averaged as (lo + hi) / 2."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [(1, i, int(y)) for i, y in enumerate(ys)], "g long, x long, y long"
+    )
+    row = timeseries.theil_sen_slope(df, "g", "x", "y").collect()[0]
+    slopes = sorted(
+        (ys[j] - ys[i]) / (j - i)
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    n = len(slopes)
+    want = (
+        slopes[n // 2]
+        if n % 2
+        else (slopes[n // 2 - 1] + slopes[n // 2]) / 2.0
+    )
+    assert row.n_pairs == n
+    assert row.median_slope == want
