@@ -4833,6 +4833,132 @@ def q_theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted LOWER median of line price per part brand —
+    the 'price of the median unit sold', robust to a few huge-ticket
+    lines that drag a plain mean. Defined integer-exactly (smallest
+    price whose doubled cumulative weight reaches the total) so there
+    is no interpolation form to disagree on. Weights are
+    pre-aggregated to the (brand, price) grain BEFORE the cumulative
+    window, so ties carry no ordering ambiguity and the window input
+    is the bounded distinct-price grain, not the raw line count."""
+    lines = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    by_price = (
+        lines.join(F.broadcast(part), lines.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "price_cents")
+        .agg(F.sum("qty").alias("w"), F.count(F.lit(1)).alias("n"))
+    )
+    wspec = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("p_brand")
+    cum = by_price.select(
+        "p_brand",
+        "price_cents",
+        "n",
+        F.sum("w").over(wspec).alias("cw"),
+        F.sum("w").over(wtot).alias("total_w"),
+        F.sum("n").over(wtot).alias("n_lines"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("total_w"))
+        .groupBy("p_brand", "total_w", "n_lines")
+        .agg(F.min("price_cents").alias("wmedian_cents"))
+    )
+
+
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent report: revenue cents per customer nation,
+    with each nation's share of its region and of the global total in
+    exact ppm — the hierarchical drill-down every BI layer renders as
+    a treemap. The fact-side work is one orders→customer join (dims
+    broadcast) + a 25-key hash agg; both share windows then run over
+    the bounded nation grain (≤25 rows), so the 'global window' is
+    never a data-scale sort."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("rev_cents")
+        )
+    )
+    dims = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+    joined = rev.join(
+        F.broadcast(dims), rev.c_nationkey == dims.n_nationkey
+    ).select("region_name", F.col("n_name").alias("nation_name"), "rev_cents")
+    w_region = Window.partitionBy("region_name")
+    w_global = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return joined.select(
+        "region_name",
+        "nation_name",
+        "rev_cents",
+        F.expr(
+            "rev_cents * 1000000 div sum(rev_cents)"
+            " OVER (PARTITION BY region_name)"
+        ).alias("share_of_region_ppm"),
+        F.expr(
+            "rev_cents * 1000000 div sum(rev_cents)"
+            " OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND UNBOUNDED FOLLOWING)"
+        ).alias("share_of_global_ppm"),
+    )
+
+
+def q_user_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE
+    calendar days with at least one purchase, plus active-day and
+    streak counts — the engagement-streak metric. The classic
+    day − row_number() island key: constant within a consecutive run,
+    jumps across gaps. Everything is partitioned by user (two window
+    passes + two hash aggs on the per-user daily grain, bounded by
+    calendar span), so the shape is embarrassingly parallel at any
+    user cardinality."""
+    events = _t(spark, sf_dir, "events")
+    days = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5019,6 +5145,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_basket_rules": q_market_basket_rules,
     "wilson_return_rates": q_wilson_return_rates,
     "theil_sen_trends": q_theil_sen_trends,
+    "weighted_median_price": q_weighted_median_price,
+    "nation_share_of_region": q_nation_share_of_region,
+    "user_purchase_streaks": q_user_purchase_streaks,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -7949,5 +8078,68 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked
         WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
         GROUP BY 1, 2
+    """
+    out["weighted_median_price"] = """
+        WITH by_price AS (
+            SELECT p.p_brand,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       AS price_cents,
+                   sum(CAST(round(l.l_quantity) AS BIGINT)) AS w,
+                   count(*) AS n
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT p_brand, price_cents, n,
+                   sum(w) OVER (PARTITION BY p_brand ORDER BY price_cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw,
+                   sum(w) OVER (PARTITION BY p_brand) AS total_w,
+                   sum(n) OVER (PARTITION BY p_brand) AS n_lines
+            FROM by_price
+        )
+        SELECT p_brand, total_w, n_lines,
+               min(price_cents) AS wmedian_cents
+        FROM cum WHERE cw * 2 >= total_w
+        GROUP BY 1, 2, 3
+    """
+    out["nation_share_of_region"] = """
+        WITH rev AS (
+            SELECT c.c_nationkey,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       AS rev_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        )
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               rev_cents,
+               rev_cents * 1000000
+                   // sum(rev_cents) OVER (PARTITION BY r.r_name)
+                   AS share_of_region_ppm,
+               rev_cents * 1000000 // sum(rev_cents) OVER ()
+                   AS share_of_global_ppm
+        FROM rev
+        JOIN nation n ON rev.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    """
+    out["user_purchase_streaks"] = """
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day
+            FROM events WHERE event_type = 'purchase'
+        ), islands AS (
+            SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS island
+            FROM days
+        ), streaks AS (
+            SELECT user_id, island, count(*) AS streak_len
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id,
+               sum(streak_len) AS n_active_days,
+               max(streak_len) AS longest_streak,
+               count(*) AS n_streaks
+        FROM streaks GROUP BY 1
     """
     return out
