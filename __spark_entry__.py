@@ -4959,6 +4959,67 @@ def q_user_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-inequality profile per market segment: exact Gini
+    coefficient in ppm (the rank formula G = (2·Σi·xᵢ − (n+1)·Σx) /
+    (n·Σx) over customers ranked by ascending spend) plus the share of
+    segment revenue held by the top decile of customers. Rank·spend
+    products sum as DECIMAL(38,0) (HUGEINT on the oracle side — they
+    exceed int64 at cluster cardinalities) and the single division is
+    integral, so the coefficient is partition-order-proof. The rank
+    window partitions by segment — parallel across segments; ranks are
+    tie-broken by custkey so equal spenders order deterministically."""
+    dec = "decimal(38,0)"
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("spend_cents")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("spend_cents", "c_custkey")
+    ranked = spend.select(
+        "segment",
+        "spend_cents",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment")).alias("n"),
+    )
+    agg = ranked.groupBy("segment").agg(
+        F.max("n").alias("n_customers"),
+        F.sum("spend_cents").alias("total_cents"),
+        F.sum(
+            F.col("rank").cast(dec) * F.col("spend_cents").cast(dec)
+        ).alias("_b"),
+        F.sum(
+            F.when(
+                F.col("rank") > F.col("n") - F.expr("n div 10"),
+                F.col("spend_cents"),
+            ).otherwise(F.lit(0))
+        ).alias("_top_cents"),
+    )
+    return (
+        agg
+        .select(
+            "segment",
+            "n_customers",
+            "total_cents",
+            F.expr(
+                "CAST((_b * 2 - CAST(total_cents AS DECIMAL(38,0))"
+                " * (n_customers + 1)) * 1000000 AS DECIMAL(38,0))"
+                " div CAST(CAST(n_customers AS DECIMAL(38,0))"
+                " * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            ).alias("gini_ppm"),
+            F.expr("_top_cents * 1000000 div total_cents").alias(
+                "top_decile_share_ppm"
+            ),
+        )
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5148,6 +5209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_median_price": q_weighted_median_price,
     "nation_share_of_region": q_nation_share_of_region,
     "user_purchase_streaks": q_user_purchase_streaks,
+    "segment_spend_gini": q_segment_spend_gini,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -8141,5 +8203,40 @@ def oracle_sql() -> dict[str, str]:
                max(streak_len) AS longest_streak,
                count(*) AS n_streaks
         FROM streaks GROUP BY 1
+    """
+    out["segment_spend_gini"] = """
+        WITH spend AS (
+            SELECT c.c_mktsegment AS segment, c.c_custkey,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       AS spend_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT segment, spend_cents,
+                   row_number() OVER (PARTITION BY segment
+                                      ORDER BY spend_cents, c_custkey)
+                       AS rank,
+                   count(*) OVER (PARTITION BY segment) AS n
+            FROM spend
+        ), agg AS (
+            SELECT segment,
+                   max(n) AS n_customers,
+                   sum(spend_cents) AS total_cents,
+                   sum(CAST(rank AS HUGEINT)
+                       * CAST(spend_cents AS HUGEINT)) AS b,
+                   sum(CASE WHEN rank > n - n // 10
+                            THEN spend_cents ELSE 0 END) AS top_cents
+            FROM ranked GROUP BY 1
+        )
+        SELECT segment, n_customers,
+               CAST(total_cents AS BIGINT) AS total_cents,
+               CAST((b * 2 - CAST(total_cents AS HUGEINT)
+                     * (n_customers + 1)) * 1000000
+                    // (CAST(n_customers AS HUGEINT)
+                        * CAST(total_cents AS HUGEINT)) AS BIGINT)
+                   AS gini_ppm,
+               CAST(top_cents * 1000000 // total_cents AS BIGINT)
+                   AS top_decile_share_ppm
+        FROM agg
     """
     return out
