@@ -5020,6 +5020,63 @@ def q_segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: word pairs
+    that co-occur far more than their marginals predict (PMI =
+    ln(c_ab·N / (c_a·c_b)) over bigram positions, first/second-slot
+    marginals) — frequency-ranked top_bigrams surfaces common pairs,
+    PMI surfaces BOUND pairs. Same exactness discipline as
+    event_dow_mutual_info: exact bigint counts, the log-ratio
+    quantized to integer micro-nats; marginal tables broadcast onto
+    the bigram counts (vocabulary-bounded, not corpus-bounded — at
+    extreme vocabularies drop the hint and shuffle-join on the word
+    key). Floor c_ab ≥ 5 (PMI is noise at tiny counts) and PMI > 0."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = docs.select(F.explode(bigrams).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cab = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
+    cb = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c_b"))
+    n = pairs.agg(F.count(F.lit(1)).alias("n"))
+    pmi = (
+        F.round(
+            F.log(
+                (F.col("c_ab") * F.col("n")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("pmi_micronat")
+    )
+    return (
+        cab.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            pmi,
+        )
+        .filter(F.col("pmi_micronat") > 0)
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5210,6 +5267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_share_of_region": q_nation_share_of_region,
     "user_purchase_streaks": q_user_purchase_streaks,
     "segment_spend_gini": q_segment_spend_gini,
+    "bigram_pmi_collocations": q_bigram_pmi_collocations,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -8238,5 +8296,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(top_cents * 1000000 // total_cents AS BIGINT)
                    AS top_decile_share_ppm
         FROM agg
+    """
+    out["bigram_pmi_collocations"] = r"""
+        WITH pairs AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                   )) AS bg
+            FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                      AS toks
+                  FROM documents)
+        ), flat AS (
+            SELECT bg.w1 AS w1, bg.w2 AS w2 FROM pairs
+        ), cab AS (
+            SELECT w1, w2, count(*) AS c_ab FROM flat GROUP BY 1, 2
+        ), ca AS (
+            SELECT w1, count(*) AS c_a FROM flat GROUP BY 1
+        ), cb AS (
+            SELECT w2, count(*) AS c_b FROM flat GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS n FROM flat
+        )
+        SELECT w1 || ' ' || w2 AS bigram, c_ab, c_a, c_b,
+               CAST(round(ln(CAST(c_ab * n AS DOUBLE)
+                             / CAST(c_a * c_b AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS pmi_micronat
+        FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
+        WHERE c_ab >= 5
+          AND CAST(round(ln(CAST(c_ab * n AS DOUBLE)
+                            / CAST(c_a * c_b AS DOUBLE)) * 1000000)
+                   AS BIGINT) > 0
     """
     return out

@@ -8,6 +8,7 @@ warmup action, which is what a user of the engine actually waits for.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -80,6 +81,11 @@ def main() -> None:
         # (a long-lived engine does the same housekeeping); GC kick
         # lets the ContextCleaner release localCheckpoint RDD blocks
         spark.catalog.clearCache()
+        # Python-side collect first: py4j proxies pin JVM-side
+        # DataFrame/RDD handles (localCheckpoint blocks, broadcast
+        # refs) until Python GC detaches them — System.gc() alone
+        # can't release what the gateway still references.
+        gc.collect()
         if i % 20 == 19:
             spark._jvm.System.gc()
 
