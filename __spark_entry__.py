@@ -5077,6 +5077,37 @@ def q_bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event type over the daily
+    revenue series, with the one-step-ahead forecast level+trend —
+    real forecasting state, not a renamed aggregate. The sequential
+    two-state recurrence runs as aggregation.holt_final's JVM
+    struct-fold (collect_list + array_sort + F.aggregate); the oracle
+    is DuckDB list_reduce over struct-lifted elements, whose
+    seed-with-first-element matches the fold's initialization exactly.
+    Constants are cast to DOUBLE on both engines (a bare 0.3 literal
+    is DECIMAL in DuckDB) and every step shares operand order, so the
+    smoothed doubles agree bit-for-bit before the terminal round(6).
+    Daily grain bounded by calendar span; one shuffle on event_type."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("vq")
+    )
+    state = aggregation.holt_final(
+        daily, "event_type", ["day"], "vq", alpha=0.3, beta=0.1
+    )
+    return state.select(
+        "event_type",
+        F.col("n_points").alias("n_days"),
+        F.round("level", 6).alias("level_q4"),
+        F.round("trend", 6).alias("trend_q4"),
+        F.round(F.col("level") + F.col("trend"), 6).alias("forecast_q4"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5268,6 +5299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_purchase_streaks": q_user_purchase_streaks,
     "segment_spend_gini": q_segment_spend_gini,
     "bigram_pmi_collocations": q_bigram_pmi_collocations,
+    "holt_trend_forecast": q_holt_trend_forecast,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -8326,5 +8358,40 @@ def oracle_sql() -> dict[str, str]:
           AND CAST(round(ln(CAST(c_ab * n AS DOUBLE)
                             / CAST(c_a * c_b AS DOUBLE)) * 1000000)
                    AS BIGINT) > 0
+    """
+    # Holt fold state rides a DOUBLE[2] list, NOT a struct: DuckDB
+    # v1.0.0 list_reduce reuses the struct accumulator buffer in place
+    # from the second combine on (later fields read already-written
+    # earlier fields — measured), while list accumulators fold
+    # immutably. acc[1] = level, acc[2] = trend.
+    holt_l = "CAST(0.3 AS DOUBLE) * x[1] + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])"
+    out["holt_trend_forecast"] = f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS vq
+            FROM events GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type,
+                   count(*) AS n_days,
+                   list_sort(list(struct_pack(
+                       d := day, v := CAST(vq AS DOUBLE)))) AS s
+            FROM daily GROUP BY 1
+        ), folded AS (
+            SELECT event_type, n_days,
+                   list_reduce(
+                       list_transform(s, e -> [e.v, CAST(0.0 AS DOUBLE)]),
+                       (acc, x) -> [{holt_l},
+                           CAST(0.1 AS DOUBLE) * (({holt_l}) - acc[1])
+                           + CAST(0.9 AS DOUBLE) * acc[2]]
+                   ) AS st
+            FROM ser
+        )
+        SELECT event_type, n_days,
+               round(st[1], 6) AS level_q4,
+               round(st[2], 6) AS trend_q4,
+               round(st[1] + st[2], 6) AS forecast_q4
+        FROM folded
     """
     return out

@@ -116,6 +116,68 @@ def ewma_final(
     return df.groupBy(key_col).agg(folded.alias("ewma"))
 
 
+def holt_final(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+):
+    """Per-key Holt double-exponential smoothing (level + trend),
+    final state: l_1 = x_1, b_1 = 0; then
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}.
+
+    Like ewma_final this is a sequential recurrence JVM-folded via
+    collect_list + array_sort + F.aggregate — but with a two-field
+    STRUCT accumulator (Catalyst folds typed structs fine). The
+    DuckDB mirror is list_reduce over struct-lifted elements, whose
+    seed-with-first-element IS struct(l=x_1, b=0) — identical
+    initialization for free. Every recurrence step uses the same
+    operand order on both engines, so the doubles match bit-for-bit.
+
+    Returns (key, n_points, level, trend) — one row per key; the
+    one-step-ahead forecast is level + trend.
+    """
+    a, oma = alpha, 1.0 - alpha
+    be, omb = beta, 1.0 - beta
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    xs = F.array_sort(F.collect_list(order_struct))
+    vals = F.transform(xs, lambda s: s["_x"])
+    seed = F.struct(
+        F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, x):
+        l_new = F.lit(a) * x + F.lit(oma) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (
+                F.lit(be) * (l_new - acc["l"]) + F.lit(omb) * acc["b"]
+            ).alias("b"),
+        )
+
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        seed,
+        step,
+    )
+    out = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        folded.alias("_st"),  # one fold evaluation, two fields out
+    )
+    return out.select(
+        key_col,
+        "n_points",
+        F.col("_st.l").alias("level"),
+        F.col("_st.b").alias("trend"),
+    )
+
+
 def mad_outlier_stats(
     df: DataFrame, group_col: str, value_col: str, k: float = 4.4478
 ) -> DataFrame:

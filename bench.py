@@ -81,12 +81,15 @@ def main() -> None:
         # (a long-lived engine does the same housekeeping); GC kick
         # lets the ContextCleaner release localCheckpoint RDD blocks
         spark.catalog.clearCache()
-        # Python-side collect first: py4j proxies pin JVM-side
-        # DataFrame/RDD handles (localCheckpoint blocks, broadcast
-        # refs) until Python GC detaches them — System.gc() alone
-        # can't release what the gateway still references.
-        gc.collect()
         if i % 20 == 19:
+            # Python-side collect first: py4j proxies pin JVM-side
+            # DataFrame/RDD handles (localCheckpoint blocks, broadcast
+            # refs) until Python GC detaches them — System.gc() alone
+            # can't release what the gateway still references. Kept
+            # PERIODIC: a full gc.collect() costs ~0.3 s against this
+            # process's object graph, so per-query it taxes the suite
+            # ~50 s (measured) for no added release.
+            gc.collect()
             spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)

@@ -253,3 +253,32 @@ def test_theil_sen_matches_reference_median_of_slopes(spark, ys):
     )
     assert row.n_pairs == n
     assert row.median_slope == want
+
+
+@settings(**SETTINGS)
+@given(
+    ys=st.lists(
+        st.integers(min_value=-10000, max_value=10000),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_holt_final_matches_reference_fold(spark, ys):
+    """The JVM struct-fold Holt recurrence must equal the plain Python
+    left fold bit-for-bit (same seed l=x1, b=0; same operand order)."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import aggregation
+
+    df = spark.createDataFrame(
+        [(1, i, int(y)) for i, y in enumerate(ys)], "g long, t long, v long"
+    )
+    row = aggregation.holt_final(
+        df, "g", ["t"], "v", alpha=0.3, beta=0.1
+    ).collect()[0]
+    l, b = float(ys[0]), 0.0
+    for x in ys[1:]:
+        l_new = 0.3 * float(x) + 0.7 * (l + b)
+        b = 0.1 * (l_new - l) + 0.9 * b
+        l = l_new
+    assert row.n_points == len(ys)
+    assert row.level == l
+    assert row.trend == b
