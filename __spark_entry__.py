@@ -5108,6 +5108,49 @@ def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spend_quintile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-migration matrix: each customer's spend quintile
+    per ORDER YEAR (ntile partitioned by year — the rank window is
+    parallel across years), self-joined year-to-next-year to count
+    (from_quintile → to_quintile) transitions; customers absent the
+    following year land in to_q = 0, the churn row. The retention/
+    upgrade/downgrade matrix a CRM reads. One year-grain hash agg, one
+    per-year rank window, one custkey-co-located self-join, then a
+    ≤ years×5×6-cell hash agg. Ntile ties break by custkey."""
+    orders = _t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "spend_cents"
+        )
+    )
+    w = Window.partitionBy("yr").orderBy("spend_cents", "o_custkey")
+    q = yearly.select(
+        "yr", "o_custkey", F.ntile(5).over(w).alias("quintile")
+    )
+    max_yr = yearly.agg(F.max("yr").alias("max_yr"))
+    a = q.alias("a")
+    b = q.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.yr") + 1 == F.col("b.yr")),
+            "left",
+        )
+        .crossJoin(F.broadcast(max_yr))
+        # the final year has no successor: every row would be churn noise
+        .filter(F.col("a.yr") < F.col("max_yr"))
+        .groupBy(
+            F.col("a.yr").alias("year_from"),
+            F.col("a.quintile").alias("from_q"),
+            F.coalesce(F.col("b.quintile"), F.lit(0)).alias("to_q"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5300,6 +5343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_spend_gini": q_segment_spend_gini,
     "bigram_pmi_collocations": q_bigram_pmi_collocations,
     "holt_trend_forecast": q_holt_trend_forecast,
+    "spend_quintile_migration": q_spend_quintile_migration,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -8393,5 +8437,28 @@ def oracle_sql() -> dict[str, str]:
                round(st[2], 6) AS trend_q4,
                round(st[1] + st[2], 6) AS forecast_q4
         FROM folded
+    """
+    out["spend_quintile_migration"] = """
+        WITH yearly AS (
+            SELECT year(o_orderdate) AS yr, o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS spend_cents
+            FROM orders GROUP BY 1, 2
+        ), q AS (
+            SELECT yr, o_custkey,
+                   ntile(5) OVER (PARTITION BY yr
+                                  ORDER BY spend_cents, o_custkey)
+                       AS quintile
+            FROM yearly
+        ), mx AS (SELECT max(yr) AS max_yr FROM yearly)
+        SELECT a.yr AS year_from, a.quintile AS from_q,
+               coalesce(b.quintile, 0) AS to_q,
+               count(*) AS n_customers
+        FROM q a
+        LEFT JOIN q b ON a.o_custkey = b.o_custkey
+                     AND a.yr + 1 = b.yr
+        CROSS JOIN mx
+        WHERE a.yr < max_yr
+        GROUP BY 1, 2, 3
     """
     return out
