@@ -5172,6 +5172,61 @@ def q_spend_quintile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_band_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-style breakout detection, DIVISION-FREE: a day whose
+    revenue leaves the ±2σ band of the strictly-prior 7 days. The
+    usual float mean/stddev comparison is rewritten as the integer
+    inequality (n·x − s)² > 4·(n·q − s²) (multiply through by n² —
+    exact iff moments are exact), with s and q carried as
+    DECIMAL(38,0)/HUGEINT window sums, so the flagged set is
+    bit-reproducible under any partitioning — no epsilon, no rounding
+    policy. Per-type windows are parallel; the frame excludes the
+    current day (a breakout must not shift its own baseline)."""
+    dec = "decimal(38,0)"
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("vq")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    m = daily.select(
+        "event_type",
+        "day",
+        "vq",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(F.col("vq").cast(dec)).over(w).alias("s"),
+        F.sum(F.col("vq").cast(dec) * F.col("vq").cast(dec))
+        .over(w)
+        .alias("q"),
+    ).filter(F.col("n_win") == 7)
+    dev = (F.lit(7).cast(dec) * F.col("vq").cast(dec) - F.col("s")).alias(
+        "dev"
+    )
+    flagged = m.select(
+        "event_type",
+        "day",
+        "vq",
+        dev,
+        (
+            F.lit(7).cast(dec) * F.col("q") - F.col("s") * F.col("s")
+        ).alias("var7"),
+    ).filter(F.col("dev") * F.col("dev") > F.lit(4).cast(dec) * F.col("var7"))
+    return flagged.select(
+        "event_type",
+        "day",
+        "vq",
+        F.when(F.col("dev") > 0, F.lit("up")).otherwise(F.lit("down")).alias(
+            "direction"
+        ),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5365,6 +5420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_pmi_collocations": q_bigram_pmi_collocations,
     "holt_trend_forecast": q_holt_trend_forecast,
     "spend_quintile_migration": q_spend_quintile_migration,
+    "revenue_band_breakouts": q_revenue_band_breakouts,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -8481,5 +8537,31 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN mx
         WHERE a.yr < max_yr
         GROUP BY 1, 2, 3
+    """
+    out["revenue_band_breakouts"] = """
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS vq
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type, day, vq,
+                   count(*) OVER w AS n_win,
+                   sum(CAST(vq AS HUGEINT)) OVER w AS s,
+                   sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT))
+                       OVER w AS q
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, day, vq,
+               CASE WHEN 7 * CAST(vq AS HUGEINT) - s > 0
+                    THEN 'up' ELSE 'down' END AS direction
+        FROM m
+        WHERE n_win = 7
+          AND (7 * CAST(vq AS HUGEINT) - s)
+              * (7 * CAST(vq AS HUGEINT) - s)
+              > 4 * (7 * q - s * s)
     """
     return out
