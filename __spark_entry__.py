@@ -5227,6 +5227,49 @@ def q_revenue_band_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution per language in
+    exact integer micro-nats — the encoding/garbage detector (mojibake
+    and binary spill collapse or spike a language's char entropy).
+    H = ln(n) − (Σ c·ln c)/n evaluated as: per-cell ln(c) quantized to
+    micro-nats, the Σ c·lq moment an exact bigint, ONE integer floor
+    division — partition-order-proof like the MI/perplexity queries.
+    The per-char explode collapses in map-side partial aggregation
+    (char vocabulary is tiny), so the shuffle carries (lang, char)
+    cells, not corpus characters. Empty-string splits are filtered on
+    both engines (Spark '' → [], DuckDB '' → [''])."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    chars = docs.select(
+        "lang", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cells = chars.groupBy("lang", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lq = (
+        F.round(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("lq")
+    )
+    dec = "decimal(38,0)"
+    per_lang = cells.select("lang", "c", lq).groupBy("lang").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        # c·lq exceeds int64 at corpus scale — DECIMAL(38,0) like the
+        # other moment sums (HUGEINT on the oracle side)
+        F.sum(F.col("c").cast(dec) * F.col("lq").cast(dec)).alias("_clq"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_chars",
+        "n_distinct_chars",
+        (
+            F.round(F.log(F.col("n_chars").cast("double")) * 1_000_000)
+            .cast("bigint")
+            - F.expr("_clq div n_chars")
+        ).alias("entropy_micronat"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5421,6 +5464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "holt_trend_forecast": q_holt_trend_forecast,
     "spend_quintile_migration": q_spend_quintile_migration,
     "revenue_band_breakouts": q_revenue_band_breakouts,
+    "char_entropy_by_lang": q_char_entropy_by_lang,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -8563,5 +8607,30 @@ def oracle_sql() -> dict[str, str]:
           AND (7 * CAST(vq AS HUGEINT) - s)
               * (7 * CAST(vq AS HUGEINT) - s)
               > 4 * (7 * q - s * s)
+    """
+    out["char_entropy_by_lang"] = """
+        WITH cells AS (
+            SELECT lang, ch, count(*) AS c
+            FROM (
+                SELECT lang, unnest(string_split(text, '')) AS ch
+                FROM documents
+            )
+            WHERE ch <> ''
+            GROUP BY 1, 2
+        ), per_lang AS (
+            SELECT lang,
+                   sum(c) AS n_chars,
+                   count(*) AS n_distinct_chars,
+                   sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+                                AS BIGINT)) AS clq
+            FROM cells GROUP BY 1
+        )
+        SELECT lang,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               n_distinct_chars,
+               CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000)
+                    AS BIGINT)
+                   - CAST(clq // n_chars AS BIGINT) AS entropy_micronat
+        FROM per_lang
     """
     return out
