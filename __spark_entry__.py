@@ -5270,6 +5270,82 @@ def q_char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_survival_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of WAITING TIME to first purchase:
+    a user enters at their first event; the 'event' is their first
+    purchase t days later; users who never purchase are right-censored
+    at their observed span — never counted as conversions, but at risk
+    while observed. For each conversion wait t: d_t conversions,
+    n_t = users with (conversion or censor time) ≥ t, and
+    ln S(t) = Σ ln((n−d)/n) carried in integer MICRO-NATS — each
+    factor quantized once, then an exact integer cumulative sum (the
+    float cumulative PRODUCT every textbook writes is
+    partition-order-dependent). Everything past the per-user min/max
+    aggregate runs on the bounded wait-time grain. Rows where
+    n_t = d_t (curve hits zero) are excluded by the n>d guard."""
+    events = _t(spark, sf_dir, "events")
+    days = events.select(
+        "user_id",
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    )
+    users = days.groupBy("user_id").agg(
+        F.min("day").alias("fd"),
+        F.max("day").alias("ld"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day"))
+        ).alias("pd"),
+    )
+    u = users.select(
+        F.when(F.col("pd").isNotNull(), F.col("pd") - F.col("fd")).alias(
+            "wait"
+        ),
+        F.when(F.col("pd").isNull(), F.col("ld") - F.col("fd")).alias(
+            "censor"
+        ),
+    )
+    conv = u.filter(F.col("wait").isNotNull()).groupBy(
+        F.col("wait").alias("t")
+    ).agg(F.count(F.lit(1)).alias("d"))
+    cens = u.filter(F.col("censor").isNotNull()).groupBy(
+        F.col("censor").alias("t")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = conv.join(cens, "t", "full").select(
+        "t",
+        F.coalesce("d", F.lit(0)).alias("d"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    # at-risk at t = everyone minus those converted or censored BEFORE t
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    total = u.agg(F.count(F.lit(1)).alias("n_users"))
+    risk = grid.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    ).filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+    factor = (
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk")
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("lf")
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select("t", "d", "n_risk", factor).select(
+        F.col("t").alias("wait_days"),
+        F.col("d").alias("n_converted"),
+        "n_risk",
+        F.sum("lf").over(wcum).alias("log_survival_micronat"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5465,6 +5541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spend_quintile_migration": q_spend_quintile_migration,
     "revenue_band_breakouts": q_revenue_band_breakouts,
     "char_entropy_by_lang": q_char_entropy_by_lang,
+    "survival_first_purchase": q_survival_first_purchase,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -8632,5 +8709,50 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT)
                    - CAST(clq // n_chars AS BIGINT) AS entropy_micronat
         FROM per_lang
+    """
+    out["survival_first_purchase"] = """
+        WITH days AS (
+            SELECT user_id, event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day
+            FROM events
+        ), users AS (
+            SELECT user_id, min(day) AS fd, max(day) AS ld,
+                   min(CASE WHEN event_type = 'purchase' THEN day END)
+                       AS pd
+            FROM days GROUP BY 1
+        ), u AS (
+            SELECT CASE WHEN pd IS NOT NULL THEN pd - fd END AS wait,
+                   CASE WHEN pd IS NULL THEN ld - fd END AS censor
+            FROM users
+        ), conv AS (
+            SELECT wait AS t, count(*) AS d FROM u
+            WHERE wait IS NOT NULL GROUP BY 1
+        ), cens AS (
+            SELECT censor AS t, count(*) AS c FROM u
+            WHERE censor IS NOT NULL GROUP BY 1
+        ), grid AS (
+            SELECT coalesce(conv.t, cens.t) AS t,
+                   coalesce(d, 0) AS d, coalesce(c, 0) AS c
+            FROM conv FULL JOIN cens ON conv.t = cens.t
+        ), total AS (SELECT count(*) AS n_users FROM u),
+        risk AS (
+            SELECT t, d,
+                   n_users - coalesce(sum(d + c) OVER (ORDER BY t
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+            FROM grid CROSS JOIN total
+        ), factors AS (
+            SELECT t, d, n_risk,
+                   CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                              * 1000000) AS BIGINT) AS lf
+            FROM risk WHERE d > 0 AND n_risk > d
+        )
+        SELECT t AS wait_days, d AS n_converted,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               sum(lf) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS log_survival_micronat
+        FROM factors
     """
     return out
