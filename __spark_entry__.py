@@ -5346,6 +5346,64 @@ def q_survival_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation profile between the daily purchase and
+    click revenue series (lags −3…+3 days): does click volume LEAD
+    purchases, and by how many days? — the lead-lag diagnostic behind
+    attribution windows. Each lag's Pearson r comes from EXACT
+    DECIMAL(38,0) moment sums over the aligned day pairs (same
+    discipline as order_value_item_corr: float moment aggregates
+    drift with partition order; exact integer moments plus one
+    terminal double expression don't). The lag fan-out is a 7-element
+    explode on the bounded daily grain, then a day-grain equi-join."""
+    dec = "decimal(38,0)"
+    events = _t(spark, sf_dir, "events")
+    daily = events.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("vq")
+    )
+    x = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("xd"), F.col("vq").alias("x")
+    )
+    y = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("yd"), F.col("vq").alias("y")
+    )
+    lags = x.select(
+        F.explode(F.array(*[F.lit(l) for l in range(-3, 4)])).alias("lag"),
+        "xd",
+        "x",
+    )
+    j = lags.join(y, lags.xd + lags.lag == y.yd)
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).alias("sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y").cast(dec))).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "lag",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias(
+            "xcorr"
+        ),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5542,6 +5600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_band_breakouts": q_revenue_band_breakouts,
     "char_entropy_by_lang": q_char_entropy_by_lang,
     "survival_first_purchase": q_survival_first_purchase,
+    "cross_correlation_lags": q_cross_correlation_lags,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -8754,5 +8813,41 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS log_survival_micronat
         FROM factors
+    """
+    out["cross_correlation_lags"] = """
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS vq
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+            GROUP BY 1, 2
+        ), x AS (
+            SELECT day AS xd, vq AS x FROM daily
+            WHERE event_type = 'purchase'
+        ), y AS (
+            SELECT day AS yd, vq AS y FROM daily
+            WHERE event_type = 'click'
+        ), j AS (
+            SELECT lag, x, y
+            FROM x, UNNEST(generate_series(-3, 3)) t(lag)
+            JOIN y ON xd + lag = yd
+        ), m AS (
+            SELECT lag,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+            FROM j GROUP BY 1
+        )
+        SELECT lag, CAST(n AS BIGINT) AS n_days,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                   AS xcorr
+        FROM m
     """
     return out
