@@ -5404,6 +5404,58 @@ def q_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per event type: one-way ANOVA
+    η² (between-dow sum-of-squares over total sum-of-squares of the
+    daily series) in EXACT ppm. The fraction is cleared of divisions
+    by multiplying through with n·D (D = Π n_g over the 7 dow groups):
+    η²_ppm = (n·Σ_g S_g²·(D div n_g) − D·S²)·10⁶ div (n·D·Q − D·S²) —
+    every term an exact DECIMAL(38,0) product of bigint moments
+    (bounded: the grain is daily, so n_g ≤ calendar-days/7), so the
+    statistic carries no float at all. The 7 groups are pivoted into
+    one row per type via conditional sums — no fold, no float
+    accumulation order. Dow is epoch-day % 7 (portable)."""
+    dec = "decimal(38,0)"
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("vq")
+    ).select(
+        "event_type", (F.col("day") % 7).alias("dow"), "vq"
+    )
+    aggs = [
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("vq").cast(dec)).alias("s"),
+        F.sum(F.col("vq").cast(dec) * F.col("vq").cast(dec)).alias("q"),
+    ]
+    for g in range(7):
+        aggs.append(
+            F.sum(F.when(F.col("dow") == g, 1).otherwise(0))
+            .cast(dec)
+            .alias(f"n{g}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("dow") == g, F.col("vq")).otherwise(0).cast(dec)
+            ).alias(f"s{g}")
+        )
+    m = daily.groupBy("event_type").agg(*aggs)
+    d_prod = " * ".join(f"n{g}" for g in range(7))
+    ssb = " + ".join(f"s{g} * s{g} * (({d_prod}) div n{g})" for g in range(7))
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            f"CAST((n * ({ssb}) - ({d_prod}) * s * s) * 1000000"
+            f" AS DECIMAL(38,0))"
+            f" div CAST(n * ({d_prod}) * q - ({d_prod}) * s * s"
+            f" AS DECIMAL(38,0))"
+        ).alias("eta2_ppm"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5601,6 +5653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy_by_lang": q_char_entropy_by_lang,
     "survival_first_purchase": q_survival_first_purchase,
     "cross_correlation_lags": q_cross_correlation_lags,
+    "dow_seasonality_strength": q_dow_seasonality_strength,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -8848,6 +8901,40 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
                    AS xcorr
+        FROM m
+    """
+    dprod = " * ".join(f"n{g}" for g in range(7))
+    ssb_sql = " + ".join(
+        f"s{g} * s{g} * (({dprod}) // n{g})" for g in range(7)
+    )
+    dow_aggs = ", ".join(
+        f"CAST(sum(CASE WHEN dow = {g} THEN 1 ELSE 0 END) AS HUGEINT)"
+        f" AS n{g}, "
+        f"sum(CASE WHEN dow = {g} THEN CAST(vq AS HUGEINT)"
+        f" ELSE 0 END) AS s{g}"
+        for g in range(7)
+    )
+    out["dow_seasonality_strength"] = f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       % 7 AS dow,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS vq
+            FROM events
+            GROUP BY event_type,
+                     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        ), m AS (
+            SELECT event_type,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(vq AS HUGEINT)) AS s,
+                   sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS q,
+                   {dow_aggs}
+            FROM daily GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               CAST((n * ({ssb_sql}) - ({dprod}) * s * s) * 1000000
+                    // (n * ({dprod}) * q - ({dprod}) * s * s)
+                    AS BIGINT) AS eta2_ppm
         FROM m
     """
     return out
