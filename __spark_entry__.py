@@ -5456,6 +5456,129 @@ def q_dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification per brand: parts ranked
+    by revenue, class A while the PRIOR cumulative share is < 80%,
+    B while < 95%, C after — the standard 'first items until the
+    cutoff' rule, expressed with the previous-row cumulative in exact
+    ppm so the boundary item lands deterministically. Ranking windows
+    partition by brand (parallel); ties break by partkey. Output is
+    the per-(brand, class) rollup: part count and class revenue."""
+    lines = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        lines.join(F.broadcast(part), lines.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("rev_cents").desc(), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("p_brand")
+    classed = rev.select(
+        "p_brand",
+        "rev_cents",
+        F.coalesce(F.sum("rev_cents").over(w), F.lit(0)).alias("prev_cum"),
+        F.sum("rev_cents").over(wtot).alias("total"),
+    ).select(
+        "p_brand",
+        "rev_cents",
+        F.when(
+            F.expr("prev_cum * 1000000 div total") < 800000, "A"
+        )
+        .when(F.expr("prev_cum * 1000000 div total") < 950000, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("p_brand", "abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_cents").alias("class_rev_cents"),
+    )
+
+
+def q_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into first-time vs repeat customers — the
+    acquisition-vs-retention lens every growth report opens with. One
+    per-customer min-month aggregate joined back onto orders (shuffle
+    co-located on custkey), then a month×segment hash agg; revenue in
+    exact cents."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_month = orders.groupBy("o_custkey").agg(
+        F.min("month").alias("fm")
+    )
+    return (
+        orders.join(first_month, "o_custkey")
+        .groupBy(
+            "month",
+            F.when(F.col("month") == F.col("fm"), "new")
+            .otherwise("returning")
+            .alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+        )
+    )
+
+
+def q_order_gap_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-risk customer detection by purchase-rhythm break: customers
+    (≥3 orders) whose CURRENT gap since their last order exceeds twice
+    their own historical median inter-order gap. The median is the
+    integer LOWER median by rank selection (no interpolation form to
+    disagree on); gaps come from one lag window per customer —
+    embarrassingly parallel — and the corpus anchor date arrives as a
+    broadcast scalar."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    anchor = orders.agg(F.max("od").alias("anchor"))
+    w = Window.partitionBy("o_custkey").orderBy("od")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("od"), F.lag("od").over(w)).alias("gap"),
+        "od",
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("od").alias("last_od"),
+        F.sort_array(
+            F.collect_list("gap")
+        ).alias("sorted_gaps"),  # n_orders-1 elements, bounded per cust
+    ).filter(F.col("n_orders") >= 3)
+    med = per_cust.select(
+        "o_custkey",
+        "n_orders",
+        "last_od",
+        F.element_at(
+            "sorted_gaps", F.expr("CAST((n_orders - 1 + 1) div 2 AS INT)")
+        ).alias("median_gap"),
+    )
+    return (
+        med.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            "n_orders",
+            "median_gap",
+            F.datediff(F.col("anchor"), F.col("last_od")).alias(
+                "current_gap"
+            ),
+        )
+        .filter(F.col("current_gap") > 2 * F.col("median_gap"))
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5654,6 +5777,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "survival_first_purchase": q_survival_first_purchase,
     "cross_correlation_lags": q_cross_correlation_lags,
     "dow_seasonality_strength": q_dow_seasonality_strength,
+    "abc_classification": q_abc_classification,
+    "new_vs_returning_revenue": q_new_vs_returning_revenue,
+    "order_gap_risk": q_order_gap_risk,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -8936,5 +9062,78 @@ def oracle_sql() -> dict[str, str]:
                     // (n * ({dprod}) * q - ({dprod}) * s * s)
                     AS BIGINT) AS eta2_ppm
         FROM m
+    """
+    out["abc_classification"] = """
+        WITH rev AS (
+            SELECT p.p_brand, p.p_partkey,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       AS rev_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ), classed AS (
+            SELECT p_brand, rev_cents,
+                   CASE WHEN coalesce(sum(rev_cents) OVER w, 0) * 1000000
+                             // sum(rev_cents) OVER
+                                 (PARTITION BY p_brand) < 800000
+                        THEN 'A'
+                        WHEN coalesce(sum(rev_cents) OVER w, 0) * 1000000
+                             // sum(rev_cents) OVER
+                                 (PARTITION BY p_brand) < 950000
+                        THEN 'B' ELSE 'C' END AS abc_class
+            FROM rev
+            WINDOW w AS (PARTITION BY p_brand
+                         ORDER BY rev_cents DESC, p_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT p_brand, abc_class,
+               count(*) AS n_parts,
+               sum(rev_cents) AS class_rev_cents
+        FROM classed GROUP BY 1, 2
+    """
+    out["new_vs_returning_revenue"] = """
+        WITH o AS (
+            SELECT o_custkey,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), fm AS (
+            SELECT o_custkey, min(month) AS fm FROM o GROUP BY 1
+        )
+        SELECT month,
+               CASE WHEN month = fm THEN 'new' ELSE 'returning' END
+                   AS segment,
+               count(*) AS n_orders,
+               sum(cents) AS rev_cents
+        FROM o JOIN fm USING (o_custkey)
+        GROUP BY 1, 2
+    """
+    out["order_gap_risk"] = """
+        WITH o AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS od
+            FROM orders
+        ), anchor AS (SELECT max(od) AS anchor FROM o),
+        gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                             lag(od) OVER (PARTITION BY o_custkey
+                                           ORDER BY od), od) AS gap,
+                   od
+            FROM o
+        ), per_cust AS (
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   max(od) AS last_od,
+                   list_sort(list(gap) FILTER (gap IS NOT NULL))
+                       AS sorted_gaps
+            FROM gaps GROUP BY 1 HAVING count(*) >= 3
+        )
+        SELECT o_custkey, n_orders,
+               sorted_gaps[CAST(n_orders // 2 AS INT)] AS median_gap,
+               date_diff('day', last_od, anchor) AS current_gap
+        FROM per_cust CROSS JOIN anchor
+        WHERE date_diff('day', last_od, anchor)
+              > 2 * sorted_gaps[CAST(n_orders // 2 AS INT)]
     """
     return out
