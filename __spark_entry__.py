@@ -5579,6 +5579,72 @@ def q_order_gap_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the reference and current
+    halves of the corpus (split on doc_id median: the stand-in for
+    yesterday-vs-today in a pipeline with no ingest timestamp) over
+    doc-length bins — THE drift alarm ML monitoring fires before a
+    model quietly degrades. Exactness: PSI = Σ(p−q)ln(p/q) is
+    assembled as Σ(a_i·B − b_i·A)·lq_i with lq_i the micro-nat
+    quantized ln(a_i·B/(b_i·A)), all products DECIMAL(38,0)/HUGEINT,
+    ONE terminal floor division by A·B — so the reported micro-PSI is
+    partition-order-proof. Bins with a zero side are excluded (their
+    PSI term is ±∞; production practice is epsilon-smoothing —
+    documented, not silently applied). Output: one row, micro-PSI +
+    bin accounting."""
+    dec = "decimal(38,0)"
+    docs = _t(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.expr("(min(doc_id) + max(doc_id)) div 2").alias("mid")
+    )
+    binned = docs.crossJoin(F.broadcast(mid)).select(
+        (F.col("doc_id") <= F.col("mid")).alias("ref"),
+        F.expr("least(n_chars div 64, 9)").alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("ref"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("ref"), 1).otherwise(0)).alias("b"),
+    )
+    totals = cells.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    terms = (
+        cells.crossJoin(F.broadcast(totals))
+        .filter((F.col("a") > 0) & (F.col("b") > 0))
+        .select(
+            "bin",
+            "a",
+            "b",
+            "ta",
+            "tb",
+            F.round(
+                F.log(
+                    (F.col("a").cast(dec) * F.col("tb").cast(dec)).cast(
+                        "double"
+                    )
+                    / (F.col("b").cast(dec) * F.col("ta").cast(dec)).cast(
+                        "double"
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.max("ta").alias("n_ref_docs"),
+        F.max("tb").alias("n_cur_docs"),
+        F.expr(
+            "CAST(sum((CAST(a AS DECIMAL(38,0)) * tb"
+            " - CAST(b AS DECIMAL(38,0)) * ta) * lq)"
+            " AS DECIMAL(38,0))"
+            " div CAST(max(ta) * max(tb) AS DECIMAL(38,0))"
+        ).alias("psi_micronat"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5780,6 +5846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "abc_classification": q_abc_classification,
     "new_vs_returning_revenue": q_new_vs_returning_revenue,
     "order_gap_risk": q_order_gap_risk,
+    "doc_length_psi_drift": q_doc_length_psi_drift,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -9135,5 +9202,36 @@ def oracle_sql() -> dict[str, str]:
         FROM per_cust CROSS JOIN anchor
         WHERE date_diff('day', last_od, anchor)
               > 2 * sorted_gaps[CAST(n_orders // 2 AS INT)]
+    """
+    out["doc_length_psi_drift"] = """
+        WITH mid AS (
+            SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents
+        ), binned AS (
+            SELECT doc_id <= mid AS ref,
+                   least(n_chars // 64, 9) AS bin
+            FROM documents CROSS JOIN mid
+        ), cells AS (
+            SELECT bin,
+                   sum(CASE WHEN ref THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS b
+            FROM binned GROUP BY 1
+        ), totals AS (
+            SELECT sum(a) AS ta, sum(b) AS tb FROM cells
+        ), terms AS (
+            SELECT bin, a, b, ta, tb,
+                   CAST(round(ln(
+                       CAST(CAST(a AS HUGEINT) * tb AS DOUBLE)
+                       / CAST(CAST(b AS HUGEINT) * ta AS DOUBLE))
+                       * 1000000) AS BIGINT) AS lq
+            FROM cells CROSS JOIN totals
+            WHERE a > 0 AND b > 0
+        )
+        SELECT count(*) AS n_bins_used,
+               CAST(max(ta) AS BIGINT) AS n_ref_docs,
+               CAST(max(tb) AS BIGINT) AS n_cur_docs,
+               CAST(sum((CAST(a AS HUGEINT) * tb
+                         - CAST(b AS HUGEINT) * ta) * lq)
+                    // (max(ta) * max(tb)) AS BIGINT) AS psi_micronat
+        FROM terms
     """
     return out
