@@ -5645,6 +5645,57 @@ def q_doc_length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix between event types: for every
+    type pair, the shared-user count with Jaccard and overlap
+    coefficient in exact ppm — the deterministic ground truth the HLL
+    union estimate (hll_union_actors) approximates. The pair explosion
+    is a user-co-located self-join of the distinct (type, user) pairs:
+    per-user fan-out is bounded by the type vocabulary squared, so the
+    join never goes quadratic in users; per-type audience sizes ride
+    in on a broadcast."""
+    events = _t(spark, sf_dir, "events")
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "n_common * 1000000 div (n_a + n_b - n_common)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "n_common * 1000000 div least(n_a, n_b)"
+            ).alias("overlap_ppm"),
+        )
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5847,6 +5898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "new_vs_returning_revenue": q_new_vs_returning_revenue,
     "order_gap_risk": q_order_gap_risk,
     "doc_length_psi_drift": q_doc_length_psi_drift,
+    "audience_overlap_matrix": q_audience_overlap_matrix,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -9233,5 +9285,25 @@ def oracle_sql() -> dict[str, str]:
                          - CAST(b AS HUGEINT) * ta) * lq)
                     // (max(ta) * max(tb)) AS BIGINT) AS psi_micronat
         FROM terms
+    """
+    out["audience_overlap_matrix"] = """
+        WITH tu AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ), sizes AS (
+            SELECT event_type, count(*) AS n FROM tu GROUP BY 1
+        ), inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_common
+            FROM tu a JOIN tu b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+               n_common * 1000000 // (sa.n + sb.n - n_common)
+                   AS jaccard_ppm,
+               n_common * 1000000 // least(sa.n, sb.n) AS overlap_ppm
+        FROM inter
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
     """
     return out
