@@ -5696,6 +5696,168 @@ def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime-value curve per acquisition cohort: for each
+    first-order-month cohort and months-since-acquisition index, the
+    cohort's cumulative revenue and the exact per-customer LTV in
+    cents (floor division by the FIXED acquisition headcount — the
+    denominator retention curves and LTV projections share). Month
+    index is integer year*12+month arithmetic; the cumulative window
+    runs per cohort over the bounded month-index grain."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("cym"))
+    joined = orders.join(first, "o_custkey").select(
+        "cents",
+        "cym",
+        (F.col("ym") - F.col("cym")).alias("month_idx"),
+    )
+    cohort_size = (
+        first.groupBy("cym").agg(F.count(F.lit(1)).alias("n_cohort"))
+    )
+    monthly = joined.groupBy("cym", "month_idx").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("cym")
+        .orderBy("month_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        monthly.select(
+            "cym",
+            "month_idx",
+            "rev_cents",
+            F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+        )
+        .join(F.broadcast(cohort_size), "cym")
+        .select(
+            F.concat_ws(
+                "-",
+                F.expr("CAST((cym - 1) div 12 AS STRING)"),
+                F.lpad(F.expr("CAST((cym - 1) % 12 + 1 AS STRING)"), 2, "0"),
+            ).alias("cohort_month"),
+            "month_idx",
+            "rev_cents",
+            "cum_rev_cents",
+            "n_cohort",
+            F.expr("cum_rev_cents div n_cohort").alias("ltv_cents_per_cust"),
+        )
+    )
+
+
+def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand curve per brand: OLS slope of ln(quantity) on
+    ln(unit price) across the brand's parts — the price-elasticity
+    estimate. Exactness: both logs are quantized to integer MICRO-log
+    units first, then the OLS slope is computed from exact
+    DECIMAL(38,0) moment sums of those integers with ONE integral
+    division to ppm (the µ-quantization cancels in the slope because
+    numerator and denominator scale identically) — so the regression
+    itself never sums floats. Unit price is exact floor-division
+    cents-per-unit; two hash aggs + one broadcast join."""
+    dec = "decimal(38,0)"
+    lines = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = (
+        lines.join(F.broadcast(part), lines.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum("cents").alias("tc"), F.sum("qty").alias("tq"))
+        .filter(F.col("tq") > 0)
+        .select(
+            "p_brand",
+            F.round(
+                F.log(F.expr("CAST(tc div tq AS DOUBLE)")) * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lx"),
+            F.round(F.log(F.col("tq").cast("double")) * 1_000_000)
+            .cast("bigint")
+            .alias("ly"),
+        )
+    )
+    m = per_part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("lx").cast(dec)).alias("sx"),
+        F.sum(F.col("ly").cast(dec)).alias("sy"),
+        F.sum(F.col("lx").cast(dec) * F.col("ly").cast(dec)).alias("sxy"),
+        F.sum(F.col("lx").cast(dec) * F.col("lx").cast(dec)).alias("sxx"),
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000 AS DECIMAL(38,0))"
+            " div CAST(n * sxx - sx * sx AS DECIMAL(38,0))"
+        ).alias("elasticity_ppm"),
+    )
+
+
+def q_linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: each purchase splits 1000 credit
+    millis equally across every distinct non-purchase channel the user
+    touched before it (a channel counts if its FIRST occurrence
+    precedes the purchase — set membership, not event counting);
+    integer division leaves `1000 mod k` millis, assigned to the
+    alphabetically-last touched channel as the documented deterministic
+    tie policy. Purchases with no prior touches credit 'direct'. The
+    join fans out per purchase only to the bounded channel vocabulary,
+    and total credit is conserved: Σ credits = 1000 × purchases."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t").alias("pt"), F.col("event_id").alias("pid")
+    )
+    first_touch = (
+        base.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("t").alias("ft"))
+    )
+    qual = purchases.join(first_touch, "user_id").filter(
+        F.col("ft") < F.col("pt")
+    )
+    per_purchase = qual.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("event_type").alias("last_alpha"),
+    )
+    credits = qual.join(per_purchase, "pid").select(
+        F.col("event_type").alias("channel"),
+        (
+            F.expr("1000 div k")
+            + F.when(
+                F.col("event_type") == F.col("last_alpha"),
+                F.expr("1000 - k * (1000 div k)"),
+            ).otherwise(0)
+        ).alias("credit_millis"),
+        "pid",
+    )
+    direct = purchases.join(
+        per_purchase.select("pid"), "pid", "left_anti"
+    ).select(
+        F.lit("direct").alias("channel"),
+        F.lit(1000).alias("credit_millis"),
+        "pid",
+    )
+    return credits.unionByName(direct).groupBy("channel").agg(
+        F.sum("credit_millis").alias("total_credit_millis"),
+        F.countDistinct("pid").alias("n_purchases_touched"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -5899,6 +6061,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_gap_risk": q_order_gap_risk,
     "doc_length_psi_drift": q_doc_length_psi_drift,
     "audience_overlap_matrix": q_audience_overlap_matrix,
+    "cohort_ltv_curves": q_cohort_ltv_curves,
+    "price_elasticity_loglog": q_price_elasticity_loglog,
+    "linear_attribution_credit": q_linear_attribution_credit,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -9305,5 +9470,98 @@ def oracle_sql() -> dict[str, str]:
         FROM inter
         JOIN sizes sa ON sa.event_type = type_a
         JOIN sizes sb ON sb.event_type = type_b
+    """
+    out["cohort_ltv_curves"] = """
+        WITH o AS (
+            SELECT o_custkey,
+                   year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), fst AS (
+            SELECT o_custkey, min(ym) AS cym FROM o GROUP BY 1
+        ), sizes AS (
+            SELECT cym, count(*) AS n_cohort FROM fst GROUP BY 1
+        ), monthly AS (
+            SELECT cym, ym - cym AS month_idx, sum(cents) AS rev_cents
+            FROM o JOIN fst USING (o_custkey)
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT cym, month_idx, rev_cents,
+                   sum(rev_cents) OVER (PARTITION BY cym ORDER BY month_idx
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_rev_cents
+            FROM monthly
+        )
+        SELECT CAST((cym - 1) // 12 AS VARCHAR) || '-' ||
+                   lpad(CAST((cym - 1) % 12 + 1 AS VARCHAR), 2, '0')
+                   AS cohort_month,
+               month_idx, rev_cents,
+               CAST(cum_rev_cents AS BIGINT) AS cum_rev_cents,
+               n_cohort,
+               CAST(cum_rev_cents // n_cohort AS BIGINT)
+                   AS ltv_cents_per_cust
+        FROM cum JOIN sizes USING (cym)
+    """
+    out["price_elasticity_loglog"] = """
+        WITH per_part AS (
+            SELECT p.p_brand,
+                   CAST(round(ln(CAST(sum(CAST(round(l.l_extendedprice
+                                * 100) AS BIGINT))
+                       // sum(CAST(round(l.l_quantity) AS BIGINT))
+                       AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+                   CAST(round(ln(CAST(sum(CAST(round(l.l_quantity)
+                       AS BIGINT)) AS DOUBLE)) * 1000000) AS BIGINT)
+                       AS ly
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand, l.l_partkey
+            HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > 0
+        ), m AS (
+            SELECT p_brand,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(lx AS HUGEINT)) AS sx,
+                   sum(CAST(ly AS HUGEINT)) AS sy,
+                   sum(CAST(lx AS HUGEINT) * CAST(ly AS HUGEINT)) AS sxy,
+                   sum(CAST(lx AS HUGEINT) * CAST(lx AS HUGEINT)) AS sxx
+            FROM per_part GROUP BY 1
+        )
+        SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+               CAST((n * sxy - sx * sy) * 1000000
+                    // (n * sxx - sx * sx) AS BIGINT) AS elasticity_ppm
+        FROM m
+    """
+    out["linear_attribution_credit"] = """
+        WITH base AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+            FROM events
+        ), purchases AS (
+            SELECT user_id, t AS pt, event_id AS pid FROM base
+            WHERE event_type = 'purchase'
+        ), first_touch AS (
+            SELECT user_id, event_type, min(t) AS ft FROM base
+            WHERE event_type <> 'purchase' GROUP BY 1, 2
+        ), qual AS (
+            SELECT pid, p.user_id, f.event_type, ft
+            FROM purchases p JOIN first_touch f USING (user_id)
+            WHERE ft < pt
+        ), per_purchase AS (
+            SELECT pid, count(*) AS k, max(event_type) AS last_alpha
+            FROM qual GROUP BY 1
+        ), credits AS (
+            SELECT q.event_type AS channel,
+                   1000 // k + CASE WHEN q.event_type = last_alpha
+                                    THEN 1000 - k * (1000 // k)
+                                    ELSE 0 END AS credit_millis,
+                   q.pid
+            FROM qual q JOIN per_purchase USING (pid)
+            UNION ALL
+            SELECT 'direct', 1000, p.pid
+            FROM purchases p
+            WHERE NOT EXISTS (SELECT 1 FROM per_purchase pp
+                              WHERE pp.pid = p.pid)
+        )
+        SELECT channel,
+               sum(credit_millis) AS total_credit_millis,
+               count(DISTINCT pid) AS n_purchases_touched
+        FROM credits GROUP BY 1
     """
     return out
