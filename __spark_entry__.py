@@ -5858,6 +5858,96 @@ def q_linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store snapshot: the wide per-user feature vector a churn
+    or LTV model trains on, assembled in ONE pass over events — event
+    counts by type (conditional sums, no pivot shuffle), recency and
+    tenure in days vs the corpus anchor, active-day count, total and
+    quantized-mean purchase value, and channel diversity. Every
+    feature is an exact integer (means by floor division); one hash
+    agg on user_id plus a broadcast anchor scalar. The feature-vector
+    assembly SHAPE is the point: N features, one shuffle, no
+    per-feature passes."""
+    events = _t(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
+    )
+    anchor = e.agg(F.max("day").alias("anchor_day"))
+    feats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"n_{t}")
+            for t in ["view", "click", "purchase", "signup", "error"]
+        ],
+        F.countDistinct("day").alias("n_active_days"),
+        F.countDistinct("event_type").alias("n_channels"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("vq")).otherwise(
+                0
+            )
+        ).alias("purchase_vq_total"),
+    )
+    return feats.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "n_events",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        "n_signup",
+        "n_error",
+        "n_active_days",
+        "n_channels",
+        (F.col("anchor_day") - F.col("last_day")).alias("recency_days"),
+        (F.col("last_day") - F.col("first_day")).alias("tenure_days"),
+        "purchase_vq_total",
+        F.expr(
+            "CASE WHEN n_purchase > 0"
+            " THEN purchase_vq_total div n_purchase ELSE 0 END"
+        ).alias("mean_purchase_vq"),
+    )
+
+
+def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue waterfall: gross → discount → tax → net, each
+    leg in exact cents with the per-line rounding policy applied ONCE
+    per term (gross = ext price cents; discount = round(ext·disc·100);
+    tax on the discounted base) — the finance bridge report. Map-side
+    per-line quantization then a month-grain hash agg; the legs
+    reconcile exactly: net = gross − discount + tax by construction."""
+    lines = _t(spark, sf_dir, "lineitem")
+    per_line = lines.select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "gross"
+        ),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("bigint")
+        .alias("disc"),
+        F.round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * F.col("l_tax")
+            * 100
+        )
+        .cast("bigint")
+        .alias("tax"),
+    )
+    return per_line.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("gross").alias("gross_cents"),
+        F.sum("disc").alias("discount_cents"),
+        F.sum("tax").alias("tax_cents"),
+        (F.sum("gross") - F.sum("disc") + F.sum("tax")).alias("net_cents"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6064,6 +6154,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_ltv_curves": q_cohort_ltv_curves,
     "price_elasticity_loglog": q_price_elasticity_loglog,
     "linear_attribution_credit": q_linear_attribution_credit,
+    "user_feature_snapshot": q_user_feature_snapshot,
+    "revenue_waterfall": q_revenue_waterfall,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -9563,5 +9655,57 @@ def oracle_sql() -> dict[str, str]:
                sum(credit_millis) AS total_credit_millis,
                count(DISTINCT pid) AS n_purchases_touched
         FROM credits GROUP BY 1
+    """
+    type_sums = ", ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        for t in ["view", "click", "purchase", "signup", "error"]
+    )
+    out["user_feature_snapshot"] = f"""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   CAST(round(value * 10000) AS BIGINT) AS vq
+            FROM events
+        ), anchor AS (SELECT max(day) AS anchor_day FROM e),
+        feats AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   {type_sums},
+                   count(DISTINCT day) AS n_active_days,
+                   count(DISTINCT event_type) AS n_channels,
+                   min(day) AS first_day,
+                   max(day) AS last_day,
+                   sum(CASE WHEN event_type = 'purchase' THEN vq
+                            ELSE 0 END) AS purchase_vq_total
+            FROM e GROUP BY 1
+        )
+        SELECT user_id, n_events, n_view, n_click, n_purchase,
+               n_signup, n_error, n_active_days, n_channels,
+               anchor_day - last_day AS recency_days,
+               last_day - first_day AS tenure_days,
+               purchase_vq_total,
+               CASE WHEN n_purchase > 0
+                    THEN purchase_vq_total // n_purchase
+                    ELSE 0 END AS mean_purchase_vq
+        FROM feats CROSS JOIN anchor
+    """
+    out["revenue_waterfall"] = """
+        WITH per_line AS (
+            SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                       AS month,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS gross,
+                   CAST(round(l_extendedprice * l_discount * 100)
+                        AS BIGINT) AS disc,
+                   CAST(round(l_extendedprice * (1 - l_discount)
+                              * l_tax * 100) AS BIGINT) AS tax
+            FROM lineitem
+        )
+        SELECT month, count(*) AS n_lines,
+               sum(gross) AS gross_cents,
+               sum(disc) AS discount_cents,
+               sum(tax) AS tax_cents,
+               sum(gross) - sum(disc) + sum(tax) AS net_cents
+        FROM per_line GROUP BY 1
     """
     return out
