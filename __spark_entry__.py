@@ -5948,6 +5948,57 @@ def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month league-table movement: each brand's revenue
+    rank within the month (dense ranking by exact cents, ties broken
+    by brand name) against its previous month's rank, keeping rows
+    where the rank moved ≥ 3 places or the brand entered the table —
+    the 'top movers' report. Two window families compose: a rank
+    window partitioned by month (parallel across months) and a lag
+    window partitioned by brand over the bounded month grain."""
+    lines = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        lines.join(F.broadcast(part), lines.l_partkey == part.p_partkey)
+        .groupBy("month", "p_brand")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w_rank = Window.partitionBy("month").orderBy(
+        F.col("rev_cents").desc(), "p_brand"
+    )
+    ranked = monthly.select(
+        "month", "p_brand", "rev_cents", F.row_number().over(w_rank).alias("rnk")
+    )
+    w_lag = Window.partitionBy("p_brand").orderBy("month")
+    return (
+        ranked.select(
+            "month",
+            "p_brand",
+            "rnk",
+            F.lag("rnk").over(w_lag).alias("prev_rnk"),
+        )
+        .select(
+            "month",
+            "p_brand",
+            "rnk",
+            "prev_rnk",
+            (F.coalesce("prev_rnk", F.lit(0)) - F.col("rnk")).alias(
+                "rank_delta"
+            ),
+        )
+        .filter(
+            F.col("prev_rnk").isNull()
+            | (F.abs(F.col("prev_rnk") - F.col("rnk")) >= 3)
+        )
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6156,6 +6207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linear_attribution_credit": q_linear_attribution_credit,
     "user_feature_snapshot": q_user_feature_snapshot,
     "revenue_waterfall": q_revenue_waterfall,
+    "brand_rank_movers": q_brand_rank_movers,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -9707,5 +9759,31 @@ def oracle_sql() -> dict[str, str]:
                sum(tax) AS tax_cents,
                sum(gross) - sum(disc) + sum(tax) AS net_cents
         FROM per_line GROUP BY 1
+    """
+    out["brand_rank_movers"] = """
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m')
+                       AS month,
+                   p.p_brand,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       AS rev_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT month, p_brand, rev_cents,
+                   row_number() OVER (PARTITION BY month
+                                      ORDER BY rev_cents DESC, p_brand)
+                       AS rnk
+            FROM monthly
+        ), lagged AS (
+            SELECT month, p_brand, rnk,
+                   lag(rnk) OVER (PARTITION BY p_brand ORDER BY month)
+                       AS prev_rnk
+            FROM ranked
+        )
+        SELECT month, p_brand, rnk, prev_rnk,
+               coalesce(prev_rnk, 0) - rnk AS rank_delta
+        FROM lagged
+        WHERE prev_rnk IS NULL OR abs(prev_rnk - rnk) >= 3
     """
     return out
