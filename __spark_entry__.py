@@ -5282,7 +5282,9 @@ def q_survival_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     float cumulative PRODUCT every textbook writes is
     partition-order-dependent). Everything past the per-user min/max
     aggregate runs on the bounded wait-time grain. Rows where
-    n_t = d_t (curve hits zero) are excluded by the n>d guard."""
+    n_t = d_t (curve hits zero) are excluded by the n>d guard.
+    Core in timeseries.km_curve, property-pinned against a Python
+    reference estimator."""
     events = _t(spark, sf_dir, "events")
     days = events.select(
         "user_id",
@@ -5296,53 +5298,18 @@ def q_survival_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("day"))
         ).alias("pd"),
     )
-    u = users.select(
-        F.when(F.col("pd").isNotNull(), F.col("pd") - F.col("fd")).alias(
-            "wait"
-        ),
-        F.when(F.col("pd").isNull(), F.col("ld") - F.col("fd")).alias(
-            "censor"
-        ),
+    obs = users.select(
+        F.coalesce(
+            F.col("pd") - F.col("fd"), F.col("ld") - F.col("fd")
+        ).alias("duration"),
+        F.col("pd").isNotNull().alias("converted"),
     )
-    conv = u.filter(F.col("wait").isNotNull()).groupBy(
-        F.col("wait").alias("t")
-    ).agg(F.count(F.lit(1)).alias("d"))
-    cens = u.filter(F.col("censor").isNotNull()).groupBy(
-        F.col("censor").alias("t")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    grid = conv.join(cens, "t", "full").select(
-        "t",
-        F.coalesce("d", F.lit(0)).alias("d"),
-        F.coalesce("c", F.lit(0)).alias("c"),
-    )
-    # at-risk at t = everyone minus those converted or censored BEFORE t
-    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    total = u.agg(F.count(F.lit(1)).alias("n_users"))
-    risk = grid.crossJoin(F.broadcast(total)).select(
-        "t",
-        "d",
-        (
-            F.col("n_users")
-            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
-        ).alias("n_risk"),
-    ).filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
-    factor = (
-        F.round(
-            F.log(
-                (F.col("n_risk") - F.col("d")).cast("double")
-                / F.col("n_risk")
-            )
-            * 1_000_000
-        )
-        .cast("bigint")
-        .alias("lf")
-    )
-    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    return risk.select("t", "d", "n_risk", factor).select(
+    curve = timeseries.km_curve(obs, "duration", "converted")
+    return curve.select(
         F.col("t").alias("wait_days"),
-        F.col("d").alias("n_converted"),
+        F.col("n_events").alias("n_converted"),
         "n_risk",
-        F.sum("lf").over(wcum).alias("log_survival_micronat"),
+        "log_survival_micronat",
     )
 
 

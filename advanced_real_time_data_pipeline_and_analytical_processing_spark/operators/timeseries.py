@@ -184,3 +184,54 @@ def theil_sen_slope(
             "median_slope"
         )
     )
+
+
+def km_curve(df: DataFrame, duration_col: str, event_col: str) -> DataFrame:
+    """Kaplan-Meier estimator over (duration, event) observations —
+    event_col true = the event occurred at `duration`, false =
+    right-censored there (leaves the risk set, never counts as an
+    event). Returns one row per event time t: (t, n_events, n_risk,
+    log_survival_micronat) with ln S(t) = Σ ln((n−d)/n) carried as an
+    exact integer micro-nat cumulative sum — each factor is quantized
+    ONCE, so the curve is bit-reproducible under any partitioning,
+    unlike the textbook float cumulative product. Rows where the
+    factor is ln(0) (d = n, curve hits zero) are excluded.
+
+    Everything past the (duration → counts) aggregate runs on the
+    bounded distinct-duration grain; the total count arrives
+    broadcast.
+    """
+    grid = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(F.col(event_col), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(~F.col(event_col), 1).otherwise(0)).alias("c"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    ).filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+    factor = (
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk")
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("lf")
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select("t", "d", "n_risk", factor).select(
+        "t",
+        F.col("d").alias("n_events"),
+        "n_risk",
+        F.sum("lf").over(wcum).alias("log_survival_micronat"),
+    )

@@ -282,3 +282,45 @@ def test_holt_final_matches_reference_fold(spark, ys):
     assert row.n_points == len(ys)
     assert row.level == l
     assert row.trend == b
+
+
+@settings(**SETTINGS)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10), st.booleans()
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_km_curve_matches_reference_estimator(spark, obs):
+    """km_curve must equal a plain Python Kaplan-Meier reference:
+    same risk sets, same event rows kept, same micro-nat cumsum."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [(int(t), bool(e)) for t, e in obs], "duration long, ev boolean"
+    )
+    got = {
+        r.t: (r.n_events, r.n_risk, r.log_survival_micronat)
+        for r in timeseries.km_curve(df, "duration", "ev").collect()
+    }
+    want = {}
+    cum = 0
+    removed = 0
+    import math
+
+    for t in sorted({t for t, _ in obs}):
+        d = sum(1 for tt, e in obs if tt == t and e)
+        c = sum(1 for tt, e in obs if tt == t and not e)
+        n = len(obs) - removed
+        removed += d + c
+        if d > 0 and n > d:
+            cum += int(
+                # Python round = banker's; Spark/DuckDB round = half-up.
+                # Use the same half-up quantization as the operator.
+                math.floor(math.log((n - d) / n) * 1_000_000 + 0.5)
+            )
+            want[t] = (d, n, cum)
+    assert got == want
