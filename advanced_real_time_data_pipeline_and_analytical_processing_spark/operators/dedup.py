@@ -600,13 +600,8 @@ def overlap_coefficient_pairs(
         eager=False
     )
     postings = sh.select(F.col(id_col), F.explode("_shingles").alias("_s"))
-    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
     dfreq = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    kept = (
-        dfreq.crossJoin(F.broadcast(n_docs))
-        .filter(F.col("_df") <= F.lit(int(df_cap)))
-        .select("_s")
-    )
+    kept = dfreq.filter(F.col("_df") <= F.lit(int(df_cap))).select("_s")
     rare = postings.join(kept, "_s")
     a = rare.select(F.col(id_col).alias("id_a"), "_s")
     b = rare.select(F.col(id_col).alias("id_b"), "_s")
