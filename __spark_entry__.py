@@ -5966,6 +5966,79 @@ def q_brand_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end A/B experimentation readout: users are assigned to
+    arms by the engine's portable md5 bucketing (deterministic,
+    engine-reproducible — the same split any service computes from the
+    user id, no RNG state), the outcome is FAST conversion (first
+    purchase within 2 days of the user's first event — plain
+    every-user-buys-eventually saturates at 100% on this corpus and
+    degenerates the z denominator), and the report is one row: per-arm
+    users/conversions, conversion rates and lift in exact ppm, and the
+    pooled two-proportion z statistic computed from exact counts with
+    only IEEE-specified operations in the oracle's operand order (the
+    Wilson-bands discipline). One per-user aggregate, one 2-key
+    rollup, one scalar projection."""
+    events = _t(spark, sf_dir, "events")
+    days = events.select(
+        "user_id",
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    )
+    users = days.groupBy("user_id").agg(
+        F.when(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("day"))
+            )
+            - F.min("day")
+            <= 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    armed = users.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        ).alias("arm"),
+        "converted",
+    )
+    per_arm = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("conv_a * 1000000 div n_a").alias("rate_a_ppm"),
+        F.expr("conv_b * 1000000 div n_b").alias("rate_b_ppm"),
+        F.expr(
+            "(conv_b * 1000000 div n_b) - (conv_a * 1000000 div n_a)"
+        ).alias("lift_ppm"),
+        F.expr(
+            """round(
+              (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+              / sqrt(
+                  (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)), 6)"""
+        ).alias("z_score_r6"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6175,6 +6248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_feature_snapshot": q_user_feature_snapshot,
     "revenue_waterfall": q_revenue_waterfall,
     "brand_rank_movers": q_brand_rank_movers,
+    "ab_experiment_report": q_ab_experiment_report,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -9752,5 +9826,50 @@ def oracle_sql() -> dict[str, str]:
                coalesce(prev_rnk, 0) - rnk AS rank_delta
         FROM lagged
         WHERE prev_rnk IS NULL OR abs(prev_rnk - rnk) >= 3
+    """
+    md5_2 = (
+        "((strpos('0123456789abcdef',"
+        " substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef',"
+        " substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1))"
+    )
+    out["ab_experiment_report"] = f"""
+        WITH days AS (
+            SELECT user_id, event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day
+            FROM events
+        ), users AS (
+            SELECT user_id,
+                   CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                      THEN day END) - min(day) <= 2
+                        THEN 1 ELSE 0 END AS converted
+            FROM days GROUP BY 1
+        ), armed AS (
+            SELECT {md5_2} % 2 AS arm, converted FROM users
+        ), per_arm AS (
+            SELECT arm, count(*) AS n, sum(converted) AS conv
+            FROM armed GROUP BY 1
+        ), wide AS (
+            SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+                   max(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+                   max(CASE WHEN arm = 1 THEN n END) AS n_b,
+                   max(CASE WHEN arm = 1 THEN conv END) AS conv_b
+            FROM per_arm
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               conv_a * 1000000 // n_a AS rate_a_ppm,
+               conv_b * 1000000 // n_b AS rate_b_ppm,
+               (conv_b * 1000000 // n_b) - (conv_a * 1000000 // n_a)
+                   AS lift_ppm,
+               round(
+                 (CAST(conv_b AS DOUBLE) / n_b
+                  - CAST(conv_a AS DOUBLE) / n_a)
+                 / sqrt(
+                     (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                            / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score_r6
+        FROM wide
     """
     return out
