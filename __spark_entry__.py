@@ -438,7 +438,10 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct + conditional aggregates."""
+    """Distinct + conditional aggregates per priority: distinct
+    customer count alongside filtered sums in one hash aggregate —
+    the W5 distinct-agg surface (Spark plans count(DISTINCT) via
+    Expand, one pass)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -494,7 +497,9 @@ def q_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median aggregate per brand."""
+    """Exact median retail price per brand (W5 median surface):
+    F.median vs DuckDB median, both interpolating the even case, on
+    2-decimal prices where the midpoint is exactly representable."""
     part = _t(spark, sf_dir, "part")
     return part.groupBy("p_brand").agg(
         F.round(F.median("p_retailprice"), 6).alias("median_price"),
