@@ -6044,6 +6044,45 @@ def q_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_abuse_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse/bot triage: users whose event rate per active day strictly
+    exceeds the corpus-wide rate, or whose error share tops 30% — the
+    first-pass review queue every platform team maintains. Every
+    signal is an exact integer (rates by floor division, shares in
+    ppm; the corpus baseline is total_events div total_user_days
+    computed once and broadcast), so the flagged set is reproducible —
+    an auditor re-running the query gets the identical queue. One
+    per-user hash agg + one scalar broadcast."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    baseline = per_user.agg(
+        F.expr("sum(n_events) div sum(n_active_days)").alias(
+            "corpus_epd"
+        )
+    )
+    return (
+        per_user.crossJoin(F.broadcast(baseline))
+        .select(
+            "user_id",
+            "n_events",
+            "n_active_days",
+            F.expr("n_events div n_active_days").alias("events_per_day"),
+            F.expr("n_errors * 1000000 div n_events").alias("error_ppm"),
+            "corpus_epd",
+        )
+        .filter(
+            (F.col("events_per_day") > F.col("corpus_epd"))
+            | (F.col("error_ppm") > 300000)
+        )
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6254,6 +6293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_waterfall": q_revenue_waterfall,
     "brand_rank_movers": q_brand_rank_movers,
     "ab_experiment_report": q_ab_experiment_report,
+    "abuse_suspects": q_abuse_suspects,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -9876,5 +9916,25 @@ def oracle_sql() -> dict[str, str]:
                             / (n_a + n_b))
                      * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score_r6
         FROM wide
+    """
+    out["abuse_suspects"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+                   sum(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END) AS n_errors
+            FROM events GROUP BY 1
+        ), baseline AS (
+            SELECT sum(n_events) // sum(n_active_days) AS corpus_epd
+            FROM per_user
+        )
+        SELECT user_id, n_events, n_active_days,
+               n_events // n_active_days AS events_per_day,
+               n_errors * 1000000 // n_events AS error_ppm,
+               CAST(corpus_epd AS BIGINT) AS corpus_epd
+        FROM per_user CROSS JOIN baseline
+        WHERE n_events // n_active_days > corpus_epd
+           OR n_errors * 1000000 // n_events > 300000
     """
     return out
