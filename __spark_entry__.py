@@ -6083,6 +6083,62 @@ def q_abuse_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment: split exactly 1000
+    budget units across customer nations proportional to revenue — the
+    allocation problem where naive rounding either over- or
+    under-spends. Integer-exact: floor quotas via rev·1000 div total,
+    remainders compared as the exact integers rev·1000 mod total
+    (never a float fraction), and the leftover units go to the largest
+    remainders (nation-name tiebreak). Σ units = 1000 by construction
+    — the invariant the report exists to guarantee. Fact-side work is
+    one join+agg; the apportionment runs on the bounded nation grain."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("rev_cents")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "rev_cents")
+    )
+    total = rev.agg(F.sum("rev_cents").alias("t"))
+    quotas = rev.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        "rev_cents",
+        F.expr("rev_cents * 1000 div t").alias("base_units"),
+        F.expr("rev_cents * 1000 % t").alias("rem"),
+    )
+    w_left = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), "n_name")
+    ranked = quotas.select(
+        "n_name",
+        "rev_cents",
+        "base_units",
+        F.row_number().over(w_rank).alias("rem_rank"),
+        (F.lit(1000) - F.sum("base_units").over(w_left)).alias("leftover"),
+    )
+    return ranked.select(
+        "n_name",
+        "rev_cents",
+        "base_units",
+        F.when(F.col("rem_rank") <= F.col("leftover"), 1)
+        .otherwise(0)
+        .alias("extra_unit"),
+        (
+            F.col("base_units")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("units"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6294,6 +6350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_rank_movers": q_brand_rank_movers,
     "ab_experiment_report": q_ab_experiment_report,
     "abuse_suspects": q_abuse_suspects,
+    "budget_apportionment": q_budget_apportionment,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -9936,5 +9993,36 @@ def oracle_sql() -> dict[str, str]:
         FROM per_user CROSS JOIN baseline
         WHERE n_events // n_active_days > corpus_epd
            OR n_errors * 1000000 // n_events > 300000
+    """
+    out["budget_apportionment"] = """
+        WITH rev AS (
+            SELECT n.n_name,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       AS rev_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        ), total AS (SELECT sum(rev_cents) AS t FROM rev),
+        quotas AS (
+            SELECT n_name, rev_cents,
+                   rev_cents * 1000 // t AS base_units,
+                   rev_cents * 1000 % t AS rem
+            FROM rev CROSS JOIN total
+        ), ranked AS (
+            SELECT n_name, rev_cents, base_units,
+                   row_number() OVER (ORDER BY rem DESC, n_name)
+                       AS rem_rank,
+                   1000 - sum(base_units) OVER () AS leftover
+            FROM quotas
+        )
+        SELECT n_name, rev_cents, CAST(base_units AS BIGINT)
+                   AS base_units,
+               CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                   AS extra_unit,
+               CAST(base_units + CASE WHEN rem_rank <= leftover
+                                      THEN 1 ELSE 0 END AS BIGINT)
+                   AS units
+        FROM ranked
     """
     return out
