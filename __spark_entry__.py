@@ -6139,6 +6139,59 @@ def q_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT second-moment (covariance) matrix of the
+    embedding corpus — the input PCA/whitening needs, computed the way
+    a 100 TB run must: components quantized to integer ten-thousandths
+    map-side, the d(d+1)/2 upper-triangle co-moments Σqᵢqⱼ built by a
+    vec_id-co-located self-join of the exploded (row, dim, q) frame
+    (fan-out d²/2 per row, independent of corpus size), and the
+    covariance numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ assembled from exact
+    bigints. The exploded frame is localCheckpointed — both join sides
+    and the per-dimension marginals read it. Production alternative
+    for huge d: per-partition BLAS outer-product accumulation in
+    mapInPandas; at d=64 the join form stays all-JVM."""
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    qq = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * 10000)
+        .cast("bigint")
+        .alias("q"),
+    ).localCheckpoint()
+    dims = qq.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("s")
+    )
+    a = qq.alias("a")
+    b = qq.alias("b")
+    comoments = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("sij"))
+    )
+    di = dims.select(F.col("i"), F.col("n"), F.col("s").alias("si"))
+    dj = dims.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    return (
+        comoments.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            F.col("n").alias("n_vecs"),
+            "sij",
+            (F.col("n") * F.col("sij") - F.col("si") * F.col("sj")).alias(
+                "cov_num"
+            ),
+        )
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6351,6 +6404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_experiment_report": q_ab_experiment_report,
     "abuse_suspects": q_abuse_suspects,
     "budget_apportionment": q_budget_apportionment,
+    "embedding_covariance_matrix": q_embedding_covariance_matrix,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -10024,5 +10078,26 @@ def oracle_sql() -> dict[str, str]:
                                       THEN 1 ELSE 0 END AS BIGINT)
                    AS units
         FROM ranked
+    """
+    out["embedding_covariance_matrix"] = """
+        WITH qq AS (
+            SELECT vec_id, i,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * 10000)
+                        AS BIGINT) AS q
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) t(i)
+        ), dims AS (
+            SELECT i, count(*) AS n, sum(q) AS s FROM qq GROUP BY 1
+        ), comoments AS (
+            SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS sij
+            FROM qq a JOIN qq b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+        )
+        SELECT comoments.i AS i, j, CAST(di.n AS BIGINT) AS n_vecs,
+               CAST(sij AS BIGINT) AS sij,
+               CAST(di.n * sij - di.s * dj.s AS BIGINT) AS cov_num
+        FROM comoments
+        JOIN dims di ON di.i = comoments.i
+        JOIN dims dj ON dj.i = comoments.j
     """
     return out
