@@ -6192,6 +6192,123 @@ def q_embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_decile_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains / lift table — the model-evaluation readout a targeting
+    team uses to decide how deep to mail: users ranked by a score
+    (here total click engagement as the stand-in model score) into
+    deciles, each row reporting converters captured and the cumulative
+    capture and lift vs random in exact ppm. Deterministic: decile
+    cuts tie-break on user_id, every rate is an integer floor
+    division, and the cumulative window runs over the bounded 10-row
+    decile grain."""
+    events = _t(spark, sf_dir, "events")
+    days = events.select(
+        "user_id",
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
+    )
+    users = days.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("vq")).otherwise(0)
+        ).alias("score"),
+        F.when(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("day"))
+            )
+            - F.min("day")
+            <= 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "user_id")
+    deciled = users.select(
+        "converted", F.ntile(10).over(w).alias("decile")
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_decile.select(
+        "decile",
+        "n_users",
+        "n_converted",
+        F.sum("n_users").over(wcum).alias("cum_users"),
+        F.sum("n_converted").over(wcum).alias("cum_converted"),
+        F.expr(
+            "sum(n_converted) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " * 1000000 div sum(n_converted) OVER"
+            " (ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND UNBOUNDED FOLLOWING)"
+        ).alias("capture_ppm"),
+        F.expr(
+            "(sum(n_converted) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " * sum(n_users) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND UNBOUNDED FOLLOWING)) * 1000000"
+            " div (sum(n_users) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " * sum(n_converted) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND UNBOUNDED FOLLOWING))"
+        ).alias("lift_ppm"),
+    )
+
+
+def q_session_bounce_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce-rate profile: sessions (30-minute inactivity gap,
+    same rule as the sessionization query), single-event sessions, and
+    the bounce share in exact ppm, keyed by the session's START day —
+    the engagement-health headline. One user-partitioned window pass
+    to sessionize, one session-grain aggregate, one day rollup."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gap_us = F.col("t") - F.lag("t").over(w)
+    sess = base.withColumn(
+        "new_s",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(
+            0
+        ),
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("start_us"),
+    )
+    return (
+        per_session.groupBy(
+            F.to_date(F.timestamp_micros(F.col("start_us"))).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.when(F.col("n_events") == 1, 1).otherwise(0)
+            ).alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            F.expr("n_bounces * 1000000 div n_sessions").alias(
+                "bounce_ppm"
+            ),
+        )
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6405,6 +6522,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "abuse_suspects": q_abuse_suspects,
     "budget_apportionment": q_budget_apportionment,
     "embedding_covariance_matrix": q_embedding_covariance_matrix,
+    "decile_gains_table": q_decile_gains_table,
+    "session_bounce_profile": q_session_bounce_profile,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -10099,5 +10218,75 @@ def oracle_sql() -> dict[str, str]:
         FROM comoments
         JOIN dims di ON di.i = comoments.i
         JOIN dims dj ON dj.i = comoments.j
+    """
+    out["decile_gains_table"] = """
+        WITH days AS (
+            SELECT user_id, event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   CAST(round(value * 10000) AS BIGINT) AS vq
+            FROM events
+        ), users AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN vq
+                            ELSE 0 END) AS score,
+                   CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                      THEN day END) - min(day) <= 2
+                        THEN 1 ELSE 0 END AS converted
+            FROM days GROUP BY 1
+        ), deciled AS (
+            SELECT converted,
+                   ntile(10) OVER (ORDER BY score DESC, user_id)
+                       AS decile
+            FROM users
+        ), per_decile AS (
+            SELECT decile, count(*) AS n_users,
+                   sum(converted) AS n_converted
+            FROM deciled GROUP BY 1
+        )
+        SELECT decile, n_users, n_converted,
+               sum(n_users) OVER wc AS cum_users,
+               sum(n_converted) OVER wc AS cum_converted,
+               sum(n_converted) OVER wc * 1000000
+                   // sum(n_converted) OVER () AS capture_ppm,
+               (sum(n_converted) OVER wc * sum(n_users) OVER ())
+                   * 1000000
+                   // (sum(n_users) OVER wc
+                       * sum(n_converted) OVER ()) AS lift_ppm
+        FROM per_decile
+        WINDOW wc AS (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    """
+    out["session_bounce_profile"] = """
+        WITH base AS (
+            SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+        ), flagged AS (
+            SELECT user_id, t, event_id,
+                   CASE WHEN lag(t) OVER w IS NULL
+                             OR t - lag(t) OVER w > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        ), sess AS (
+            SELECT user_id, t,
+                   sum(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+            FROM flagged
+        ), per_session AS (
+            SELECT user_id, session_id,
+                   count(*) AS n_events, min(t) AS start_us
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+               count(*) AS n_sessions,
+               sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                   AS n_bounces,
+               sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                   // count(*) AS bounce_ppm
+        FROM per_session
+        GROUP BY 1
     """
     return out
