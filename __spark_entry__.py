@@ -6309,6 +6309,103 @@ def q_session_bounce_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per region: how
+    concentrated is each region's revenue across its nations — the
+    antitrust/market-structure statistic (10000-scaled: a monopoly
+    scores 10⁴, perfect fragmentation → 10⁴/n). Exact arithmetic:
+    HHI·10⁴ = Σsᵢ²·10⁴ div S² with the share squares summed as
+    DECIMAL(38,0)/HUGEINT — no float share is ever formed. One
+    fact-side join+agg; the index math runs on the bounded nation
+    grain."""
+    dec = "decimal(38,0)"
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("s")
+        )
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select(F.col("r_name").alias("region_name"), "s")
+    )
+    return rev.groupBy("region_name").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("s").alias("region_cents"),
+        F.expr(
+            "CAST(sum(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+            " * 10000 AS DECIMAL(38,0))"
+            " div CAST(CAST(sum(s) AS DECIMAL(38,0))"
+            " * CAST(sum(s) AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        ).alias("hhi_x10000"),
+    )
+
+
+def q_gap_percentile_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-gap SLO report per event type: p50/p95/p99 of the
+    per-user gap between consecutive same-type events (integer
+    seconds), plus a breach flag when p99 exceeds the 48 h objective —
+    the ops-latency readout. Percentiles are rank-SELECTED (lower
+    percentile at ceil(p·n): an actual observed gap, no interpolation
+    form to disagree on); the gap window is user×type-partitioned and
+    the selection windows are type-partitioned — all parallel."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("t", "event_id")
+    gaps = base.select(
+        "event_type",
+        (F.col("t") - F.lag("t").over(w)).alias("_d_us"),
+    ).filter(F.col("_d_us").isNotNull()).select(
+        "event_type", F.expr("_d_us div 1000000").alias("gap_s")
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_s")
+    ranked = gaps.select(
+        "event_type",
+        "gap_s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    picks = ranked.groupBy("event_type", "n").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rn")
+                    >= F.expr(f"CAST(ceil(n * {p / 100}) AS BIGINT)"),
+                    F.col("gap_s"),
+                )
+            ).alias(f"p{p}_gap_s")
+            for p in (50, 95, 99)
+        ]
+    )
+    return picks.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        "p50_gap_s",
+        "p95_gap_s",
+        "p99_gap_s",
+        (F.col("p99_gap_s") > 48 * 3600).alias("slo_breached"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6524,6 +6621,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance_matrix": q_embedding_covariance_matrix,
     "decile_gains_table": q_decile_gains_table,
     "session_bounce_profile": q_session_bounce_profile,
+    "market_concentration_hhi": q_market_concentration_hhi,
+    "gap_percentile_slo": q_gap_percentile_slo,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -10288,5 +10387,53 @@ def oracle_sql() -> dict[str, str]:
                    // count(*) AS bounce_ppm
         FROM per_session
         GROUP BY 1
+    """
+    out["market_concentration_hhi"] = """
+        WITH rev AS (
+            SELECT r.r_name AS region_name,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS s
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, c.c_nationkey
+        )
+        SELECT region_name,
+               count(*) AS n_nations,
+               CAST(sum(s) AS BIGINT) AS region_cents,
+               CAST(sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) * 10000
+                    // (CAST(sum(s) AS HUGEINT)
+                        * CAST(sum(s) AS HUGEINT)) AS BIGINT)
+                   AS hhi_x10000
+        FROM rev GROUP BY 1
+    """
+    out["gap_percentile_slo"] = """
+        WITH gaps AS (
+            SELECT event_type,
+                   (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000
+                       AS gap_s
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, user_id
+                         ORDER BY epoch_us(ts), event_id)
+        ), ranked AS (
+            SELECT event_type, gap_s,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY gap_s) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM gaps WHERE gap_s IS NOT NULL
+        ), picks AS (
+            SELECT event_type, n,
+                   min(CASE WHEN rn >= CAST(ceil(n * 0.5) AS BIGINT)
+                            THEN gap_s END) AS p50_gap_s,
+                   min(CASE WHEN rn >= CAST(ceil(n * 0.95) AS BIGINT)
+                            THEN gap_s END) AS p95_gap_s,
+                   min(CASE WHEN rn >= CAST(ceil(n * 0.99) AS BIGINT)
+                            THEN gap_s END) AS p99_gap_s
+            FROM ranked GROUP BY 1, 2
+        )
+        SELECT event_type, n AS n_gaps,
+               p50_gap_s, p95_gap_s, p99_gap_s,
+               p99_gap_s > 48 * 3600 AS slo_breached
+        FROM picks
     """
     return out
