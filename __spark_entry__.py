@@ -6406,6 +6406,43 @@ def q_gap_percentile_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging report over unfulfilled orders — the receivables-style
+    workflow queue: open ('O') and pending ('P') orders bucketed by
+    days outstanding vs the corpus anchor date (000-030 / 031-060 /
+    061-090 / 090+, zero-padded so lexical order IS age order), with
+    counts and exact-cents exposure per (status, bucket) cell. One
+    pushed-down status filter, one broadcast anchor scalar, one
+    8-cell hash agg."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    aged = (
+        orders.filter(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+            F.datediff(F.col("anchor"), F.to_date("o_orderdate")).alias(
+                "age"
+            ),
+        )
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, "000-030")
+        .when(F.col("age") <= 60, "031-060")
+        .when(F.col("age") <= 90, "061-090")
+        .otherwise("090+")
+    )
+    return aged.groupBy(
+        "o_orderstatus", bucket.alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6623,6 +6660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_bounce_profile": q_session_bounce_profile,
     "market_concentration_hhi": q_market_concentration_hhi,
     "gap_percentile_slo": q_gap_percentile_slo,
+    "open_order_aging": q_open_order_aging,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -10435,5 +10473,24 @@ def oracle_sql() -> dict[str, str]:
                p50_gap_s, p95_gap_s, p99_gap_s,
                p99_gap_s > 48 * 3600 AS slo_breached
         FROM picks
+    """
+    out["open_order_aging"] = """
+        WITH anchor AS (
+            SELECT max(CAST(o_orderdate AS DATE)) AS a FROM orders
+        )
+        SELECT o_orderstatus,
+               CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), a)
+                         <= 30 THEN '000-030'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE), a)
+                         <= 60 THEN '031-060'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE), a)
+                         <= 90 THEN '061-090'
+                    ELSE '090+' END AS age_bucket,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS total_cents
+        FROM orders CROSS JOIN anchor
+        WHERE o_orderstatus IN ('O', 'P')
+        GROUP BY 1, 2
     """
     return out
