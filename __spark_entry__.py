@@ -6443,6 +6443,55 @@ def q_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_busy_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union (sweep-line) busy time: each event projects a
+    ±150 s activity window; per user, overlapping windows merge into
+    activity BURSTS and the total covered seconds is the union length
+    — the mechanism behind billable-time, machine-utilization, and
+    uptime metrics, where naively summing interval lengths
+    double-counts overlaps. The sweep is two user-partitioned window
+    passes: a burst starts where the interval's start exceeds the
+    running max of all PRIOR ends (cummax over a bounded-above frame),
+    burst id is the running sum of starts — then one burst-grain
+    aggregate. All integer microseconds."""
+    events = _t(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        (F.unix_micros("ts") - 150 * 1_000_000).alias("s"),
+        (F.unix_micros("ts") + 150 * 1_000_000).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.max("e").over(wprev).isNull()
+            | (F.col("s") > F.max("e").over(wprev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_burst"),
+    )
+    bursts = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_burst")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("burst_id"),
+    ).groupBy("user_id", "burst_id").agg(
+        F.min("s").alias("bs"), F.max("e").alias("be")
+    )
+    return bursts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_bursts"),
+        F.expr("sum(be - bs) div 1000000").alias("busy_seconds"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6661,6 +6710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_concentration_hhi": q_market_concentration_hhi,
     "gap_percentile_slo": q_gap_percentile_slo,
     "open_order_aging": q_open_order_aging,
+    "user_busy_time": q_user_busy_time,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -10492,5 +10542,37 @@ def oracle_sql() -> dict[str, str]:
         FROM orders CROSS JOIN anchor
         WHERE o_orderstatus IN ('O', 'P')
         GROUP BY 1, 2
+    """
+    out["user_busy_time"] = """
+        WITH iv AS (
+            SELECT user_id,
+                   epoch_us(ts) - 150 * 1000000 AS s,
+                   epoch_us(ts) + 150 * 1000000 AS e,
+                   event_id
+            FROM events
+        ), flagged AS (
+            SELECT user_id, s, e, event_id,
+                   CASE WHEN max(e) OVER wp IS NULL
+                             OR s > max(e) OVER wp
+                        THEN 1 ELSE 0 END AS new_burst
+            FROM iv
+            WINDOW wp AS (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING)
+        ), bursts AS (
+            SELECT user_id,
+                   sum(new_burst) OVER (PARTITION BY user_id
+                                        ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS burst_id,
+                   s, e
+            FROM flagged
+        ), agg AS (
+            SELECT user_id, burst_id, min(s) AS bs, max(e) AS be
+            FROM bursts GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_bursts,
+               sum(be - bs) // 1000000 AS busy_seconds
+        FROM agg GROUP BY 1
     """
     return out
