@@ -6492,6 +6492,43 @@ def q_user_busy_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BEHAVIOR_BITS = [
+    ("view", 1), ("click", 2), ("purchase", 4), ("signup", 8), ("error", 16),
+]
+
+
+def q_daily_behavior_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-combination census via BITWISE aggregation: each
+    (user, day) folds its event types into one bitmask with bit_or —
+    the roaring-bitmap-style trick that answers 'how many user-days
+    did view+click+purchase together' without a distinct-count per
+    combination. The mask distribution (≤2⁵ rows) then decodes each
+    combination back to a readable label. Two hash aggs; the
+    combination space is bounded by the type vocabulary, never by
+    data volume."""
+    bit = F.lit(0)
+    for t, b in _BEHAVIOR_BITS:
+        bit = F.when(F.col("event_type") == t, b).otherwise(bit)
+    events = _t(spark, sf_dir, "events")
+    masks = events.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        bit.alias("bit"),
+    ).groupBy("user_id", "day").agg(
+        F.expr("bit_or(bit)").alias("mask")
+    )
+    label = F.concat_ws(
+        "+",
+        *[
+            F.when(F.expr(f"mask & {b}") > 0, F.lit(t))
+            for t, b in _BEHAVIOR_BITS
+        ],
+    )
+    return masks.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_user_days")
+    ).select("mask", label.alias("behaviors"), "n_user_days")
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6711,6 +6748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_percentile_slo": q_gap_percentile_slo,
     "open_order_aging": q_open_order_aging,
     "user_busy_time": q_user_busy_time,
+    "daily_behavior_bitmask": q_daily_behavior_bitmask,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -10574,5 +10612,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, count(*) AS n_bursts,
                sum(be - bs) // 1000000 AS busy_seconds
         FROM agg GROUP BY 1
+    """
+    bit_case = " ".join(
+        f"WHEN '{t}' THEN {b}" for t, b in _BEHAVIOR_BITS
+    )
+    bit_label = " || ".join(
+        f"CASE WHEN (mask & {b}) > 0 THEN "
+        f"(CASE WHEN {i} = 0 THEN '' WHEN mask % {b} > 0"
+        f" THEN '+' ELSE '' END) || '{t}' ELSE '' END"
+        for i, (t, b) in enumerate(_BEHAVIOR_BITS)
+    )
+    out["daily_behavior_bitmask"] = f"""
+        WITH masks AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   bit_or(CASE event_type {bit_case} ELSE 0 END) AS mask
+            FROM events GROUP BY 1, 2
+        )
+        SELECT mask, {bit_label} AS behaviors,
+               count(*) AS n_user_days
+        FROM masks GROUP BY 1
     """
     return out
