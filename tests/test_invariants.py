@@ -37,3 +37,37 @@ def test_waterfall_reconciles(spark):
     rows = entrymod.queries()["revenue_waterfall"](spark, SF).collect()
     for r in rows:
         assert r.net_cents == r.gross_cents - r.discount_cents + r.tax_cents
+
+
+def test_busy_time_equals_python_interval_union(spark):
+    """The sweep-line burst merge must equal a reference interval
+    union: total covered seconds per user, computed by plain Python
+    merging, for the fixture corpus."""
+    out = {
+        r.user_id: (r.n_bursts, r.busy_seconds)
+        for r in entrymod.queries()["user_busy_time"](spark, SF).collect()
+    }
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    ).collect()
+    ivs = {}
+    for r in ev:
+        ivs.setdefault(r.user_id, []).append(
+            (r.t - 150_000_000, r.t + 150_000_000)
+        )
+    want = {}
+    for u, spans in ivs.items():
+        spans.sort()
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        want[u] = (
+            len(merged),
+            sum(e - s for s, e in merged) // 1_000_000,
+        )
+    assert out == want
