@@ -6529,6 +6529,70 @@ def q_daily_behavior_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("mask", label.alias("behaviors"), "n_user_days")
 
 
+def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift profile, one source vs the
+    rest of the corpus, over the doc-length distribution — the
+    distribution-shape alarm that catches what mean/variance monitors
+    miss. Exact: the KS statistic D = max|CDF_s − CDF_rest| is
+    evaluated only at observed jump points (where the max of step
+    CDFs must occur), as max|c_s·N_r − c_r·N_s|·10⁶ div (N_s·N_r) —
+    cross-multiplied integer CDFs, no float fraction anywhere. The
+    evaluation grid is (sources × distinct lengths) — bounded by
+    vocabulary, not corpus size; CDF cumsums are per-source windows
+    over that grid."""
+    docs = _t(spark, sf_dir, "documents")
+    csl = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sources = csl.select("source").distinct()
+    lengths = csl.select("n_chars").distinct()
+    grid = sources.crossJoin(lengths)
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_s = (
+        grid.join(csl, ["source", "n_chars"], "left")
+        .select(
+            "source", "n_chars", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        .select("source", "n_chars", F.sum("c").over(w_s).alias("cs"))
+    )
+    w_all = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_all = (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .select("n_chars", F.sum("ct").over(w_all).alias("call"))
+    )
+    n_s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        cum_s.join(cum_all, "n_chars")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "source",
+            "ns",
+            (F.col("n") - F.col("ns")).alias("nr"),
+            F.abs(
+                F.col("cs") * (F.col("n") - F.col("ns"))
+                - (F.col("call") - F.col("cs")) * F.col("ns")
+            ).alias("dev"),
+        )
+    )
+    return cells.groupBy("source", "ns", "nr").agg(
+        F.expr("max(dev) * 1000000 div (ns * nr)").alias("ks_d_ppm")
+    ).select(
+        "source",
+        F.col("ns").alias("n_source"),
+        F.col("nr").alias("n_rest"),
+        "ks_d_ppm",
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6749,6 +6813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "open_order_aging": q_open_order_aging,
     "user_busy_time": q_user_busy_time,
     "daily_behavior_bitmask": q_daily_behavior_bitmask,
+    "source_ks_drift": q_source_ks_drift,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -10631,5 +10696,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT mask, {bit_label} AS behaviors,
                count(*) AS n_user_days
         FROM masks GROUP BY 1
+    """
+    out["source_ks_drift"] = """
+        WITH csl AS (
+            SELECT source, n_chars, count(*) AS c
+            FROM documents GROUP BY 1, 2
+        ), grid AS (
+            SELECT s.source, l.n_chars
+            FROM (SELECT DISTINCT source FROM csl) s
+            CROSS JOIN (SELECT DISTINCT n_chars FROM csl) l
+        ), cum_s AS (
+            SELECT g.source, g.n_chars,
+                   sum(coalesce(c, 0)) OVER (PARTITION BY g.source
+                       ORDER BY g.n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cs
+            FROM grid g
+            LEFT JOIN csl ON csl.source = g.source
+                         AND csl.n_chars = g.n_chars
+        ), cum_all AS (
+            SELECT n_chars,
+                   sum(ct) OVER (ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS call
+            FROM (SELECT n_chars, count(*) AS ct FROM documents
+                  GROUP BY 1)
+        ), n_s AS (
+            SELECT source, count(*) AS ns FROM documents GROUP BY 1
+        ), n_tot AS (SELECT count(*) AS n FROM documents)
+        SELECT source, ns AS n_source, n - ns AS n_rest,
+               max(abs(cs * (n - ns) - (call - cs) * ns)) * 1000000
+                   // (ns * (n - ns)) AS ks_d_ppm
+        FROM cum_s
+        JOIN cum_all USING (n_chars)
+        JOIN n_s USING (source)
+        CROSS JOIN n_tot
+        GROUP BY 1, 2, 3
     """
     return out
