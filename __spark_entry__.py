@@ -6593,6 +6593,54 @@ def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test, integer-exact: are purchase
+    values stochastically larger than click values? — the
+    distribution-free location test that needs no normality
+    assumption. Tie-safe without floats: midranks are carried DOUBLED
+    (2·midrank = 2·c_lt + c_eq + 1, an integer), so U arrives as the
+    exact integer u2 = 2U and the common-language effect size
+    P(X>Y)+½P(X=Y) as u2·10⁶ div (2·n1·n2). Values quantized to
+    ten-thousandths; the rank grid is the bounded distinct-value
+    domain with one cumulative window over it."""
+    events = _t(spark, sf_dir, "events")
+    vals = events.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
+    )
+    per_v = vals.groupBy("vq").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("c1"),
+        F.count(F.lit(1)).alias("ceq"),
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "c1",
+        "ceq",
+        (
+            2 * F.coalesce(F.sum("ceq").over(w), F.lit(0))
+            + F.col("ceq")
+            + 1
+        ).alias("rank2"),
+    )
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"),
+        (F.sum("ceq") - F.sum("c1")).alias("n2"),
+        F.sum(F.col("c1") * F.col("rank2")).alias("r1_2"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).alias("u2"),
+        F.expr(
+            "(r1_2 - n1 * (n1 + 1)) * 1000000 div (2 * n1 * n2)"
+        ).alias("cles_ppm"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6814,6 +6862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_busy_time": q_user_busy_time,
     "daily_behavior_bitmask": q_daily_behavior_bitmask,
     "source_ks_drift": q_source_ks_drift,
+    "mann_whitney_value_shift": q_mann_whitney_value_shift,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -10732,5 +10781,35 @@ def oracle_sql() -> dict[str, str]:
         JOIN n_s USING (source)
         CROSS JOIN n_tot
         GROUP BY 1, 2, 3
+    """
+    out["mann_whitney_value_shift"] = """
+        WITH vals AS (
+            SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS vq
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+        ), per_v AS (
+            SELECT vq,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS c1,
+                   count(*) AS ceq
+            FROM vals GROUP BY 1
+        ), ranked AS (
+            SELECT c1, ceq,
+                   2 * coalesce(sum(ceq) OVER (ORDER BY vq
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + ceq + 1 AS rank2
+            FROM per_v
+        ), agg AS (
+            SELECT sum(c1) AS n1,
+                   sum(ceq) - sum(c1) AS n2,
+                   sum(c1 * rank2) AS r1_2
+            FROM ranked
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+               CAST((r1_2 - n1 * (n1 + 1)) * 1000000
+                    // (2 * n1 * n2) AS BIGINT) AS cles_ppm
+        FROM agg
     """
     return out
