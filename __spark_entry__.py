@@ -6641,6 +6641,96 @@ def q_mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_segment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between order priority and customer
+    segment, with Cramér's V — the categorical-association statistic
+    behind every 'are these fields independent?' audit. Exactness
+    composition: all counts are exact bigints; each cell's term
+    (O·N − r·c)²/(N·r·c) is a double from exact integer inputs; and
+    the 25 cell terms are summed by an ORDERED JVM fold
+    (array_sort + F.aggregate over the cell structs) so the float
+    reduction order is fixed — a groupBy sum of doubles would be
+    partition-order-dependent. One row: chi2, dof, Cramér's V."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(F.col("o_orderpriority").alias("p"), F.col("c_mktsegment").alias("g"))
+    cells = base.groupBy("p", "g").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = base.groupBy("p").agg(F.count(F.lit(1)).alias("r"))
+    cols_ = base.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    n_ = base.agg(F.count(F.lit(1)).alias("n"))
+    full = (
+        rows_.crossJoin(cols_)
+        .join(cells, ["p", "g"], "left")
+        .crossJoin(F.broadcast(n_))
+        .select(
+            "p",
+            "g",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "r",
+            "c",
+            "n",
+        )
+    )
+    dec = "decimal(38,0)"
+    np_df = rows_.agg(F.count(F.lit(1)).alias("n_p"))
+    ng_df = cols_.agg(F.count(F.lit(1)).alias("n_g"))
+    terms = (
+        full.crossJoin(F.broadcast(np_df))
+        .crossJoin(F.broadcast(ng_df))
+        .select(
+            "n",
+            "n_p",
+            "n_g",
+            F.struct(
+                "p",
+                "g",
+                (
+                    (
+                        F.col("o").cast(dec) * F.col("n").cast(dec)
+                        - F.col("r").cast(dec) * F.col("c").cast(dec)
+                    )
+                    * (
+                        F.col("o").cast(dec) * F.col("n").cast(dec)
+                        - F.col("r").cast(dec) * F.col("c").cast(dec)
+                    )
+                ).alias("num"),
+                (
+                    F.col("n").cast(dec)
+                    * F.col("r").cast(dec)
+                    * F.col("c").cast(dec)
+                ).alias("den"),
+            ).alias("cell"),
+        )
+    )
+    folded = terms.groupBy("n", "n_p", "n_g").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("cell")),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["num"].cast("double") / x["den"].cast("double"),
+        ).alias("chi2")
+    )
+    return folded.select(
+        F.col("n").alias("n_orders"),
+        ((F.col("n_p") - 1) * (F.col("n_g") - 1)).alias("dof"),
+        F.round("chi2", 6).alias("chi2_r6"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("n_p") - 1, F.col("n_g") - 1).cast(
+                        "double"
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v_r6"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6863,6 +6953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_behavior_bitmask": q_daily_behavior_bitmask,
     "source_ks_drift": q_source_ks_drift,
     "mann_whitney_value_shift": q_mann_whitney_value_shift,
+    "priority_segment_chi2": q_priority_segment_chi2,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -10811,5 +10902,50 @@ def oracle_sql() -> dict[str, str]:
                CAST((r1_2 - n1 * (n1 + 1)) * 1000000
                     // (2 * n1 * n2) AS BIGINT) AS cles_ppm
         FROM agg
+    """
+    out["priority_segment_chi2"] = """
+        WITH base AS (
+            SELECT o.o_orderpriority AS p, c.c_mktsegment AS g
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), cells AS (
+            SELECT p, g, count(*) AS o FROM base GROUP BY 1, 2
+        ), rows_ AS (
+            SELECT p, count(*) AS r FROM base GROUP BY 1
+        ), cols_ AS (
+            SELECT g, count(*) AS c FROM base GROUP BY 1
+        ), n_ AS (SELECT count(*) AS n FROM base),
+        full_ AS (
+            SELECT rows_.p, cols_.g, coalesce(o, 0) AS o, r, c, n
+            FROM rows_ CROSS JOIN cols_
+            LEFT JOIN cells ON cells.p = rows_.p AND cells.g = cols_.g
+            CROSS JOIN n_
+        ), packed AS (
+            SELECT max(n) AS n,
+                   (SELECT count(*) FROM rows_) AS n_p,
+                   (SELECT count(*) FROM cols_) AS n_g,
+                   list_sort(list(struct_pack(
+                       p := p, g := g,
+                       num := (CAST(o AS HUGEINT) * n
+                               - CAST(r AS HUGEINT) * c)
+                              * (CAST(o AS HUGEINT) * n
+                                 - CAST(r AS HUGEINT) * c),
+                       den := CAST(n AS HUGEINT)
+                              * CAST(r AS HUGEINT) * c))) AS cells
+            FROM full_
+        ), folded AS (
+            SELECT n, n_p, n_g,
+                   list_reduce(
+                       list_transform(cells, e ->
+                           CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE)),
+                       (acc, x) -> acc + x) AS chi2
+            FROM packed
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               CAST((n_p - 1) * (n_g - 1) AS BIGINT) AS dof,
+               round(chi2, 6) AS chi2_r6,
+               round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                      * CAST(least(n_p - 1, n_g - 1) AS DOUBLE))), 6)
+                   AS cramers_v_r6
+        FROM folded
     """
     return out
