@@ -6731,6 +6731,73 @@ def q_priority_segment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between the daily purchase and
+    click revenue series — the monotone-association measure that is
+    exact under ties and outlier-proof where Pearson is not.
+    Concordant/discordant/tied pair counts are exact integers from a
+    self-join on the BOUNDED daily grain (≤ calendar-span² pairs
+    regardless of corpus size); tau-b's single sqrt-denominator
+    expression is the only float, built identically on both engines.
+    One row: n_days, concordant, discordant, tau rounded 6."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 10000).cast("bigint"),
+                ).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.round(F.col("value") * 10000).cast("bigint"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.signum((F.col("b.x") - F.col("a.x")).cast("double"))
+        .cast("int")
+        .alias("sx"),
+        F.signum((F.col("b.y") - F.col("a.y")).cast("double"))
+        .cast("int")
+        .alias("sy"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(
+            F.when((F.col("sx") * F.col("sy")) == 1, 1).otherwise(0)
+        ).alias("concordant"),
+        F.sum(
+            F.when((F.col("sx") * F.col("sy")) == -1, 1).otherwise(0)
+        ).alias("discordant"),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0)).alias("ty"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return agg.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / (
+                F.sqrt((F.col("n0") - F.col("tx")).cast("double"))
+                * F.sqrt((F.col("n0") - F.col("ty")).cast("double"))
+            ),
+            6,
+        ).alias("tau_b_r6"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -6954,6 +7021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_ks_drift": q_source_ks_drift,
     "mann_whitney_value_shift": q_mann_whitney_value_shift,
     "priority_segment_chi2": q_priority_segment_chi2,
+    "kendall_tau_daily": q_kendall_tau_daily,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -10947,5 +11015,41 @@ def oracle_sql() -> dict[str, str]:
                       * CAST(least(n_p - 1, n_g - 1) AS DOUBLE))), 6)
                    AS cramers_v_r6
         FROM folded
+    """
+    out["kendall_tau_daily"] = """
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 10000) AS BIGINT)
+                            ELSE 0 END) AS x,
+                   sum(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 10000) AS BIGINT)
+                            ELSE 0 END) AS y
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+            GROUP BY 1
+        ), pairs AS (
+            SELECT CAST(sign(b.x - a.x) AS INTEGER) AS sx,
+                   CAST(sign(b.y - a.y) AS INTEGER) AS sy
+            FROM daily a JOIN daily b ON a.day < b.day
+        ), agg AS (
+            SELECT count(*) AS n0,
+                   sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)
+                       AS concordant,
+                   sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)
+                       AS discordant,
+                   sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS tx,
+                   sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS ty
+            FROM pairs
+        ), nd AS (SELECT count(*) AS n_days FROM daily)
+        SELECT n_days,
+               CAST(concordant AS BIGINT) AS concordant,
+               CAST(discordant AS BIGINT) AS discordant,
+               round(CAST(concordant - discordant AS DOUBLE)
+                     / (sqrt(CAST(n0 - tx AS DOUBLE))
+                        * sqrt(CAST(n0 - ty AS DOUBLE))), 6)
+                   AS tau_b_r6
+        FROM agg CROSS JOIN nd
     """
     return out
