@@ -6798,6 +6798,73 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily purchase and click
+    series — completing the correlation family (Pearson:
+    cross_correlation_lags; Kendall: kendall_tau_daily). Tie-exact
+    without floats: midranks are carried DOUBLED (2·midrank =
+    2·min-rank + c_eq − 1, an integer, via RANK() + a tie-count
+    window), then Pearson runs on those integers with exact
+    DECIMAL(38,0) moment sums and ONE terminal double expression —
+    the established moment discipline, here applied to ranks. All
+    windows on the bounded daily grain."""
+    dec = "decimal(38,0)"
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 10000).cast("bigint"),
+                ).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.round(F.col("value") * 10000).cast("bigint"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    ranked = daily.select(
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).alias("ry2"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).alias("sy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("ry2").cast(dec)).alias("sxy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("rx2").cast(dec)).alias("sxx"),
+        F.sum(F.col("ry2").cast(dec) * F.col("ry2").cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("spearman_r6"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -7022,6 +7089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mann_whitney_value_shift": q_mann_whitney_value_shift,
     "priority_segment_chi2": q_priority_segment_chi2,
     "kendall_tau_daily": q_kendall_tau_daily,
+    "spearman_daily": q_spearman_daily,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -11051,5 +11119,43 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(CAST(n0 - ty AS DOUBLE))), 6)
                    AS tau_b_r6
         FROM agg CROSS JOIN nd
+    """
+    out["spearman_daily"] = """
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 10000) AS BIGINT)
+                            ELSE 0 END) AS x,
+                   sum(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 10000) AS BIGINT)
+                            ELSE 0 END) AS y
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+            GROUP BY 1
+        ), ranked AS (
+            SELECT 2 * rank() OVER (ORDER BY x)
+                       + count(*) OVER (PARTITION BY x) - 1 AS rx2,
+                   2 * rank() OVER (ORDER BY y)
+                       + count(*) OVER (PARTITION BY y) - 1 AS ry2
+            FROM daily
+        ), m AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(rx2 AS HUGEINT)) AS sx,
+                   sum(CAST(ry2 AS HUGEINT)) AS sy,
+                   sum(CAST(rx2 AS HUGEINT) * CAST(ry2 AS HUGEINT))
+                       AS sxy,
+                   sum(CAST(rx2 AS HUGEINT) * CAST(rx2 AS HUGEINT))
+                       AS sxx,
+                   sum(CAST(ry2 AS HUGEINT) * CAST(ry2 AS HUGEINT))
+                       AS syy
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                   AS spearman_r6
+        FROM m
     """
     return out
