@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# One-command replica of every local gate, in the order that fails
+# fastest: registry pins (1 s), full pytest (~4 min), sf0.01 oracle
+# sweep (~15 min), sf0.1 batched scale sweep (~25 min), bench.
+# Usage: bash tools/gate.sh [--quick]   (--quick stops after sf0.01)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+python -m pytest tests/test_registry.py -q
+python -m pytest tests/ -x -q
+python tools/check_oracle.py /root/testdata/sf0.01
+if [[ "${1:-}" != "--quick" ]]; then
+    python tools/scale_sweep.py
+    python bench.py
+fi
+echo "ALL GATES GREEN"
