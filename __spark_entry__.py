@@ -6865,6 +6865,53 @@ def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of total daily event revenue at lags
+    1-7 — the standard time-series diagnostic (a lag-7 spike confirms
+    weekly seasonality; slow decay means trend). Per lag, the Pearson
+    correlation of the series with its shifted self from exact
+    DECIMAL(38,0)/HUGEINT moment sums over aligned day pairs and one
+    terminal double — the same discipline as cross_correlation_lags,
+    self-joined. The 7-lag fan-out explodes on the bounded daily
+    grain."""
+    dec = "decimal(38,0)"
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("v")
+    )
+    lags = daily.select(
+        F.explode(F.array(*[F.lit(l) for l in range(1, 8)])).alias("lag"),
+        F.col("day").alias("xd"),
+        F.col("v").alias("x"),
+    )
+    y = daily.select(F.col("day").alias("yd"), F.col("v").alias("y"))
+    j = lags.join(y, lags.xd + lags.lag == y.yd)
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "lag",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf_r6"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -7090,6 +7137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_segment_chi2": q_priority_segment_chi2,
     "kendall_tau_daily": q_kendall_tau_daily,
     "spearman_daily": q_spearman_daily,
+    "daily_revenue_acf": q_daily_revenue_acf,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -11156,6 +11204,33 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
                    AS spearman_r6
+        FROM m
+    """
+    out["daily_revenue_acf"] = """
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS v
+            FROM events GROUP BY 1
+        ), j AS (
+            SELECT lag, a.v AS x, b.v AS y
+            FROM daily a, UNNEST(generate_series(1, 7)) t(lag)
+            JOIN daily b ON a.day + lag = b.day
+        ), m AS (
+            SELECT lag,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+            FROM j GROUP BY 1
+        )
+        SELECT lag, CAST(n AS BIGINT) AS n_days,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                   AS acf_r6
         FROM m
     """
     return out
