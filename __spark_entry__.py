@@ -6912,6 +6912,53 @@ def q_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal-index extraction (the X-11 family's first
+    step): each month's revenue over its CENTERED 2x12 moving average
+    (half-weighted endpoints — the textbook way to center an
+    even-order MA), then the per-calendar-month average of those
+    ratios. Everything integer-exact: the weighted MA is
+    (m₋₆ + 2·Σm₋₅..₊₅ + m₊₆) in cents with ONE div 24 deferred into
+    the ratio so no precision is lost, ratios are exact ppm, and the
+    seasonal index is a floor-division mean of ppm integers. Windows
+    run on the bounded monthly grain; months without a full 13-month
+    window are excluded, as the classical method requires."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev"
+        )
+    )
+    full13 = Window.orderBy("ym").rowsBetween(-6, 6)
+    inner11 = Window.orderBy("ym").rowsBetween(-5, 5)
+    ma = monthly.select(
+        "ym",
+        "rev",
+        F.count(F.lit(1)).over(full13).alias("n_win"),
+        (
+            F.sum("rev").over(full13) + F.sum("rev").over(inner11)
+        ).alias("ma24"),  # = m-6 + 2*(m-5..m+5) + m+6
+    ).filter(F.col("n_win") == 13)
+    ratios = ma.select(
+        "ym",
+        # rev·24·10⁶ exceeds int64 at cluster revenue scales
+        F.expr(
+            "CAST(rev AS DECIMAL(38,0)) * 24000000"
+            " div CAST(ma24 AS DECIMAL(38,0))"
+        ).alias("ratio_ppm"),
+    )
+    return ratios.groupBy(
+        F.expr("(ym - 1) % 12 + 1").alias("month_of_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr("sum(ratio_ppm) div count(*)").alias(
+            "seasonal_index_ppm"
+        ),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -7138,6 +7185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kendall_tau_daily": q_kendall_tau_daily,
     "spearman_daily": q_spearman_daily,
     "daily_revenue_acf": q_daily_revenue_acf,
+    "monthly_seasonal_index": q_monthly_seasonal_index,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -11232,5 +11280,31 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
                    AS acf_r6
         FROM m
+    """
+    out["monthly_seasonal_index"] = """
+        WITH monthly AS (
+            SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+            FROM orders GROUP BY 1
+        ), ma AS (
+            SELECT ym, rev,
+                   count(*) OVER w13 AS n_win,
+                   sum(rev) OVER w13 + sum(rev) OVER w11 AS ma24
+            FROM monthly
+            WINDOW w13 AS (ORDER BY ym ROWS BETWEEN 6 PRECEDING
+                           AND 6 FOLLOWING),
+                   w11 AS (ORDER BY ym ROWS BETWEEN 5 PRECEDING
+                           AND 5 FOLLOWING)
+        ), ratios AS (
+            SELECT ym,
+                   CAST(rev AS HUGEINT) * 24000000
+                       // CAST(ma24 AS HUGEINT) AS ratio_ppm
+            FROM ma WHERE n_win = 13
+        )
+        SELECT (ym - 1) % 12 + 1 AS month_of_year,
+               count(*) AS n_obs,
+               CAST(sum(ratio_ppm) // count(*) AS BIGINT)
+                   AS seasonal_index_ppm
+        FROM ratios GROUP BY 1
     """
     return out
