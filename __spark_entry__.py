@@ -6959,6 +6959,122 @@ def q_monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: values CLAMPED at the
+    rank-selected p05/p95 (the robust-mean variant that keeps row
+    count, unlike the trimmed mean which drops rows —
+    trimmed_mean_by_type is its sibling). Integer-exact: the clamp
+    bounds are observed quantized values picked by rank (no
+    interpolation), clamping is least/greatest on bigints, and the
+    mean is one floor division. Rank windows partition per type."""
+    events = _t(spark, sf_dir, "events")
+    vals = events.select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("vq")
+    ranked = vals.select(
+        "event_type",
+        "vq",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") >= F.expr("CAST(ceil(n * 0.05) AS BIGINT)"),
+                F.col("vq"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") >= F.expr("CAST(ceil(n * 0.95) AS BIGINT)"),
+                F.col("vq"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        vals.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "lo",
+            "hi",
+            F.greatest(F.least(F.col("vq"), F.col("hi")), F.col("lo")).alias(
+                "wq"
+            ),
+        )
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("sum(wq) div count(*)").alias("winsorized_mean_q4"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.col("lo").alias("p05_q4"),
+            F.col("hi").alias("p95_q4"),
+            "winsorized_mean_q4",
+        )
+    )
+
+
+def q_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue direction
+    sequence: too FEW runs of consecutive up/down days means
+    trending/sticky dynamics, too many means oscillation — the
+    randomness check behind 'is this series i.i.d. enough to model
+    simply'. Counts are exact integers (runs via the lag-compare
+    island trick on the bounded daily grain, zero-change days
+    excluded); the normal-approximation z is one double expression
+    with exact integer inputs, identical operand order both engines."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("v")
+    )
+    w = Window.orderBy("day")
+    moves = daily.select(
+        "day", (F.col("v") - F.lag("v").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("d") != 0)).select(
+        "day", F.when(F.col("d") > 0, 1).otherwise(0).alias("up")
+    )
+    w2 = Window.orderBy("day")
+    runs = moves.select(
+        "up",
+        F.when(
+            F.lag("up").over(w2).isNull()
+            | (F.lag("up").over(w2) != F.col("up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").alias("n_runs"),
+        F.sum("up").alias("n_up"),
+        F.sum(F.lit(1) - F.col("up")).alias("n_down"),
+    )
+    return agg.select(
+        "n_runs",
+        "n_up",
+        "n_down",
+        F.expr(
+            """round(
+              (CAST(n_runs AS DOUBLE)
+               - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+              / sqrt(
+                  (2.0 * n_up * n_down
+                   * (2.0 * n_up * n_down - n_up - n_down))
+                  / ((CAST(n_up + n_down AS DOUBLE))
+                     * (n_up + n_down)
+                     * (n_up + n_down - 1))), 6)"""
+        ).alias("z_r6"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -7186,6 +7302,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman_daily": q_spearman_daily,
     "daily_revenue_acf": q_daily_revenue_acf,
     "monthly_seasonal_index": q_monthly_seasonal_index,
+    "winsorized_value_stats": q_winsorized_value_stats,
+    "revenue_runs_test": q_revenue_runs_test,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -11306,5 +11424,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(ratio_ppm) // count(*) AS BIGINT)
                    AS seasonal_index_ppm
         FROM ratios GROUP BY 1
+    """
+    out["winsorized_value_stats"] = """
+        WITH vals AS (
+            SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS vq
+            FROM events
+        ), ranked AS (
+            SELECT event_type, vq,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY vq) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM vals
+        ), bounds AS (
+            SELECT event_type,
+                   min(CASE WHEN rn >= CAST(ceil(n * 0.05) AS BIGINT)
+                            THEN vq END) AS lo,
+                   min(CASE WHEN rn >= CAST(ceil(n * 0.95) AS BIGINT)
+                            THEN vq END) AS hi
+            FROM ranked GROUP BY 1
+        )
+        SELECT v.event_type,
+               count(*) AS n_events,
+               lo AS p05_q4, hi AS p95_q4,
+               sum(greatest(least(vq, hi), lo)) // count(*)
+                   AS winsorized_mean_q4
+        FROM vals v JOIN bounds b ON v.event_type = b.event_type
+        GROUP BY 1, 3, 4
+    """
+    out["revenue_runs_test"] = """
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS v
+            FROM events GROUP BY 1
+        ), moves AS (
+            SELECT day,
+                   CASE WHEN d > 0 THEN 1 ELSE 0 END AS up
+            FROM (SELECT day, v - lag(v) OVER (ORDER BY day) AS d
+                  FROM daily)
+            WHERE d IS NOT NULL AND d <> 0
+        ), runs AS (
+            SELECT up,
+                   CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+                             OR lag(up) OVER (ORDER BY day) <> up
+                        THEN 1 ELSE 0 END AS new_run
+            FROM moves
+        ), agg AS (
+            SELECT sum(new_run) AS n_runs,
+                   sum(up) AS n_up,
+                   sum(1 - up) AS n_down
+            FROM runs
+        )
+        SELECT CAST(n_runs AS BIGINT) AS n_runs,
+               CAST(n_up AS BIGINT) AS n_up,
+               CAST(n_down AS BIGINT) AS n_down,
+               round(
+                 (CAST(n_runs AS DOUBLE)
+                  - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+                 / sqrt(
+                     (2.0 * n_up * n_down
+                      * (2.0 * n_up * n_down - n_up - n_down))
+                     / ((CAST(n_up + n_down AS DOUBLE))
+                        * (n_up + n_down)
+                        * (n_up + n_down - 1))), 6) AS z_r6
+        FROM agg
     """
     return out
