@@ -7075,6 +7075,48 @@ def q_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness index B = (σ−μ)/(σ+μ) of per-user inter-event gaps,
+    per event type — the Goh-Barabási measure separating bursty human
+    activity (B→1) from Poisson (B→0) and periodic (B→−1) processes.
+    Moments are exact DECIMAL(38,0) sums of integer-microsecond gaps
+    (gap² exceeds int64); σ uses the population form n·Σx²−(Σx)²
+    under one sqrt, and B is a single double expression with
+    identical operand order on both engines. Gap windows partition by
+    (type, user) — fully parallel."""
+    dec = "decimal(38,0)"
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "t", "event_id"
+    )
+    gaps = base.select(
+        "event_type", (F.col("t") - F.lag("t").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("g").cast(dec)).alias("s"),
+        F.sum(F.col("g").cast(dec) * F.col("g").cast(dec)).alias("q"),
+    )
+    # sigma = sqrt((n*q - s*s)) / n ; mu = s / n ; B = (sigma-mu)/(sigma+mu)
+    # multiply through by n: B = (sqrt(n*q - s*s) - s) / (sqrt(n*q - s*s) + s)
+    root = F.sqrt((F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double"))
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(
+            (root - F.col("s").cast("double"))
+            / (root + F.col("s").cast("double")),
+            6,
+        ).alias("burstiness_r6"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -7304,6 +7346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_seasonal_index": q_monthly_seasonal_index,
     "winsorized_value_stats": q_winsorized_value_stats,
     "revenue_runs_test": q_revenue_runs_test,
+    "event_burstiness": q_event_burstiness,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -11489,5 +11532,27 @@ def oracle_sql() -> dict[str, str]:
                         * (n_up + n_down)
                         * (n_up + n_down - 1))), 6) AS z_r6
         FROM agg
+    """
+    out["event_burstiness"] = """
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS g
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, user_id
+                         ORDER BY epoch_us(ts), event_id)
+        ), m AS (
+            SELECT event_type,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(g AS HUGEINT)) AS s,
+                   sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS q
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+               round((sqrt(CAST(n * q - s * s AS DOUBLE))
+                      - CAST(s AS DOUBLE))
+                     / (sqrt(CAST(n * q - s * s AS DOUBLE))
+                        + CAST(s AS DOUBLE)), 6) AS burstiness_r6
+        FROM m
     """
     return out
