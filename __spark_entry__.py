@@ -7117,6 +7117,57 @@ def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend per segment — the
+    entropy-based complement to the Gini query (segment_spend_gini):
+    unlike Gini it is additively DECOMPOSABLE, which is why inequality
+    audits that need within/between attribution reach for it. Exact
+    micro-nat discipline: each customer's ln(x·n/S) is quantized once
+    (its argument built as exact-decimal x·n over exact S, divided
+    once in double), and T = Σx·lq / S is an exact decimal moment with
+    one integral division — no float accumulates. No rank window at
+    all, so unlike Gini this needs NO sort: two hash aggregates and a
+    broadcast join, fully parallel."""
+    dec = "decimal(38,0)"
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    seg = spend.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    lq = (
+        F.round(
+            F.log(
+                (F.col("x").cast(dec) * F.col("n").cast(dec)).cast(
+                    "double"
+                )
+                / F.col("s").cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("lq")
+    )
+    terms = spend.join(F.broadcast(seg), "segment").select(
+        "segment", "x", "n", "s", lq
+    )
+    return terms.groupBy("segment").agg(
+        F.max("n").alias("n_customers"),
+        F.expr(
+            "CAST(sum(CAST(x AS DECIMAL(38,0)) * lq) AS DECIMAL(38,0))"
+            " div CAST(max(s) AS DECIMAL(38,0))"
+        ).alias("theil_micronat"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -7347,6 +7398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_value_stats": q_winsorized_value_stats,
     "revenue_runs_test": q_revenue_runs_test,
     "event_burstiness": q_event_burstiness,
+    "segment_theil_index": q_segment_theil_index,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -11554,5 +11606,28 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(CAST(n * q - s * s AS DOUBLE))
                         + CAST(s AS DOUBLE)), 6) AS burstiness_r6
         FROM m
+    """
+    out["segment_theil_index"] = """
+        WITH spend AS (
+            SELECT c.c_mktsegment AS segment, c.c_custkey,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ), seg AS (
+            SELECT segment, count(*) AS n, sum(x) AS s
+            FROM spend GROUP BY 1
+        ), terms AS (
+            SELECT spend.segment, x, n, s,
+                   CAST(round(ln(
+                       CAST(CAST(x AS HUGEINT) * n AS DOUBLE)
+                       / CAST(s AS DOUBLE)) * 1000000) AS BIGINT) AS lq
+            FROM spend JOIN seg ON spend.segment = seg.segment
+        )
+        SELECT segment,
+               CAST(max(n) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(x AS HUGEINT) * lq)
+                    // CAST(max(s) AS HUGEINT) AS BIGINT)
+                   AS theil_micronat
+        FROM terms GROUP BY 1
     """
     return out
