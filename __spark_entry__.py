@@ -7168,6 +7168,71 @@ def q_segment_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_index_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-number theory over the catalog: Laspeyres, Paasche, and
+    Fisher price indices for each year vs the PRIOR year, over parts
+    sold in both (the matched basket, as the method requires). Unit
+    prices are exact floor-division cents-per-unit; every Σp·q basket
+    total is an exact DECIMAL(38,0)/HUGEINT sum; Laspeyres and
+    Paasche land by one integral division each (ppm), and Fisher —
+    their geometric mean — is the single double (sqrt of the ppm
+    product), identical operand order both engines. Self-join on
+    (part, year+1) is co-located; everything else is bounded."""
+    dec = "decimal(38,0)"
+    lines = _t(spark, sf_dir, "lineitem")
+    py = lines.groupBy(
+        F.year("l_shipdate").alias("yr"), "l_partkey"
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cents"),
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"),
+    ).filter(F.col("q") > 0).select(
+        "yr", "l_partkey", F.expr("cents div q").alias("p"), "q"
+    )
+    a = py.alias("a")  # base year
+    b = py.alias("b")  # comparison year = base + 1
+    matched = a.join(
+        b,
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (F.col("a.yr") + 1 == F.col("b.yr")),
+    ).select(
+        F.col("b.yr").alias("year"),
+        F.col("a.p").cast(dec).alias("p0"),
+        F.col("b.p").cast(dec).alias("p1"),
+        F.col("a.q").cast(dec).alias("q0"),
+        F.col("b.q").cast(dec).alias("q1"),
+    )
+    m = matched.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).alias("l_den"),
+        F.sum(F.col("p1") * F.col("q1")).alias("p_num"),
+        F.sum(F.col("p0") * F.col("q1")).alias("p_den"),
+    )
+    return m.select(
+        "year",
+        "n_parts",
+        F.expr("CAST(l_num * 1000000 div l_den AS BIGINT)").alias(
+            "laspeyres_ppm"
+        ),
+        F.expr("CAST(p_num * 1000000 div p_den AS BIGINT)").alias(
+            "paasche_ppm"
+        ),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "CAST(l_num * 1000000 div l_den AS BIGINT)"
+                ).cast("double")
+                * F.expr(
+                    "CAST(p_num * 1000000 div p_den AS BIGINT)"
+                ).cast("double")
+            ),
+            6,
+        ).alias("fisher_ppm_r6"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -7399,6 +7464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_runs_test": q_revenue_runs_test,
     "event_burstiness": q_event_burstiness,
     "segment_theil_index": q_segment_theil_index,
+    "price_index_yearly": q_price_index_yearly,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -11629,5 +11695,39 @@ def oracle_sql() -> dict[str, str]:
                     // CAST(max(s) AS HUGEINT) AS BIGINT)
                    AS theil_micronat
         FROM terms GROUP BY 1
+    """
+    out["price_index_yearly"] = """
+        WITH py AS (
+            SELECT year(l_shipdate) AS yr, l_partkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       // sum(CAST(round(l_quantity) AS BIGINT)) AS p,
+                   sum(CAST(round(l_quantity) AS BIGINT)) AS q
+            FROM lineitem
+            GROUP BY 1, 2
+            HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 0
+        ), matched AS (
+            SELECT b.yr AS year,
+                   CAST(a.p AS HUGEINT) AS p0,
+                   CAST(b.p AS HUGEINT) AS p1,
+                   CAST(a.q AS HUGEINT) AS q0,
+                   CAST(b.q AS HUGEINT) AS q1
+            FROM py a JOIN py b ON a.l_partkey = b.l_partkey
+                              AND a.yr + 1 = b.yr
+        ), m AS (
+            SELECT year, count(*) AS n_parts,
+                   sum(p1 * q0) AS l_num, sum(p0 * q0) AS l_den,
+                   sum(p1 * q1) AS p_num, sum(p0 * q1) AS p_den
+            FROM matched GROUP BY 1
+        )
+        SELECT year, n_parts,
+               CAST(l_num * 1000000 // l_den AS BIGINT)
+                   AS laspeyres_ppm,
+               CAST(p_num * 1000000 // p_den AS BIGINT) AS paasche_ppm,
+               round(sqrt(
+                   CAST(CAST(l_num * 1000000 // l_den AS BIGINT)
+                        AS DOUBLE)
+                   * CAST(CAST(p_num * 1000000 // p_den AS BIGINT)
+                          AS DOUBLE)), 6) AS fisher_ppm_r6
+        FROM m
     """
     return out
