@@ -7233,6 +7233,46 @@ def q_price_index_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus token distribution — natural
+    text follows freq ∝ rank^(−s) with s ≈ 1; a corpus that drifts
+    far off is templated, deduplicated-to-death, or machine junk.
+    Robust fit: Theil-Sen (timeseries.theil_sen_slope) over the
+    log-log rank-frequency curve of the TOP 200 terms — both logs
+    quantized to integer micro-units first, so the operator's
+    slope-median machinery runs on exact integers and the estimate
+    resists the head outliers an OLS fit chases. Top-k by
+    TakeOrderedAndProject (per-partition heaps); the pair fan-out is
+    the bounded 200-term grain."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    freq = (
+        docs.select(F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), F.col("tok").asc())
+        .limit(200)
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+    points = freq.select(
+        F.lit(1).alias("g"),
+        F.round(
+            F.log(F.row_number().over(w).cast("double")) * 1_000_000
+        )
+        .cast("bigint")
+        .alias("lr"),
+        F.round(F.log(F.col("f").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("lf"),
+    )
+    fit = timeseries.theil_sen_slope(points, "g", "lr", "lf")
+    return fit.select(
+        F.col("n_pairs"),
+        F.round(-F.col("median_slope"), 6).alias("zipf_exponent_r6"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -7465,6 +7505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_burstiness": q_event_burstiness,
     "segment_theil_index": q_segment_theil_index,
     "price_index_yearly": q_price_index_yearly,
+    "zipf_exponent": q_zipf_exponent,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -11729,5 +11770,40 @@ def oracle_sql() -> dict[str, str]:
                    * CAST(CAST(p_num * 1000000 // p_den AS BIGINT)
                           AS DOUBLE)), 6) AS fisher_ppm_r6
         FROM m
+    """
+    out["zipf_exponent"] = r"""
+        WITH freq AS (
+            SELECT tok, count(*) AS f
+            FROM (
+                SELECT unnest(regexp_split_to_array(
+                           trim(lower(text)), '\s+')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+            GROUP BY 1
+            ORDER BY f DESC, tok ASC
+            LIMIT 200
+        ), points AS (
+            SELECT CAST(round(ln(CAST(row_number()
+                       OVER (ORDER BY f DESC, tok ASC) AS DOUBLE))
+                       * 1000000) AS BIGINT) AS lr,
+                   CAST(round(ln(CAST(f AS DOUBLE)) * 1000000)
+                       AS BIGINT) AS lf
+            FROM freq
+        ), slopes AS (
+            SELECT CAST(b.lf - a.lf AS DOUBLE) / (b.lr - a.lr) AS slope
+            FROM points a JOIN points b ON a.lr < b.lr
+        ), ranked AS (
+            SELECT slope,
+                   row_number() OVER (ORDER BY slope) AS rn,
+                   count(*) OVER () AS n_pairs
+            FROM slopes
+        )
+        SELECT n_pairs,
+               round(-((min(slope) + max(slope)) / 2.0), 6)
+                   AS zipf_exponent_r6
+        FROM ranked
+        WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+        GROUP BY 1
     """
     return out
