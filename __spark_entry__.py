@@ -7273,6 +7273,53 @@ def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points at customer-spend deciles — the graph
+    behind the Gini scalar (segment_spend_gini) and Theil index
+    (segment_theil_index): for each poorest-first decile, the
+    cumulative population and spend shares in exact ppm. A perfectly
+    equal corpus puts both shares on the diagonal; the sag below it
+    IS the inequality. Deciles are ntile over ascending spend with
+    custkey tiebreaks; every share is one integral division; the
+    cumulative windows run over the bounded 10-row decile grain."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "x"
+        )
+    )
+    w = Window.orderBy("x", "o_custkey")
+    deciled = spend.select(
+        "x", F.ntile(10).over(w).alias("decile")
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_decile.select(
+        "decile",
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("decile_cents"),
+        F.expr(
+            "sum(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * 1000000"
+            " div sum(n) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND UNBOUNDED FOLLOWING)"
+        ).alias("cum_pop_ppm"),
+        F.expr(
+            "sum(s) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * 1000000"
+            " div sum(s) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND UNBOUNDED FOLLOWING)"
+        ).alias("cum_spend_ppm"),
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -7506,6 +7553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_theil_index": q_segment_theil_index,
     "price_index_yearly": q_price_index_yearly,
     "zipf_exponent": q_zipf_exponent,
+    "lorenz_curve_deciles": q_lorenz_curve_deciles,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -11805,5 +11853,26 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked
         WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
         GROUP BY 1
+    """
+    out["lorenz_curve_deciles"] = """
+        WITH spend AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+            FROM orders GROUP BY 1
+        ), deciled AS (
+            SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) AS decile
+            FROM spend
+        ), per_decile AS (
+            SELECT decile, count(*) AS n, sum(x) AS s
+            FROM deciled GROUP BY 1
+        )
+        SELECT decile, n AS n_customers, s AS decile_cents,
+               sum(n) OVER wc * 1000000 // sum(n) OVER ()
+                   AS cum_pop_ppm,
+               sum(s) OVER wc * 1000000 // sum(s) OVER ()
+                   AS cum_spend_ppm
+        FROM per_decile
+        WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW)
     """
     return out
