@@ -7320,6 +7320,61 @@ def q_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Law-of-one-price audit: per part supplied by ≥3 suppliers, the
+    coefficient of variation of per-supplier unit prices — high
+    dispersion flags arbitrage or dirty data in procurement. Summary
+    rollup by brand: mean per-part CV and the worst part's CV, both in
+    ppm. Exactness: unit prices are floor-division cents, per-part
+    moments are exact DECIMAL(38,0) sums, CV = sqrt(n·q − s²)·10⁶/s
+    uses the same cancel-the-n algebra as the burstiness index
+    (σ/μ = √(nq−s²)/s exactly), one double per part, floor-div ppm so
+    the brand rollup aggregates integers."""
+    dec = "decimal(38,0)"
+    lines = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    unit = (
+        lines.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("cents"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"),
+        )
+        .filter(F.col("q") > 0)
+        .select("l_partkey", F.expr("cents div q").alias("p"))
+    )
+    m = unit.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("p").cast(dec)).alias("s"),
+        F.sum(F.col("p").cast(dec) * F.col("p").cast(dec)).alias("qq"),
+    ).filter(F.col("n_supp") >= 3)
+    cv = m.select(
+        "l_partkey",
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_supp").cast(dec) * F.col("qq")
+                    - F.col("s") * F.col("s")
+                ).cast("double")
+            )
+            * 1_000_000
+            / F.col("s").cast("double")
+        )
+        .cast("bigint")
+        .alias("cv_ppm"),
+    )
+    return (
+        cv.join(F.broadcast(part), cv.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr("sum(cv_ppm) div count(*)").alias("mean_cv_ppm"),
+            F.max("cv_ppm").alias("max_cv_ppm"),
+        )
+    )
+
+
 def _with_session_config(fn: Callable[[SparkSession, str], DataFrame]):
     """Every query must run under the engine's session settings (UTC
     timezone, AQE, nanos-as-long parquet reads) even when the driver
@@ -7554,6 +7609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_index_yearly": q_price_index_yearly,
     "zipf_exponent": q_zipf_exponent,
     "lorenz_curve_deciles": q_lorenz_curve_deciles,
+    "supplier_price_dispersion": q_supplier_price_dispersion,
 }
 QUERIES = {name: _with_session_config(fn) for name, fn in QUERIES.items()}
 
@@ -11874,5 +11930,33 @@ def oracle_sql() -> dict[str, str]:
         FROM per_decile
         WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED
                       PRECEDING AND CURRENT ROW)
+    """
+    out["supplier_price_dispersion"] = """
+        WITH unit AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       // sum(CAST(round(l_quantity) AS BIGINT)) AS p
+            FROM lineitem
+            GROUP BY 1, 2
+            HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 0
+        ), m AS (
+            SELECT l_partkey,
+                   count(*) AS n_supp,
+                   sum(CAST(p AS HUGEINT)) AS s,
+                   sum(CAST(p AS HUGEINT) * CAST(p AS HUGEINT)) AS qq
+            FROM unit GROUP BY 1 HAVING count(*) >= 3
+        ), cv AS (
+            SELECT l_partkey,
+                   CAST(round(sqrt(CAST(n_supp * qq - s * s AS DOUBLE))
+                              * 1000000 / CAST(s AS DOUBLE))
+                        AS BIGINT) AS cv_ppm
+            FROM m
+        )
+        SELECT p.p_brand,
+               count(*) AS n_parts,
+               sum(cv_ppm) // count(*) AS mean_cv_ppm,
+               max(cv_ppm) AS max_cv_ppm
+        FROM cv JOIN part p ON cv.l_partkey = p.p_partkey
+        GROUP BY 1
     """
     return out
