@@ -14,6 +14,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import materialize
+
 from advanced_real_time_data_pipeline_and_analytical_processing_spark import catalog
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.catalog import load_table, register_views
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import (
@@ -48,6 +50,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _cents(col) -> F.Column:
+    """Exact bigint cents from a 2-decimal-valued double column.
+
+    double -> DECIMAL(18,2) -> *100 -> bigint. Decimal-cast rounding is
+    version-stable in every engine (no binary double sits exactly on a
+    half-cent, so HALF_UP vs half-even cannot disagree), unlike
+    round(double) whose tie-breaking has changed across engine versions
+    — the driver-gate divergence class chased in rounds 2-4. Used by
+    every gated head query that emits money; see docs/HEAD_AUDIT.md."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(18,2)") * 100).cast("bigint")
+
+
+def _pct2(col) -> F.Column:
+    """Exact bigint percent (x100) from a 2-decimal fraction column
+    (l_discount / l_tax style 0.00-0.10 values)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(4,2)") * 100).cast("bigint")
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin repartition a narrow scan across all cores — only
     when the source has fewer splits than the cluster has slots (the
@@ -70,17 +92,31 @@ def q_flagship_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference A1-A4 (code/helpers.py:148-204): grouped min/max/avg/
     stddev over every numeric column — here per event_type over events.
     Partial+final hash aggregate; one scan, one shuffle of tiny
-    pre-aggregated rows."""
+    pre-aggregated rows.
+
+    Outputs are exact integers (cents / micro units) derived from
+    per-row DECIMAL-cast cents: avg as truncating integer division,
+    stddev as floor(sqrt(.)) of the integer-floor population-variance
+    formula (within 1 cent of textbook stddev; deterministic in every
+    engine — see docs/HEAD_AUDIT.md). The float-emitting general
+    operator is aggregation.grouped_stats (pytest-covered)."""
     events = _t(spark, sf_dir, "events")
-    stats = aggregation.grouped_stats(
-        events, "event_type", numeric_cols=["value"], include_count=True
+    c = _cents("value")
+    agg = events.groupBy("event_type").agg(
+        F.min(c).alias("min_value_cents"),
+        F.max(c).alias("max_value_cents"),
+        F.sum(c).alias("_sc"),
+        F.sum(c * c).alias("_sc2"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
-    return stats.select(
+    return agg.select(
         "event_type",
-        F.round("min_value", 6).alias("min_value"),
-        F.round("max_value", 6).alias("max_value"),
-        F.round("avg_value", 6).alias("avg_value"),
-        F.round("stddev_value", 6).alias("stddev_value"),
+        "min_value_cents",
+        "max_value_cents",
+        F.expr("_sc * 10000L div n_rows").alias("avg_value_micro"),
+        F.expr(
+            "CAST(floor(sqrt((_sc2 div n_rows) - (_sc div n_rows) * (_sc div n_rows))) AS BIGINT)"
+        ).alias("stddev_value_cents"),
         "n_rows",
     )
 
@@ -113,30 +149,45 @@ def q_row_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: wide hash aggregate, filter pushed to parquet."""
+    """TPC-H Q1 shape: wide hash aggregate, filter pushed to parquet.
+
+    All money flows through exact integer units (see docs/HEAD_AUDIT.md):
+    cents (x100), disc price in x1e4 units (cents x (100 - disc_pct)),
+    charge in x1e6 units (cents x (100 - dp) x (100 + tp)); averages are
+    truncating integer division in micro units. Per-row products are
+    exact bigints (max ~1.1e11), so partial+final sums commute exactly —
+    no float summation-order or round() tie-break hazard exists in any
+    engine version."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    qty = F.col("l_quantity").cast("bigint")
+    pc = _cents("l_extendedprice")
+    dp = _pct2("l_discount")
+    tp = _pct2("l_tax")
+    agg = (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(pc).alias("sum_base_price_cents"),
+            F.sum(pc * (100 - dp)).alias("sum_disc_price_e4"),
+            F.sum(pc * (100 - dp) * (100 + tp)).alias("sum_charge_e6"),
+            F.sum(dp).alias("_sdp"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_cents",
+        "sum_disc_price_e4",
+        "sum_charge_e6",
+        F.expr("sum_qty * 1000000L div count_order").alias("avg_qty_micro"),
+        F.expr("sum_base_price_cents * 10000L div count_order").alias(
+            "avg_price_micro"
+        ),
+        F.expr("_sdp * 10000L div count_order").alias("avg_disc_micro"),
+        "count_order",
     )
 
 
@@ -152,11 +203,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(_cents("l_extendedprice") * (100 - _pct2("l_discount"))).alias(
+                "revenue_e4"
+            )
         )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
 
@@ -182,9 +233,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(_cents("l_extendedprice") * (100 - _pct2("l_discount"))).alias(
+                "revenue_e4"
+            )
         )
     )
 
@@ -234,7 +285,7 @@ def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     line status."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -260,22 +311,33 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_tokens = docs.select(
         "lang", text.token_count(F.col("text")).alias("n_tokens")
     )
-    return with_tokens.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
+    return (
+        with_tokens.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("_st"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("_st * 1000000L div n_docs").alias("avg_tokens_micro"),
+            "max_tokens",
+        )
     )
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality scoring (length + punctuation heuristic)."""
+    """Per-document quality scoring (length + punctuation heuristic).
+    Ratios in integer ppm units (text.punct_ratio_ppm /
+    quality_score_ppm) — float-free, engine-version-proof."""
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
         text.token_count(t).alias("n_tokens"),
-        F.round(text.punct_ratio(t), 6).alias("punct_ratio"),
-        text.quality_score(t).alias("quality"),
+        text.punct_ratio_ppm(t).alias("punct_ratio_ppm"),
+        text.quality_score_ppm(t).alias("quality_ppm"),
     )
 
 
@@ -325,9 +387,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling window (batch mode of the streaming builder)."""
-    events = _t(spark, sf_dir, "events")
-    return tumbling_counts(events, ts_col="ts", width="1 hour", group_col="event_type")
+    """Event-time tumbling window (batch mode of the streaming builder).
+    `value` is pre-converted to exact bigint cents so the windowed sum
+    is integer (round(bigint, 4) inside the operator is an identity)."""
+    events = _t(spark, sf_dir, "events").withColumn("value", _cents("value"))
+    return tumbling_counts(
+        events, ts_col="ts", width="1 hour", group_col="event_type"
+    ).withColumnRenamed("sum_value", "sum_value_cents")
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,17 +422,18 @@ def q_window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = _cents("o_totalprice")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
-        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.lag(cents).over(w).alias("prev_price_cents"),
+        F.lead(cents).over(w).alias("next_price_cents"),
         F.rank().over(
             Window.partitionBy("o_custkey").orderBy(
                 F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
             )
         ).alias("price_rank"),
-        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+        F.sum(cents).over(run).alias("running_total_cents"),
     )
 
 
@@ -378,13 +445,18 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned but its input is one row per day (bounded — a few
     thousand rows regardless of fact-table size), so the single-reducer
     sort is safe by construction; the heavy lifting happened in the
-    partial+final daily hash agg. Each price is rounded to integer
-    cents PER ROW before summing, so every aggregate is an exact bigint
-    sum — engine- and partition-order-proof (a post-sum round() flips
-    by one ulp depending on reduction order)."""
+    partial+final daily hash agg. Each price goes through
+    double -> DECIMAL(18,2) -> *100 -> bigint PER ROW before summing:
+    decimal-cast semantics are version-stable in every SQL engine
+    (no exact half-cent ties exist among binary doubles, so HALF_UP vs
+    half-even cannot disagree), unlike round(double) whose tie-breaking
+    changed across engine versions — the driver-gate divergence that
+    rounds 2-4 chased. Every output column is bigint or string; no
+    engine can disagree on integer arithmetic."""
     orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
+        F.sum(cents).alias("rev_cents")
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
     return daily.select(
@@ -433,7 +505,7 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["click_value"],
     )
     return joined.select(
-        "purchase_id", "user_id", F.round("click_value", 4).alias("click_value")
+        "purchase_id", "user_id", _cents("click_value").alias("click_value_cents")
     )
 
 
@@ -447,7 +519,7 @@ def q_distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
         F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.sum(_cents("o_totalprice")).alias("total_value_cents"),
     )
 
 
@@ -468,15 +540,17 @@ def q_pivot_event_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide→long melt) of per-flag aggregate metrics."""
+    """Unpivot (wide→long melt) of per-flag aggregate metrics. All
+    three metrics in uniform x100 integer units so the melted `total`
+    column is a single exact bigint."""
     li = _t(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("quantity"),
-        F.round(F.sum("l_discount"), 2).alias("discount"),
-        F.round(F.sum("l_tax"), 2).alias("tax"),
+        (F.sum(F.col("l_quantity").cast("bigint")) * 100).alias("quantity"),
+        F.sum(_pct2("l_discount")).alias("discount"),
+        F.sum(_pct2("l_tax")).alias("tax"),
     )
     return wide.unpivot(
-        ["l_returnflag"], ["quantity", "discount", "tax"], "metric", "total"
+        ["l_returnflag"], ["quantity", "discount", "tax"], "metric", "total_x100"
     )
 
 
@@ -502,9 +576,11 @@ def q_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-decimal prices where the midpoint is exactly representable."""
     part = _t(spark, sf_dir, "part")
     return part.groupBy("p_brand").agg(
-        F.round(F.median("p_retailprice"), 6).alias("median_price"),
-        F.round(F.min("p_retailprice"), 2).alias("min_price"),
-        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        (F.median("p_retailprice").cast("decimal(18,3)") * 1000)
+        .cast("bigint")
+        .alias("median_price_milli"),
+        F.min(_cents("p_retailprice")).alias("min_price_cents"),
+        F.max(_cents("p_retailprice")).alias("max_price_cents"),
         F.count(F.lit(1)).alias("n_parts"),
     )
 
@@ -526,7 +602,12 @@ def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.sum(_cents("p_retailprice")).alias("_sc"),
+        )
+        .select(
+            "band",
+            "n_parts",
+            F.expr("_sc * 10000L div n_parts").alias("avg_price_micro"),
         )
     )
 
@@ -556,30 +637,50 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio quality signal aggregated per source."""
+    """Stopword-ratio quality signal aggregated per source. Per-row
+    integer ppm ratios, averaged by truncating integer division —
+    float-free end to end."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.select(
-            "source", text.stopword_ratio(F.col("text")).alias("swr")
+            "source", text.stopword_ratio_ppm(F.col("text")).alias("swr_ppm")
         )
         .groupBy("source")
         .agg(
-            F.round(F.avg("swr"), 6).alias("avg_stopword_ratio"),
+            F.sum("swr_ppm").alias("_ssw"),
             F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "source",
+            F.expr("_ssw div n_docs").alias("avg_stopword_ppm"),
+            "n_docs",
         )
     )
 
 
 def q_vector_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-native vector math: avg L2 norm per label (zip_with /
-    aggregate fold — JVM-side, no UDF)."""
+    aggregate fold — JVM-side, no UDF). The per-row norm is quantized
+    to integer micro units (floor(norm * 1e6): deterministic — the fold
+    order, multiply, and floor are all IEEE-exact-specified), then the
+    group mean is truncating integer division, so no float aggregate
+    whose result depends on engine summation order ever reaches the
+    output."""
     emb = _t(spark, sf_dir, "embeddings")
+    nrm_micro = F.floor(similarity.l2_norm(F.col("embedding")) * 1000000).cast(
+        "bigint"
+    )
     return (
-        emb.select("label", similarity.l2_norm(F.col("embedding")).alias("nrm"))
+        emb.select("label", nrm_micro.alias("nrm_micro"))
         .groupBy("label")
         .agg(
-            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.sum("nrm_micro").alias("_sn"),
             F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            "label",
+            F.expr("_sn div n_vectors").alias("avg_norm_micro"),
+            "n_vectors",
         )
     )
 
@@ -632,7 +733,7 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
     )
     corpus = docs.unionByName(perturbed)
-    fp = _portable_simhash(corpus).localCheckpoint(eager=False)
+    fp = _portable_simhash(corpus).transform(materialize)
     pairs = dedup.simhash_hamming_pairs(fp, "doc_id", "simhash", max_hamming=3)
     # the tiny-vocab fixture clusters fingerprints, so the exact pair
     # set is large — audit it as per-distance counts (same exactness,
@@ -807,7 +908,7 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.sum(_cents("o_totalprice")).alias("total_value_cents"),
     )
 
 
@@ -823,7 +924,7 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.sum(_cents("o_totalprice")).alias("total_value_cents"),
     )
 
 
@@ -853,10 +954,17 @@ def q_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles from the same sorted sketch."""
     cust = _t(spark, sf_dir, "customer")
     pct = F.percentile("c_acctbal", F.lit([0.25, 0.5, 0.75]))
+
+    def _e4(c):
+        # quartile interpolation of 2-decimal values lands on a 4-decimal
+        # grid (frac is k/4), so the DECIMAL(18,4) cast is exact and
+        # tolerant of sub-half-ulp float interpolation differences.
+        return (c.cast("decimal(18,4)") * 10000).cast("bigint")
+
     return cust.groupBy("c_mktsegment").agg(
-        F.round(F.element_at(pct, 1), 6).alias("p25"),
-        F.round(F.element_at(pct, 2), 6).alias("p50"),
-        F.round(F.element_at(pct, 3), 6).alias("p75"),
+        _e4(F.element_at(pct, 1)).alias("p25_e4"),
+        _e4(F.element_at(pct, 2)).alias("p50_e4"),
+        _e4(F.element_at(pct, 3)).alias("p75_e4"),
         F.count(F.lit(1)).alias("n_customers"),
     )
 
@@ -875,7 +983,13 @@ def q_monthly_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year", "o_month")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.sum(_cents("o_totalprice")).alias("_sc"),
+        )
+        .select(
+            "o_year",
+            "o_month",
+            "n_orders",
+            F.expr("_sc * 10000L div n_orders").alias("avg_price_micro"),
         )
     )
 
@@ -884,7 +998,14 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction in the scan stage: pull `k` out of the
     events.props JSON string (get_json_object — JVM-side JSON path, no
     UDF) and aggregate it per event type. The oracle recomputes the
-    extraction with a regex, proving the value, not the method."""
+    extraction with a regex, proving the value, not the method.
+
+    The mean is emitted as `avg_k_micro = sum_k * 1_000_000 div n`
+    (bigint micro-units) instead of a double avg(): a float average's
+    bit pattern depends on the engine's summation algorithm and
+    version, which is exactly the driver-gate divergence rounds 2-4
+    chased. Integer division over non-negative bigints is
+    engine-version-proof."""
     events = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
@@ -892,12 +1013,7 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),
-            # exact bigint sum / exact count, ONE double division.
-            # Unrounded: bit-identical to DuckDB's avg(k) because the
-            # bigint sum is exact (< 2^53) and the single division is
-            # IEEE-correctly-rounded in both engines. A round(...,6)
-            # here is NOT what a native avg() emits — it hash-mismatches.
-            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.expr("sum(k) * 1000000L div count(k)").alias("avg_k_micro"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -906,20 +1022,29 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part avg
     quantity) decorrelated into an aggregate + equi-join on partkey —
-    the join carries only (partkey, threshold), so the fact table
-    shuffles once on its natural key."""
+    the join carries only (partkey, sum, count), so the fact table
+    shuffles once on its natural key. The `qty < 0.5 * avg(qty)`
+    predicate is evaluated as the equivalent integer inequality
+    `2 * n * qty < sum_qty` (quantities are integer-valued), so no
+    float threshold comparison can flip a boundary row between
+    engines; the output is exact bigint cents."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    avg_qty = li.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.5).alias("qty_threshold")
+    qty = F.col("l_quantity").cast("bigint")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("_pq_sum"), F.count(F.lit(1)).alias("_pq_n")
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(avg_qty, "l_partkey")
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(per_part, "l_partkey")
+        .filter(2 * F.col("_pq_n") * qty < F.col("_pq_sum"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.sum(_cents("l_extendedprice")).alias("_sc"),
             F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(
+            F.expr("_sc div 7").alias("avg_yearly_cents"),
+            "n_lineitems",
         )
     )
 
@@ -929,18 +1054,16 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate (shipdate range, discount band, quantity cap) pushes to
     the parquet scan; the agg is a single partial+final sum."""
     li = _t(spark, sf_dir, "lineitem")
+    dp = _pct2("l_discount")
     return (
         li.filter(
             (F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1998-01-01")
-            & (F.col("l_discount") >= 0.02)
-            & (F.col("l_discount") <= 0.04)
+            & dp.between(2, 4)
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.sum(_cents("l_extendedprice") * dp).alias("revenue_e4"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -1003,9 +1126,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(_cents("l_extendedprice") * (100 - _pct2("l_discount"))).alias(
+                "revenue_e4"
+            )
         )
     )
 
@@ -1026,12 +1149,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+            F.sum(_cents("l_extendedprice") * (100 - _pct2("l_discount"))).alias(
+                "revenue_e4"
+            ),
+            F.max(_cents("c_acctbal")).alias("acctbal_cents"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
 
@@ -1044,14 +1167,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
     )
     part = _t(spark, sf_dir, "part")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
-        F.round(
-            100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
-            / F.sum(disc_price),
-            6,
-        ).alias("promo_pct")
+    disc_e4 = _cents("l_extendedprice") * (100 - _pct2("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", disc_e4).otherwise(F.lit(0))
+            ).alias("_promo"),
+            F.sum(disc_e4).alias("_all"),
+        )
+        .select(F.expr("_promo * 1000000L div _all").alias("promo_share_ppm"))
     )
 
 
@@ -1065,7 +1190,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = _t(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        F.sum(_cents("l_extendedprice") * (100 - _pct2("l_discount"))).alias("_rev")
+        # exact bigint revenue: the argmax equality filter below compares
+        # integers, not order-dependent float sums
     )
     w = Window.partitionBy()
     best = rev.withColumn("_max", F.max("_rev").over(w)).filter(
@@ -1076,7 +1203,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("_rev"), 2).alias("total_revenue"),
+            F.col("_rev").alias("total_revenue_e4"),
         )
         .orderBy("s_suppkey")
     )
@@ -1092,7 +1219,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
         .filter(F.col("total_qty") > 300)
     )
     return (
@@ -1103,10 +1230,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.round("o_totalprice", 2).alias("totalprice"),
-            F.round("total_qty", 2).alias("total_qty"),
+            _cents("o_totalprice").alias("totalprice_cents"),
+            "total_qty",
         )
-        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .orderBy(F.col("totalprice_cents").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
 
@@ -2348,7 +2475,7 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the frame on both sides and in three expressions — without this
     # the sha256+fold lineage recomputes per consumer (measured 90s vs
     # 1.2s at sf0.1). Same localCheckpoint trade as minhash shingles.
-    fp = multimodal.phash63(media).localCheckpoint(eager=False)
+    fp = multimodal.phash63(media).transform(materialize)
     pairs = dedup.simhash_hamming_pairs(
         fp, "media_id", sim_col="phash", max_hamming=6, bits=63
     )
@@ -2386,16 +2513,10 @@ def q_user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("unix_timestamp(date_trunc('minute', ts)) div 600").alias("_cell"),
     ).distinct()
-    a, b = cells.alias("a"), cells.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a._cell") == F.col("b._cell"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
+    # cap=64 bounds hot-cell fan-out to 2016 pairs/cell (no-op at test
+    # SFs where max cell occupancy is 14; the oracle mirrors the same
+    # row_number cap) — see graph.cooccurrence_edges
+    edges = graph.cooccurrence_edges(cells, cap_per_cell=64)
     pr = graph.pagerank_micro(edges, iters=5)
     return pr.select(F.col("node").alias("user_id"), "pr_micro")
 
@@ -2417,16 +2538,8 @@ def q_user_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("unix_timestamp(date_trunc('minute', ts)) div 600").alias("_cell"),
     ).distinct()
-    a, b = cells.alias("a"), cells.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a._cell") == F.col("b._cell"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
+    # same capped edge construction (and oracle mirror) as user_pagerank
+    edges = graph.cooccurrence_edges(cells, cap_per_cell=64)
     dists = graph.bfs_min_dist(edges, max_depth=3)
     return dists.groupBy("dist").agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -4338,9 +4451,7 @@ def q_hll_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one scan per key set: the md5 buckets partition the key
         # space, so per-bucket exact distincts ride the register
         # aggregate and sum to the global exact count
-        regs = sketches.hll_registers_with_exact(df, key).localCheckpoint(
-            eager=False
-        )  # <=256 rows; both consumers read it, the table scans once
+        regs = sketches.hll_registers_with_exact(df, key).transform(materialize)  # <=256 rows; both consumers read it, the table scans once
         est = sketches.hll_estimate(regs.select("bucket", "rank"))
         exact = regs.agg(F.sum("n_keys").alias("exact_n"))
         parts.append(
@@ -4444,19 +4555,12 @@ def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_cell"
         ),
     ).distinct()
-    a, b = cells.alias("a"), cells.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a._cell") == F.col("b._cell"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import graph
+
+    # cap=64 bounds hot-cell fan-out (graph.cooccurrence_edges); the
+    # oracle mirrors the row_number cap. localCheckpoint: edges feed
+    # two joins + a count.
+    edges = graph.cooccurrence_edges(cells, cap_per_cell=64).transform(materialize)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -4722,7 +4826,7 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     n_orders = items.agg(
         F.countDistinct("l_orderkey").alias("n_baskets")
@@ -5067,7 +5171,7 @@ def q_bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cab = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     ca = cab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     cb = cab.groupBy("w2").agg(F.sum("c_ab").alias("c_b"))
@@ -5154,7 +5258,7 @@ def q_spend_quintile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1). Customer-year grain — persist(DISK_ONLY) at scale.
     q = yearly.select(
         "yr", "o_custkey", F.ntile(5).over(w).alias("quintile")
-    ).localCheckpoint()
+    ).transform(materialize)
     max_yr = yearly.agg(F.max("yr").alias("max_yr"))
     a = q.alias("a")
     b = q.alias("b")
@@ -6160,7 +6264,7 @@ def q_embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("x").cast("double") * 10000)
         .cast("bigint")
         .alias("q"),
-    ).localCheckpoint()
+    ).transform(materialize)
     dims = qq.groupBy("i").agg(
         F.count(F.lit(1)).alias("n"), F.sum("q").alias("s")
     )
@@ -7640,6 +7744,24 @@ _PUNCT = (
 )
 
 
+def _cents_sql(col: str) -> str:
+    """DuckDB mirror of _cents(): exact bigint cents via DECIMAL cast."""
+    return f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _pct2_sql(col: str) -> str:
+    """DuckDB mirror of _pct2(): exact bigint percent (x100)."""
+    return f"CAST(CAST({col} AS DECIMAL(4,2)) * 100 AS BIGINT)"
+
+
+# integer-ppm punctuation ratio (mirror of text.punct_ratio_ppm)
+_PUNCT_PPM = (
+    "CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT)"
+    " * 1000000 // length(text) ELSE 0 END"
+)
+
+
 def _hex8_to_int_sql(h: str) -> str:
     """DuckDB int64 of the first 8 hex chars of md5 expression ``h``
     (DuckDB has no conv(); positional digit arithmetic instead)."""
@@ -7711,13 +7833,25 @@ def oracle_sql() -> dict[str, str]:
     )
     out = {
         "flagship_event_stats": """
-            SELECT event_type,
-                   round(min(value), 6) AS min_value,
-                   round(max(value), 6) AS max_value,
-                   round(avg(value), 6) AS avg_value,
-                   round(stddev_samp(value), 6) AS stddev_value,
-                   count(*) AS n_rows
-            FROM events GROUP BY event_type
+            WITH c AS (
+                SELECT event_type,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM events
+            ), g AS (
+                SELECT event_type,
+                       min(cents) AS min_value_cents,
+                       max(cents) AS max_value_cents,
+                       sum(cents) AS sc,
+                       sum(cents * cents) AS sc2,
+                       count(*) AS n_rows
+                FROM c GROUP BY event_type
+            )
+            SELECT event_type, min_value_cents, max_value_cents,
+                   CAST(sc * 10000 // n_rows AS BIGINT) AS avg_value_micro,
+                   CAST(floor(sqrt((sc2 // n_rows) - (sc // n_rows) * (sc // n_rows)))
+                        AS BIGINT) AS stddev_value_cents,
+                   n_rows
+            FROM g
         """,
         "validation_split": """
             SELECT CASE
@@ -7749,22 +7883,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q1_pricing_summary": """
+            WITH u AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+                       CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS dp,
+                       CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tp
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            ), g AS (
+                SELECT l_returnflag, l_linestatus,
+                       sum(qty) AS sum_qty,
+                       sum(pc) AS sum_base_price_cents,
+                       sum(pc * (100 - dp)) AS sum_disc_price_e4,
+                       sum(pc * (100 - dp) * (100 + tp)) AS sum_charge_e6,
+                       sum(dp) AS sdp,
+                       count(*) AS count_order
+                FROM u GROUP BY l_returnflag, l_linestatus
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
+                   CAST(sum_qty AS BIGINT) AS sum_qty,
+                   CAST(sum_base_price_cents AS BIGINT) AS sum_base_price_cents,
+                   CAST(sum_disc_price_e4 AS BIGINT) AS sum_disc_price_e4,
+                   CAST(sum_charge_e6 AS BIGINT) AS sum_charge_e6,
+                   CAST(sum_qty * 1000000 // count_order AS BIGINT) AS avg_qty_micro,
+                   CAST(sum_base_price_cents * 10000 // count_order AS BIGINT) AS avg_price_micro,
+                   CAST(sdp * 10000 // count_order AS BIGINT) AS avg_disc_micro,
+                   count_order
+            FROM g
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -7772,12 +7924,14 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-03-15'
               AND l_shipdate > TIMESTAMP '1998-03-15'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
-            ORDER BY revenue DESC, l_orderkey ASC
+            ORDER BY revenue_e4 DESC, l_orderkey ASC
             LIMIT 10
         """,
         "q5_region_revenue": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -7812,7 +7966,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_returns": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -7831,7 +7985,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_by_lang": f"""
             SELECT lang,
                    count(*) AS n_docs,
-                   round(avg(n_tokens), 6) AS avg_tokens,
+                   CAST(sum(CAST(n_tokens AS BIGINT)) * 1000000 // count(*) AS BIGINT)
+                       AS avg_tokens_micro,
                    max(n_tokens) AS max_tokens
             FROM (SELECT lang, {_TOKCOUNT} AS n_tokens FROM documents)
             GROUP BY lang
@@ -7839,9 +7994,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": f"""
             SELECT doc_id,
                    {_TOKCOUNT} AS n_tokens,
-                   round({_PUNCT}, 6) AS punct_ratio,
-                   round(0.6 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-                       + 0.4 * (1.0 - least({_PUNCT} * 5.0, 1.0)), 6) AS quality
+                   CAST({_PUNCT_PPM} AS BIGINT) AS punct_ratio_ppm,
+                   CAST((least(CAST(length(text) AS BIGINT) * 2000, 1000000) * 6
+                         + (1000000 - least(CAST(({_PUNCT_PPM}) AS BIGINT) * 5, 1000000)) * 4)
+                        // 10 AS BIGINT) AS quality_ppm
             FROM documents
         """,
         "lang_pred_counts": f"""
@@ -7882,7 +8038,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS sum_value_cents
             FROM events
             GROUP BY 1, 2
         """,
@@ -7919,18 +8076,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_order_analytics": """
             SELECT o_custkey, o_orderkey,
-                   round(lag(o_totalprice) OVER w, 2) AS prev_price,
-                   round(lead(o_totalprice) OVER w, 2) AS next_price,
+                   lag(cents) OVER w AS prev_price_cents,
+                   lead(cents) OVER w AS next_price_cents,
                    rank() OVER (
                        PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey ASC
                    ) AS price_rank,
-                   round(sum(o_totalprice) OVER (
+                   CAST(sum(cents) OVER (
                        PARTITION BY o_custkey
                        ORDER BY o_orderdate ASC, o_orderkey ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ), 2) AS running_total
-            FROM orders
+                   ) AS BIGINT) AS running_total_cents
+            FROM (SELECT *, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            AS cents FROM orders)
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate ASC, o_orderkey ASC)
         """,
@@ -7952,7 +8110,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_purchase_click": """
             SELECT p.event_id AS purchase_id, p.user_id,
-                   round(c.value, 4) AS click_value
+                   CAST(CAST(c.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS click_value_cents
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND c.ts <= p.ts
@@ -7962,7 +8120,8 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_custkey) AS n_customers,
                    count(*) AS n_orders,
                    count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
-                   round(sum(o_totalprice), 2) AS total_value
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS total_value_cents
             FROM orders GROUP BY o_orderstatus
         """,
         "pivot_event_type_by_day": "SELECT event_type, "
@@ -7973,12 +8132,14 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem_metrics": """
             WITH wide AS (
                 SELECT l_returnflag,
-                       round(sum(l_quantity), 2) AS quantity,
-                       round(sum(l_discount), 2) AS discount,
-                       round(sum(l_tax), 2) AS tax
+                       CAST(sum(CAST(l_quantity AS BIGINT)) * 100 AS BIGINT) AS quantity,
+                       CAST(sum(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+                            AS BIGINT) AS discount,
+                       CAST(sum(CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT))
+                            AS BIGINT) AS tax
                 FROM lineitem GROUP BY l_returnflag
             )
-            SELECT l_returnflag, 'quantity' AS metric, quantity AS total FROM wide
+            SELECT l_returnflag, 'quantity' AS metric, quantity AS total_x100 FROM wide
             UNION ALL
             SELECT l_returnflag, 'discount', discount FROM wide
             UNION ALL
@@ -7999,16 +8160,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "median_price_by_brand": """
             SELECT p_brand,
-                   round(median(p_retailprice), 6) AS median_price,
-                   round(min(p_retailprice), 2) AS min_price,
-                   round(max(p_retailprice), 2) AS max_price,
+                   CAST(CAST(median(p_retailprice) AS DECIMAL(18,3)) * 1000 AS BIGINT)
+                       AS median_price_milli,
+                   min(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_price_cents,
+                   max(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_price_cents,
                    count(*) AS n_parts
             FROM part GROUP BY p_brand
         """,
         "range_join_price_bands": """
             SELECT band,
                    count(*) AS n_parts,
-                   round(avg(p_retailprice), 6) AS avg_price
+                   CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        * 10000 // count(*) AS BIGINT) AS avg_price_micro
             FROM part
             JOIN (VALUES ('low', 0.0, 925.0), ('mid', 925.0, 950.0),
                          ('high', 950.0, 975.0), ('lux', 975.0, 1e12))
@@ -8031,26 +8194,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stopword_profile": f"""
             SELECT source,
-                   round(avg(swr), 6) AS avg_stopword_ratio,
+                   CAST(sum(swr_ppm) // count(*) AS BIGINT) AS avg_stopword_ppm,
                    count(*) AS n_docs
             FROM (
                 SELECT source,
                        CASE WHEN len({_TOKENS}) > 0 THEN
                            CAST(len(list_filter({_TOKENS},
-                               t -> list_contains({text.STOPWORDS!r}, t))) AS DOUBLE)
-                           / len({_TOKENS})
-                       ELSE 0.0 END AS swr
+                               t -> list_contains({text.STOPWORDS!r}, t))) AS BIGINT)
+                           * 1000000 // len({_TOKENS})
+                       ELSE 0 END AS swr_ppm
                 FROM documents
             ) GROUP BY source
         """,
         "vector_norms_by_label": """
             SELECT label,
-                   round(avg(nrm), 6) AS avg_norm,
+                   CAST(sum(nrm_micro) // count(*) AS BIGINT) AS avg_norm_micro,
                    count(*) AS n_vectors
             FROM (
                 SELECT label,
-                       sqrt(list_sum(list_transform(
-                           CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+                       CAST(floor(sqrt(list_sum(list_transform(
+                           CAST(embedding AS DOUBLE[]), x -> x * x))) * 1000000)
+                            AS BIGINT) AS nrm_micro
                 FROM embeddings
             ) GROUP BY label
         """,
@@ -8110,14 +8274,16 @@ def oracle_sql() -> dict[str, str]:
         "cube_order_stats": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_value
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS total_value_cents
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "grouping_sets_orders": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_value
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS total_value_cents
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                     (o_orderstatus), ())
@@ -8134,9 +8300,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quartiles_by_segment": """
             SELECT c_mktsegment,
-                   round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
-                   round(quantile_cont(c_acctbal, 0.50), 6) AS p50,
-                   round(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+                   CAST(CAST(quantile_cont(c_acctbal, 0.25) AS DECIMAL(18,4)) * 10000
+                        AS BIGINT) AS p25_e4,
+                   CAST(CAST(quantile_cont(c_acctbal, 0.50) AS DECIMAL(18,4)) * 10000
+                        AS BIGINT) AS p50_e4,
+                   CAST(CAST(quantile_cont(c_acctbal, 0.75) AS DECIMAL(18,4)) * 10000
+                        AS BIGINT) AS p75_e4,
                    count(*) AS n_customers
             FROM customer GROUP BY c_mktsegment
         """,
@@ -8144,24 +8313,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                    CAST(month(o_orderdate) AS INTEGER) AS o_month,
                    count(*) AS n_orders,
-                   round(avg(o_totalprice), 6) AS avg_price
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        * 10000 // count(*) AS BIGINT) AS avg_price_micro
             FROM orders GROUP BY 1, 2
         """,
         "json_props_stats": r"""
             SELECT event_type,
                    sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
-                   avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS avg_k,
+                   sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) * 1000000
+                     // count(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS avg_k_micro,
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
         "q17_small_qty_revenue": """
-            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+            SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        // 7 AS BIGINT) AS avg_yearly_cents,
                    count(*) AS n_lineitems
             FROM lineitem
             JOIN part ON p_partkey = l_partkey
-            JOIN (SELECT l_partkey AS pk, avg(l_quantity) * 0.5 AS qty_threshold
+            JOIN (SELECT l_partkey AS pk,
+                         sum(CAST(l_quantity AS BIGINT)) AS sq,
+                         count(*) AS nq
                   FROM lineitem GROUP BY l_partkey) t ON t.pk = l_partkey
-            WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold
+            WHERE p_brand = 'Brand#1'
+              AND 2 * nq * CAST(l_quantity AS BIGINT) < sq
         """,
         "q4_late_orders": """
             SELECT o_orderpriority, count(*) AS n_orders
@@ -8177,19 +8352,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderpriority
         """,
         "q6_revenue_forecast": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+            SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS revenue_e4,
                    count(*) AS n_lineitems
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'
-              AND l_discount >= 0.02 AND l_discount <= 0.04
+              AND CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) BETWEEN 2 AND 4
               AND l_quantity < 24
         """,
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation,
                    n2.n_name AS cust_nation,
                    year(l_shipdate) AS ship_year,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -8202,8 +8381,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                   round(max(c_acctbal), 2) AS acctbal
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                        AS BIGINT) AS revenue_e4,
+                   max(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS acctbal_cents
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -8212,29 +8393,36 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate < TIMESTAMP '1997-04-01'
             GROUP BY c_custkey, c_name, n_name
-            ORDER BY revenue DESC, c_custkey ASC
+            ORDER BY revenue_e4 DESC, c_custkey ASC
             LIMIT 20
         """,
         "q14_promo_revenue": """
-            SELECT round(
-                     100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey
-            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
-              AND l_shipdate < TIMESTAMP '1997-10-01'
+            WITH u AS (
+                SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+                           AS disc_e4,
+                       p_type
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                  AND l_shipdate < TIMESTAMP '1997-10-01'
+            )
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc_e4 ELSE 0 END)
+                        * 1000000 // sum(disc_e4) AS BIGINT) AS promo_share_ppm
+            FROM u
         """,
         "q15_top_supplier": """
             WITH rev AS (
-                SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total
+                SELECT l_suppkey,
+                       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                           AS total
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
                   AND l_shipdate < TIMESTAMP '1997-04-01'
                 GROUP BY l_suppkey
             )
-            SELECT s_suppkey, s_name, round(total, 2) AS total_revenue
+            SELECT s_suppkey, s_name, CAST(total AS BIGINT) AS total_revenue_e4
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
             WHERE total = (SELECT max(total) FROM rev)
             ORDER BY s_suppkey
@@ -8242,14 +8430,16 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": """
             SELECT c_custkey, c_name, o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-                   round(o_totalprice, 2) AS totalprice,
-                   round(total_qty, 2) AS total_qty
-            FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS totalprice_cents,
+                   total_qty
+            FROM (SELECT l_orderkey,
+                         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
                   FROM lineitem GROUP BY l_orderkey
-                  HAVING sum(l_quantity) > 300) big
+                  HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
             JOIN orders ON big.l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
-            ORDER BY totalprice DESC, o_orderkey ASC
+            ORDER BY totalprice_cents DESC, o_orderkey ASC
             LIMIT 20
         """,
         "q19_disjunctive_revenue": """
@@ -8582,7 +8772,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7day_revenue": """
             WITH daily AS (
                 SELECT CAST(o_orderdate AS DATE) AS day,
-                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
                 FROM orders GROUP BY 1
             )
             SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
@@ -9199,10 +9389,15 @@ def oracle_sql() -> dict[str, str]:
     """
     out["user_triangles"] = """
         WITH cells AS (
-            SELECT DISTINCT user_id,
-                   CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 600
-                     AS cell
-            FROM events WHERE event_type = 'purchase'
+            SELECT user_id, cell FROM (
+                SELECT user_id, cell,
+                       row_number() OVER (PARTITION BY cell ORDER BY user_id)
+                         AS rn
+                FROM (SELECT DISTINCT user_id,
+                             CAST(epoch(date_trunc('minute', ts)) AS BIGINT)
+                               // 600 AS cell
+                      FROM events WHERE event_type = 'purchase')
+            ) WHERE rn <= 64
         ),
         edges AS (
             SELECT DISTINCT a.user_id AS u, b.user_id AS v
@@ -9665,14 +9860,24 @@ def oracle_sql() -> dict[str, str]:
     )
     from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import graph as _graph
 
+    # mirrors graph.cooccurrence_edges(cap_per_cell=64): each cell keeps
+    # its 64 smallest user_ids before pairing (no-op at test SFs)
     _pr_edges = """
         SELECT DISTINCT a.user_id AS u, b.user_id AS v
-        FROM (SELECT DISTINCT user_id,
-                     CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 600 AS cell
-              FROM events WHERE event_type = 'purchase') a
-        JOIN (SELECT DISTINCT user_id,
-                     CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 600 AS cell
-              FROM events WHERE event_type = 'purchase') b
+        FROM (SELECT user_id, cell FROM (
+                  SELECT user_id, cell,
+                         row_number() OVER (PARTITION BY cell ORDER BY user_id) AS rn
+                  FROM (SELECT DISTINCT user_id,
+                               CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 600 AS cell
+                        FROM events WHERE event_type = 'purchase')
+              ) WHERE rn <= 64) a
+        JOIN (SELECT user_id, cell FROM (
+                  SELECT user_id, cell,
+                         row_number() OVER (PARTITION BY cell ORDER BY user_id) AS rn
+                  FROM (SELECT DISTINCT user_id,
+                               CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 600 AS cell
+                        FROM events WHERE event_type = 'purchase')
+              ) WHERE rn <= 64) b
           ON a.cell = b.cell AND a.user_id < b.user_id
     """
     out["user_pagerank"] = (

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import materialize
+
 TOKEN_SPLIT = r"\s+"
 
 
@@ -183,7 +185,7 @@ def minhash_near_dup(
     plan; on a fault-tolerant cluster run, swap for persist(DISK) if
     executor loss must be survivable mid-query."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, None)
-    shingled = _shingled(base, id_col, text_col, shingle_n, "_shingles").localCheckpoint(eager=False)
+    shingled = _shingled(base, id_col, text_col, shingle_n, "_shingles").transform(materialize)
     sigs = shingled.select(
         id_col, _sig_from_shingles("_shingles", num_hashes).alias("sig")
     )
@@ -342,11 +344,11 @@ def duplicate_clusters(
         .unionByName(
             pairs.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     labels = vertices.select(
         F.col(id_col).alias("_vid"), F.col(id_col).alias("_label")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges._src == labels._vid)
@@ -363,7 +365,7 @@ def duplicate_clusters(
                 ),
                 F.col("_label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lambda _d: materialize(_d, eager=True))
         )
         converged = stepped.filter(F.col("_new") < F.col("_label")).isEmpty()
         labels = stepped.select("_vid", F.col("_new").alias("_label"))
@@ -488,7 +490,7 @@ def ngram_jaccard_pairs(
     self-join shuffles only light (id, block, bucket, tag) rows, and
     the shingle arrays come back via id joins for the verify only."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
-    shingled = _shingled(base, id_col, text_col, shingle_n, "_shingles").localCheckpoint(eager=False)
+    shingled = _shingled(base, id_col, text_col, shingle_n, "_shingles").transform(materialize)
     cand = _ngram_blocked_pairs(shingled, id_col, threshold, length_bucketing)
     return (
         cand.join(
@@ -596,9 +598,7 @@ def overlap_coefficient_pairs(
     candidate shuffle). Returns (id_a, id_b, overlap_coef) >= threshold.
     """
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
-    sh = _shingled(base, id_col, text_col, shingle_n, "_shingles").localCheckpoint(
-        eager=False
-    )
+    sh = _shingled(base, id_col, text_col, shingle_n, "_shingles").transform(materialize)
     postings = sh.select(F.col(id_col), F.explode("_shingles").alias("_s"))
     dfreq = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     kept = dfreq.filter(F.col("_df") <= F.lit(int(df_cap))).select("_s")

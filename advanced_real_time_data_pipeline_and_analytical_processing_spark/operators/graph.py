@@ -20,8 +20,50 @@ behavior is the standard damped fixed point.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import materialize
+
+
+def cooccurrence_edges(
+    cells: DataFrame,
+    id_col: str = "user_id",
+    cell_col: str = "_cell",
+    cap_per_cell: int | None = 64,
+) -> DataFrame:
+    """Undirected co-occurrence edge list (u, v with u < v) from
+    (id, cell) membership rows: one edge per id pair sharing a cell.
+
+    The naive self-join is |cell|² per cell — at 100 TB one viral cell
+    with 10⁵ members is 10¹⁰ pairs from a single key. ``cap_per_cell``
+    bounds that: each cell keeps only its ``cap`` smallest ids
+    (deterministic row_number, so any oracle can mirror the exact
+    construction), giving a worst-case fan-out of cap·(cap−1)/2 pairs
+    per cell — 2016 pairs at the default cap=64 — independent of how
+    hot the cell is. The row_number ranking is one window sort
+    partitioned by cell (same shuffle key the join needs anyway).
+    Pass ``cap_per_cell=None`` for the uncapped join when cells are
+    known-bounded by construction.
+    """
+    cells = cells.select(id_col, cell_col).distinct()
+    if cap_per_cell is not None:
+        w = Window.partitionBy(cell_col).orderBy(F.col(id_col).asc())
+        cells = (
+            cells.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap_per_cell)
+            .drop("_rn")
+        )
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("u"), F.col(f"b.{id_col}").alias("v"))
+        .distinct()
+    )
 
 
 def pagerank_micro(
@@ -41,7 +83,7 @@ def pagerank_micro(
     )
     deg = dir_edges.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
     # (src, dst, src_degree) built once, reused every round
-    ed = dir_edges.join(deg, "u").localCheckpoint(eager=False)
+    ed = dir_edges.join(deg, "u").transform(materialize)
     ranks = deg.select("u", F.lit(init).cast("bigint").alias("pr"))
     for _ in range(iters):
         contrib = (
@@ -55,7 +97,7 @@ def pagerank_micro(
         )
         ranks = contrib.select(
             "u", (F.lit(base).cast("bigint") + F.col("_in")).alias("pr")
-        ).localCheckpoint(eager=False)
+        ).transform(materialize)
     return ranks.select(F.col("u").alias("node"), F.col("pr").alias("pr_micro"))
 
 
@@ -109,7 +151,7 @@ def bfs_min_dist(edges: DataFrame, max_depth: int = 3) -> DataFrame:
     dir_e = (
         edges.select("u", "v")
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     visited = dir_e.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).cast("bigint").alias("dist")
@@ -122,9 +164,9 @@ def bfs_min_dist(edges: DataFrame, max_depth: int = 3) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(d).cast("bigint").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
-        visited = visited.union(nxt).localCheckpoint(eager=False)
+        visited = visited.union(nxt).transform(materialize)
         frontier = nxt.select("node")
     return visited
 

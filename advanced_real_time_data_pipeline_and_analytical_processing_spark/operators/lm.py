@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import materialize
+
 TOKEN_SPLIT = r"\s+"
 
 
@@ -98,7 +100,7 @@ def doc_perplexity(
     bgid = (
         docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_t"))
         .select(F.col(id_col), F.explode(_bigrams_from_tokens(F.col("_t"))).alias("bg"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     c2, c1, v = bigram_model(docs, text_col, bg=bgid)
     per_doc = bgid.select(

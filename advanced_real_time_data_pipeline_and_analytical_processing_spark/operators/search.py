@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import materialize
+
 from .text import tokens
 
 
@@ -171,7 +173,7 @@ def sparse_tfidf_cosine_pairs(
     # the whole tokenize→explode→aggregate lineage (the
     # media_phash_pairs recompute hazard — see verify SKILL.md).
     # localCheckpoint truncates the lineage so it is built once.
-    w = w.localCheckpoint(eager=False)
+    w = w.transform(materialize)
     norms = w.groupBy("_id").agg(F.sum(F.col("w") * F.col("w")).alias("ssq"))
     a, b = w.alias("a"), w.alias("b")
     dots = (

@@ -59,6 +59,48 @@ def stopword_ratio(text: Column) -> Column:
     return F.when(F.size(toks) > 0, n_stop.cast("double") / F.size(toks)).otherwise(0.0)
 
 
+def _ppm(numer: Column, denom: Column) -> Column:
+    """floor(numer * 1e6 / denom) as bigint — exact integer ppm.
+
+    floor of an IEEE-correctly-rounded division is deterministic across
+    engines, and for numerators < 2^53 it equals true integer division:
+    the quotient double can only land on an integer when the division is
+    exact (otherwise the true value is > half-an-ulp away from any
+    integer at these magnitudes)."""
+    return F.floor(numer.cast("bigint") * 1000000 / denom)
+
+
+def punct_ratio_ppm(text: Column) -> Column:
+    """Integer parts-per-million punctuation ratio — the comparator-proof
+    variant of punct_ratio (integer in, integer out; no engine-version
+    float divergence is possible)."""
+    clean_len = F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    total = F.length(text)
+    return F.when(total > 0, _ppm(total - clean_len, total)).otherwise(
+        F.lit(0).cast("bigint")
+    )
+
+
+def stopword_ratio_ppm(text: Column) -> Column:
+    """Integer ppm stopword ratio (float-free; see _ppm)."""
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_tok = F.size(toks)
+    return F.when(n_tok > 0, _ppm(n_stop, n_tok)).otherwise(F.lit(0).cast("bigint"))
+
+
+def quality_score_ppm(text: Column) -> Column:
+    """All-integer recomposition of quality_score in ppm units:
+    quality_ppm = (6 * length_ppm + 4 * (1e6 - punct5_ppm)) div 10 with
+    length_ppm = min(len * 2000, 1e6) and punct5_ppm =
+    min(5 * punct_ratio_ppm, 1e6). Same heuristic shape, zero floats —
+    the operator contract is the shape, not the constants."""
+    length_ppm = F.least(F.length(text).cast("bigint") * 2000, F.lit(1000000))
+    punct5_ppm = F.least(punct_ratio_ppm(text) * 5, F.lit(1000000).cast("bigint"))
+    return F.floor((length_ppm * 6 + (F.lit(1000000) - punct5_ppm) * 4) / 10)
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0,1]: rewards reasonable length,
     penalizes punctuation soup and stopword-free (non-linguistic) text.

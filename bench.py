@@ -4,6 +4,21 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Times are end-to-end per query (plan + execute + collect) after a JVM
 warmup action, which is what a user of the engine actually waits for.
+
+Modes:
+  python bench.py                 shared-JVM suite (the default; fast,
+                                  but numbers can swing +/-30% when a
+                                  prior JVM is dying on the same box)
+  python bench.py --isolate       one FRESH JVM per query (each child
+                                  warms up, times one query, exits) —
+                                  slower wall-clock, but every number
+                                  is a clean-room measurement suitable
+                                  for round-over-round comparison.
+                                  Honors SPARK_GRAFT_QUERIES to subset.
+  python bench.py --single NAME   internal: child process of --isolate.
+
+The emitted JSON carries "mode": "shared" | "isolate" so artifacts are
+self-describing.
 """
 
 from __future__ import annotations
@@ -11,6 +26,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -18,6 +34,71 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.session import get_spark
+
+
+def _isolate() -> None:
+    """One fresh JVM per query: spawn `bench.py --single NAME` children
+    sequentially and aggregate their timings into the standard one-line
+    artifact. Every measurement starts from a cold, clean JVM."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    only = {n for n in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if n}
+    names = [n for n in entrymod.queries() if not only or n in only]
+    timings: dict[str, float] = {}
+    for name in names:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", name],
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            timings[name] = rec["sec"]
+        except Exception as exc:  # timing artifact must not die mid-suite
+            print(f"isolate: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(sum(ok.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "mode": "isolate",
+            }
+        )
+    )
+
+
+def _single(name: str) -> None:
+    """Child of --isolate: warm up this JVM, time ONE query, print one
+    JSON record."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench-single", cpus=cpus, shuffle_partitions=int(cpus))
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(int(cpus) * 10).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()
+    fn = entrymod.queries()[name]
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),
+    )
+    if os.path.isdir(warm_dir):
+        try:
+            fn(spark, warm_dir).collect()
+        except Exception:
+            pass
+        spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    sec = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"name": name, "sec": sec}))
+    spark.stop()
 
 
 def main() -> None:
@@ -101,6 +182,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "mode": "shared",
             }
         )
     )
@@ -108,4 +190,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--isolate" in sys.argv:
+        _isolate()
+    elif "--single" in sys.argv:
+        _single(sys.argv[sys.argv.index("--single") + 1])
+    else:
+        main()

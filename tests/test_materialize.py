@@ -1,0 +1,65 @@
+"""SPARK_GRAFT_DURABLE switch: localCheckpoint vs persist(DISK_ONLY).
+
+On a cluster with executor churn, localCheckpoint blocks die with
+their executor; docs/CLUSTER.md prescribes persist(DISK_ONLY). The
+switch makes that substitution code, not prose: every lineage-cut in
+the engine routes through plans.materialize.materialize().
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import (
+    durable_mode,
+    materialize,
+)
+
+
+def test_default_is_local_checkpoint(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_DURABLE", raising=False)
+    assert not durable_mode()
+    df = materialize(spark.range(10).withColumn("x", F.col("id") * 2))
+    # localCheckpoint truncates lineage to an RDD scan
+    assert "Scan ExistingRDD" in df._jdf.queryExecution().toString()
+    assert df.count() == 10
+
+
+def test_durable_mode_persists_disk_only(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_DURABLE", "1")
+    assert durable_mode()
+    df = materialize(spark.range(10).withColumn("x", F.col("id") * 2))
+    try:
+        assert df.storageLevel == StorageLevel.DISK_ONLY
+        assert df.count() == 10
+    finally:
+        df.unpersist()
+
+
+def test_durable_eager_materializes_now(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_DURABLE", "1")
+    df = materialize(spark.range(100), eager=True)
+    try:
+        # eager persist must have computed the cache already
+        info = [
+            r
+            for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if r.numCachedPartitions() > 0
+        ]
+        assert info, "eager durable materialize left nothing cached"
+    finally:
+        df.unpersist()
+
+
+def test_same_values_both_modes(spark, monkeypatch):
+    base = spark.range(50).withColumn("g", F.col("id") % 5)
+    monkeypatch.delenv("SPARK_GRAFT_DURABLE", raising=False)
+    a = sorted(map(tuple, materialize(base).groupBy("g").count().collect()))
+    monkeypatch.setenv("SPARK_GRAFT_DURABLE", "1")
+    df = materialize(base)
+    try:
+        b = sorted(map(tuple, df.groupBy("g").count().collect()))
+    finally:
+        df.unpersist()
+    assert a == b
