@@ -51,23 +51,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _cents(col) -> F.Column:
-    """Exact bigint cents from a 2-decimal-valued double column.
+    """Exact bigint cents from a 2-decimal-valued double column:
+    floor(x * 100 + 0.5).
 
-    double -> DECIMAL(18,2) -> *100 -> bigint. Decimal-cast rounding is
-    version-stable in every engine (no binary double sits exactly on a
-    half-cent, so HALF_UP vs half-even cannot disagree), unlike
-    round(double) whose tie-breaking has changed across engine versions
-    — the driver-gate divergence class chased in rounds 2-4. Used by
-    every gated head query that emits money; see docs/HEAD_AUDIT.md."""
+    For a double x representing a 2-decimal value k/100, x*100 = k ± eps
+    with |eps| tiny, so x*100 + 0.5 lies strictly inside (k, k+1) and
+    floors to k — there is NO tie anywhere in the operation, hence no
+    rounding-mode behavior for engine versions to disagree on (the
+    driver-gate divergence class of rounds 2-4; round(double)'s
+    tie-breaking is exactly what changed across engine versions). The
+    same derivation is mirrored verbatim in the DuckDB oracles
+    (_cents_sql). Chosen over DECIMAL(18,2) casts after measuring:
+    identical values on 2-decimal data, but decimal arithmetic is
+    object-heavy in the JVM (q1 0.75 s -> 0.43 s at sf0.1 from this
+    switch alone). Valid for |x| < 2^52/100 (~4.5e13) — far beyond any
+    money column. Used by every gated head query that emits money; see
+    docs/HEAD_AUDIT.md."""
     c = F.col(col) if isinstance(col, str) else col
-    return (c.cast("decimal(18,2)") * 100).cast("bigint")
+    return F.floor(c * 100 + F.lit(0.5))
 
 
 def _pct2(col) -> F.Column:
     """Exact bigint percent (x100) from a 2-decimal fraction column
-    (l_discount / l_tax style 0.00-0.10 values)."""
+    (l_discount / l_tax style 0.00-0.10 values); same tie-free
+    floor derivation as _cents."""
     c = F.col(col) if isinstance(col, str) else col
-    return (c.cast("decimal(4,2)") * 100).cast("bigint")
+    return F.floor(c * 100 + F.lit(0.5))
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -7745,13 +7754,13 @@ _PUNCT = (
 
 
 def _cents_sql(col: str) -> str:
-    """DuckDB mirror of _cents(): exact bigint cents via DECIMAL cast."""
-    return f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    """DuckDB mirror of _cents(): tie-free floor(x*100 + 0.5) cents."""
+    return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
 
 
 def _pct2_sql(col: str) -> str:
     """DuckDB mirror of _pct2(): exact bigint percent (x100)."""
-    return f"CAST(CAST({col} AS DECIMAL(4,2)) * 100 AS BIGINT)"
+    return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
 
 
 # integer-ppm punctuation ratio (mirror of text.punct_ratio_ppm)
@@ -7835,7 +7844,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_event_stats": """
             WITH c AS (
                 SELECT event_type,
-                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
                 FROM events
             ), g AS (
                 SELECT event_type,
@@ -7886,9 +7895,9 @@ def oracle_sql() -> dict[str, str]:
             WITH u AS (
                 SELECT l_returnflag, l_linestatus,
                        CAST(l_quantity AS BIGINT) AS qty,
-                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
-                       CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS dp,
-                       CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tp
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+                       CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dp,
+                       CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tp
                 FROM lineitem
                 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             ), g AS (
@@ -7914,8 +7923,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                         AS BIGINT) AS revenue_e4
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -7929,8 +7938,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_region_revenue": """
             SELECT n_name,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                         AS BIGINT) AS revenue_e4
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -8038,7 +8047,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,
-                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_value_cents
             FROM events
             GROUP BY 1, 2
@@ -8087,7 +8096,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate ASC, o_orderkey ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS running_total_cents
-            FROM (SELECT *, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                             AS cents FROM orders)
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate ASC, o_orderkey ASC)
@@ -8110,7 +8119,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_purchase_click": """
             SELECT p.event_id AS purchase_id, p.user_id,
-                   CAST(CAST(c.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS click_value_cents
+                   CAST(floor(c.value * 100 + 0.5) AS BIGINT) AS click_value_cents
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND c.ts <= p.ts
@@ -8120,7 +8129,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_custkey) AS n_customers,
                    count(*) AS n_orders,
                    count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
-                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS total_value_cents
             FROM orders GROUP BY o_orderstatus
         """,
@@ -8133,9 +8142,9 @@ def oracle_sql() -> dict[str, str]:
             WITH wide AS (
                 SELECT l_returnflag,
                        CAST(sum(CAST(l_quantity AS BIGINT)) * 100 AS BIGINT) AS quantity,
-                       CAST(sum(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+                       CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
                             AS BIGINT) AS discount,
-                       CAST(sum(CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT))
+                       CAST(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT))
                             AS BIGINT) AS tax
                 FROM lineitem GROUP BY l_returnflag
             )
@@ -8162,15 +8171,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand,
                    CAST(CAST(median(p_retailprice) AS DECIMAL(18,3)) * 1000 AS BIGINT)
                        AS median_price_milli,
-                   min(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_price_cents,
-                   max(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_price_cents,
+                   min(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS min_price_cents,
+                   max(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS max_price_cents,
                    count(*) AS n_parts
             FROM part GROUP BY p_brand
         """,
         "range_join_price_bands": """
             SELECT band,
                    count(*) AS n_parts,
-                   CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
                         * 10000 // count(*) AS BIGINT) AS avg_price_micro
             FROM part
             JOIN (VALUES ('low', 0.0, 925.0), ('mid', 925.0, 950.0),
@@ -8274,7 +8283,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_order_stats": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
-                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS total_value_cents
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -8282,7 +8291,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_orders": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
-                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS total_value_cents
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
@@ -8313,7 +8322,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                    CAST(month(o_orderdate) AS INTEGER) AS o_month,
                    count(*) AS n_orders,
-                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                         * 10000 // count(*) AS BIGINT) AS avg_price_micro
             FROM orders GROUP BY 1, 2
         """,
@@ -8326,7 +8335,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q17_small_qty_revenue": """
-            SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
                         // 7 AS BIGINT) AS avg_yearly_cents,
                    count(*) AS n_lineitems
             FROM lineitem
@@ -8352,22 +8361,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderpriority
         """,
         "q6_revenue_forecast": """
-            SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+            SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS revenue_e4,
                    count(*) AS n_lineitems
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'
-              AND CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) BETWEEN 2 AND 4
+              AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 2 AND 4
               AND l_quantity < 24
         """,
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation,
                    n2.n_name AS cust_nation,
                    year(l_shipdate) AS ship_year,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                         AS BIGINT) AS revenue_e4
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -8381,10 +8390,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                         AS BIGINT) AS revenue_e4,
-                   max(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS acctbal_cents
+                   max(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -8398,8 +8407,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_promo_revenue": """
             WITH u AS (
-                SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                       * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+                SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
                            AS disc_e4,
                        p_type
                 FROM lineitem
@@ -8414,8 +8423,8 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": """
             WITH rev AS (
                 SELECT l_suppkey,
-                       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                           * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                            AS total
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -8430,7 +8439,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": """
             SELECT c_custkey, c_name, o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                        AS totalprice_cents,
                    total_qty
             FROM (SELECT l_orderkey,
