@@ -1063,16 +1063,23 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate (shipdate range, discount band, quantity cap) pushes to
     the parquet scan; the agg is a single partial+final sum."""
     li = _t(spark, sf_dir, "lineitem")
-    dp = _pct2("l_discount")
     return (
         li.filter(
+            # float range filter, NOT the integer _pct2 form: a
+            # comparison of stored doubles against literals is
+            # deterministic in every engine (only OUTPUT values carry
+            # the round/avg hazard), and this form reaches the parquet
+            # scan as PushedFilters — the integer form does not.
             (F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1998-01-01")
-            & dp.between(2, 4)
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_cents("l_extendedprice") * dp).alias("revenue_e4"),
+            F.sum(_cents("l_extendedprice") * _pct2("l_discount")).alias(
+                "revenue_e4"
+            ),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -8368,7 +8375,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'
-              AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 2 AND 4
+              AND l_discount >= 0.02 AND l_discount <= 0.04
               AND l_quantity < 24
         """,
         "q7_volume_shipping": """
