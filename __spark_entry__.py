@@ -772,9 +772,12 @@ def q_quote_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is near 0: the quote-inside-document case symmetric
     near-dup misses by construction. Candidates via the rare-shingle
     inverted index (ABSOLUTE df ≤ 20 — a fractional cap grows with the
-    corpus and goes quadratic at scale); exact |A∩B| verify on
-    candidates only. The oracle replays the identical pruned-index
-    pipeline."""
+    corpus and goes quadratic at scale) with prefix filtering on top
+    (see dedup.overlap_coefficient_pairs: 1.5M → 214k candidates at
+    sf0.1); exact |A∩B| verify on candidates only. The oracle replays
+    the rare-index pipeline WITHOUT the prefix filter — the filter
+    provably drops only non-qualifying candidates, so the verified
+    outputs are identical (value-checked at sf0.01 and sf0.1)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     snippets = (

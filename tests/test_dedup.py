@@ -243,3 +243,45 @@ def test_overlap_coefficient_catches_quote_jaccard_misses(spark):
     ).collect()
     j = {(r.id_a, r.id_b): r.jaccard_sim for r in jac}
     assert j.get((1, 2), 0.0) < 0.1
+
+
+def test_overlap_prefix_filter_loses_no_qualifying_pair(spark):
+    """Prefix filtering must be output-identical to brute force when
+    every shingle is rare (df_cap high): the guarantee is that a pair
+    reaching overlap >= t on its smaller side always shares a shingle
+    inside the smaller side's rarest-first prefix. Corpus: overlapping
+    sliding excerpts of one long doc at varied lengths, so many pairs
+    sit exactly at and around the threshold."""
+    from pyspark.sql import Row
+
+    words = [f"w{i}" for i in range(60)]
+    rows = [Row(doc_id=0, text=" ".join(words))]
+    did = 1
+    for start in range(0, 40, 5):
+        for length in (10, 20, 30):
+            rows.append(
+                Row(doc_id=did, text=" ".join(words[start : start + length]))
+            )
+            did += 1
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b): r.overlap_coef
+        for r in dedup.overlap_coefficient_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.8, df_cap=10**6
+        ).collect()
+    }
+    # brute force over the same shingle sets
+    sh = {
+        r.doc_id: set(r.s)
+        for r in dedup._shingled(df, "doc_id", "text", 3, "s").collect()
+    }
+    want = {}
+    ids = sorted(sh)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sh[i] & sh[j])
+                coef = round(inter / min(len(sh[i]), len(sh[j])), 6)
+                if coef >= 0.8:
+                    want[(i, j)] = coef
+    assert got == want
