@@ -122,13 +122,30 @@ def minhash_candidate_pairs(
     id_col: str,
     num_hashes: int = 64,
     bands: int = 16,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_hashes/bands`` rows, hash each band, self-join per
     (band_idx, band_hash) bucket. Returns distinct (id_a < id_b) pairs.
 
-    The join key is the bucket hash — collisions are rare and bounded,
-    so the self-join never degenerates to a cross product at scale.
+    HASH collisions between distinct contents are rare and bounded —
+    but a bucket holding N genuinely IDENTICAL documents is not a
+    collision, it is N matching signatures, and it emits N(N-1)/2
+    pairs from one key (the boilerplate failure mode: a million
+    copies of one page is 5e11 pairs). Two mitigations, in order:
+
+    1. PRIMARY — exact-dedup first. Run :func:`exact_dedup` and
+       near-dup only the distinct-content representatives: within a
+       duplicate set every pair is trivially jaccard 1.0 and is
+       already recoverable from the exact-dup groups, so nothing is
+       lost and no bucket ever holds two identical contents.
+    2. BACKSTOP — ``bucket_cap``: keep only each bucket's ``cap``
+       smallest ids before the self-join (deterministic row_number on
+       the same (band_idx, band_hash) key the join shuffles on),
+       bounding worst-case fan-out to cap*(cap-1)/2 per bucket per
+       band regardless of how degenerate the corpus is — the same
+       bound pattern as graph.cooccurrence_edges. Default ``None``
+       preserves exact candidate semantics for oracle-mirrored use.
     """
     rows = num_hashes // bands
     band_entries = signatures.select(
@@ -142,6 +159,15 @@ def minhash_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_idx", "band_hash").orderBy(
+            F.col(id_col).asc()
+        )
+        band_entries = (
+            band_entries.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     return (
@@ -172,6 +198,7 @@ def minhash_near_dup(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact
     shingle Jaccard (computed only for candidate pairs). Returns
@@ -189,7 +216,7 @@ def minhash_near_dup(
     sigs = shingled.select(
         id_col, _sig_from_shingles("_shingles", num_hashes).alias("sig")
     )
-    pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+    pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands, bucket_cap)
     return (
         pairs.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("_shingles", "_sa"), "id_a")
         .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("_shingles", "_sb"), "id_b")
@@ -520,6 +547,7 @@ def simhash_hamming_pairs(
     sim_col: str = "simhash",
     max_hamming: int = 3,
     bits: int = PORTABLE_SIMHASH_BITS,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, via pigeonhole
     banding: split the ``bits``-bit fingerprint into ``max_hamming+1``
@@ -550,6 +578,18 @@ def simhash_hamming_pairs(
     entries = fp.select(
         F.col(id_col), F.col(sim_col), F.posexplode(vals).alias("_ci", "_cv")
     )
+    if bucket_cap is not None:
+        # same duplicate-set backstop as minhash_candidate_pairs: N
+        # identical fingerprints share every chunk bucket (N^2/2 pairs
+        # from one key); cap each (chunk_idx, chunk_value) bucket at its
+        # `cap` smallest ids. Exact-dedup-first remains the primary
+        # mitigation; default None keeps oracle-mirrored semantics.
+        w = Window.partitionBy("_ci", "_cv").orderBy(F.col(id_col).asc())
+        entries = (
+            entries.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a, b = entries.alias("a"), entries.alias("b")
     ham = F.bit_count(
         F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))

@@ -285,3 +285,61 @@ def test_overlap_prefix_filter_loses_no_qualifying_pair(spark):
                 if coef >= 0.8:
                     want[(i, j)] = coef
     assert got == want
+
+
+def test_minhash_bucket_cap_bounds_duplicate_set_blowup(spark):
+    """A planted set of identical documents puts N matching signatures
+    in EVERY band bucket — N(N-1)/2 pairs from one key at scale (the
+    boilerplate failure mode). bucket_cap must bound the fan-out to the
+    cap's pair count while leaving genuinely-distinct near-dup pairs
+    untouched."""
+    from pyspark.sql import Row
+
+    boiler = "the same boilerplate page body repeated verbatim " * 4
+    distinct_a = " ".join(f"a{i}" for i in range(30))
+    distinct_b = " ".join(f"a{i}" for i in range(29)) + " zz"  # near-dup of a
+    rows = [Row(doc_id=i, text=boiler) for i in range(60)]
+    rows += [Row(doc_id=1000, text=distinct_a), Row(doc_id=1001, text=distinct_b)]
+    df = spark.createDataFrame(rows)
+
+    capped = dedup.minhash_near_dup(
+        df, "doc_id", "text", num_hashes=16, bands=4, threshold=0.8, bucket_cap=8
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    # the near-dup pair of distinct contents survives the cap
+    assert (1000, 1001) in pairs
+    # duplicate-set pairs are bounded by C(cap,2), not C(60,2)=1770
+    dup_pairs = {(a, b) for (a, b) in pairs if a < 100 and b < 100}
+    assert 0 < len(dup_pairs) <= 8 * 7 // 2
+    # survivors are the deterministic smallest ids
+    assert max(x for p in dup_pairs for x in p) <= 7
+
+    # uncapped default: the full quadratic pair set (current gate
+    # semantics, oracle-mirrored)
+    uncapped = dedup.minhash_candidate_pairs(
+        dedup.minhash_signatures(df, "doc_id", "text", num_hashes=16),
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+    ).count()
+    assert uncapped >= 60 * 59 // 2
+
+
+def test_simhash_bucket_cap_bounds_duplicate_fingerprints(spark):
+    """N identical fingerprints share every pigeonhole chunk bucket;
+    bucket_cap bounds that to C(cap,2) pairs with smallest-id
+    survivors, while a genuinely-near pair (1 differing bit) still
+    comes through."""
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, simhash=0x0F0F0F0F) for i in range(50)]
+    rows += [Row(doc_id=900, simhash=0x70F0F0F0), Row(doc_id=901, simhash=0x70F0F0F1)]
+    fp = spark.createDataFrame(rows)
+    out = dedup.simhash_hamming_pairs(
+        fp, "doc_id", max_hamming=3, bits=32, bucket_cap=6
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (900, 901) in pairs
+    dup_pairs = {(a, b) for (a, b) in pairs if a < 100 and b < 100}
+    assert 0 < len(dup_pairs) <= 6 * 5 // 2
+    assert max(x for p in dup_pairs for x in p) <= 5
