@@ -408,6 +408,7 @@ def _ngram_blocked_pairs(
     id_col: str,
     threshold: float,
     length_bucketing: bool,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs from a (id, _shingles) frame.
 
@@ -455,6 +456,18 @@ def _ngram_blocked_pairs(
             id_col, "_blk",
             F.col("_bt.b").alias("_bkt"), F.col("_bt.t").alias("_tag"),
         )
+        if block_cap is not None:
+            # duplicate-set backstop (same pattern as
+            # minhash_candidate_pairs): N identical docs share
+            # (_blk, _bkt, _tag); keep the cap smallest ids per key.
+            wcap = Window.partitionBy("_blk", "_bkt", "_tag").orderBy(
+                F.col(id_col).asc()
+            )
+            entries = (
+                entries.withColumn("_rn", F.row_number().over(wcap))
+                .filter(F.col("_rn") <= block_cap)
+                .drop("_rn")
+            )
         # Self-join via subquery ALIASES of the identical plan: the
         # canonical plans match, so the shuffle below the join is built
         # once and ReusedExchange feeds the other side.
@@ -472,6 +485,13 @@ def _ngram_blocked_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
 
+    if block_cap is not None:
+        wcap = Window.partitionBy("_blk").orderBy(F.col(id_col).asc())
+        light = (
+            light.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= block_cap)
+            .drop("_rn")
+        )
     a, b = light.alias("a"), light.alias("b")
     return a.join(
         b,
@@ -491,12 +511,13 @@ def ngram_candidates(
     threshold: float = 0.8,
     num_partitions: int | None = None,
     length_bucketing: bool = True,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs for exact-Jaccard scoring (see
     _ngram_blocked_pairs for the blocking/skew-hardening scheme)."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
     shingled = _shingled(base, id_col, text_col, shingle_n, "_shingles")
-    return _ngram_blocked_pairs(shingled, id_col, threshold, length_bucketing)
+    return _ngram_blocked_pairs(shingled, id_col, threshold, length_bucketing, block_cap)
 
 
 def ngram_jaccard_pairs(
@@ -507,6 +528,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     num_partitions: int | None = None,
     length_bucketing: bool = True,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard near-dup pairs over blocked
     candidates (see _ngram_blocked_pairs for the skew-hardening
@@ -518,7 +540,9 @@ def ngram_jaccard_pairs(
     the shingle arrays come back via id joins for the verify only."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)
     shingled = _shingled(base, id_col, text_col, shingle_n, "_shingles").transform(materialize)
-    cand = _ngram_blocked_pairs(shingled, id_col, threshold, length_bucketing)
+    cand = _ngram_blocked_pairs(
+        shingled, id_col, threshold, length_bucketing, block_cap
+    )
     return (
         cand.join(
             shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed(

@@ -343,3 +343,27 @@ def test_simhash_bucket_cap_bounds_duplicate_fingerprints(spark):
     dup_pairs = {(a, b) for (a, b) in pairs if a < 100 and b < 100}
     assert 0 < len(dup_pairs) <= 6 * 5 // 2
     assert max(x for p in dup_pairs for x in p) <= 5
+
+
+def test_ngram_block_cap_bounds_duplicate_blocks(spark):
+    """Identical documents share (first-shingle, length-bucket);
+    block_cap bounds the pairs to C(cap,2)-scale while a distinct
+    near-dup pair still comes through."""
+    from pyspark.sql import Row
+
+    boiler = "common opening shingle words " + " ".join(f"x{i}" for i in range(20))
+    da = " ".join(f"y{i}" for i in range(25))
+    db = " ".join(f"y{i}" for i in range(24)) + " zz"
+    rows = [Row(doc_id=i, text=boiler) for i in range(40)]
+    rows += [Row(doc_id=500, text=da), Row(doc_id=501, text=db)]
+    df = spark.createDataFrame(rows)
+    out = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.8, block_cap=5
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (500, 501) in pairs
+    dup_pairs = {(a, b) for (a, b) in pairs if a < 100 and b < 100}
+    # two tags x two buckets can each carry cap entries; the bound is
+    # a small multiple of C(cap,2), nowhere near C(40,2)=780
+    assert 0 < len(dup_pairs) <= 2 * (5 * 4 // 2)
+    assert max(x for p in dup_pairs for x in p) <= 9
