@@ -52,6 +52,13 @@ def read_batch_files(
         return read_json(spark, paths, schema)
     if fmt == "parquet":
         return spark.read.parquet(*(paths if isinstance(paths, (list, tuple)) else [paths]))
+    if fmt == "orc":
+        # built-in columnar alternative (orc-core ships inside Spark);
+        # same predicate-pushdown/column-pruning surface as parquet
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.orc(*(paths if isinstance(paths, (list, tuple)) else [paths]))
     raise ValueError(f"unsupported format: {fmt}")
 
 

@@ -60,7 +60,7 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.sinks.writ
 @dataclass
 class IngestConfig:
     source_dir: str
-    fmt: str  # "csv" | "json" | "parquet"
+    fmt: str  # "csv" | "json" | "parquet" | "orc" (readStream.format name)
     schema: StructType
     rules: RuleSet
     good_dir: str

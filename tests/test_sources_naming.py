@@ -67,6 +67,25 @@ def test_json_reader_inference(spark, tmp_path):
     assert read_batch_files(spark, p, "json").count() == 2
 
 
+def test_orc_reader_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC is the built-in columnar alternative to parquet (orc-core
+    ships inside Spark): round-trip values exactly and confirm the
+    filter reaches the ORC scan as a pushed filter."""
+    import os
+
+    d = os.path.join(tmp_path, "t_orc")
+    src = spark.createDataFrame(
+        [(i, f"s{i}", i * 1.5) for i in range(100)], "a long, b string, v double"
+    )
+    src.write.orc(d)
+    df = read_batch_files(spark, d, "orc")
+    assert sorted(r.a for r in df.collect()) == list(range(100))
+    plan = (
+        df.filter(df.a > 90).select("a")._jdf.queryExecution().toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThan(a,90)" in plan
+
+
 def test_eventgen_partition_independence(spark):
     """The custom source must return the SAME rows at any partition
     fan-out — retries and scale-ups cannot change the data."""

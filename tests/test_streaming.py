@@ -595,3 +595,37 @@ def test_eventgen_stream_exactly_once_across_restart(spark, tmp_path):
     # rows regenerate identically: spot-check against the pure function
     for i in (0, 1, len(ids) - 1):
         assert rows[i][:3] == eventgen.gen_row(ids[i], 17)[:3]
+
+
+def test_orc_streaming_ingest(spark, tmp_path):
+    """The file-arrival source dispatches on fmt generically; prove the
+    built-in ORC format works end to end through the same ingest
+    pipeline used for csv/json (schema-explicit, availableNow drain)."""
+    import os as _os
+
+    src = str(tmp_path / "orc_src")
+    _os.makedirs(src)
+    spark.createDataFrame(
+        [("s1", 21.5, 40.0), ("s2", 19.0, 50.0)],
+        "sensor_id string, temperature_C double, humidity double",
+    ).coalesce(1).write.orc(src + "/stage")
+    # move the part file in with an .orc suffix for the glob filter
+    part = [f for f in _os.listdir(src + "/stage") if f.endswith(".orc")][0]
+    _os.rename(_os.path.join(src, "stage", part), _os.path.join(src, "drop1.orc"))
+
+    stream = (
+        spark.readStream.format("orc")
+        .schema(SCHEMA)
+        .option("pathGlobFilter", "*.orc")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("orc_ingest_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM orc_ingest_out").collect()
+    assert sorted(r.sensor_id for r in rows) == ["s1", "s2"]
