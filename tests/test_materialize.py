@@ -63,3 +63,37 @@ def test_same_values_both_modes(spark, monkeypatch):
     finally:
         df.unpersist()
     assert a == b
+
+
+def test_operators_run_durable_end_to_end(spark, monkeypatch):
+    """Operators that route lineage cuts through materialize() must
+    produce identical results in durable mode — run the iterative
+    cluster propagation (most materialize-dependent operator: eager
+    per-round cuts) and the minhash pipeline both ways."""
+    from pyspark.sql import Row
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import dedup
+
+    rows = [Row(doc_id=i, text=f"chain doc {i // 3} shared body words here") for i in range(30)]
+    df = spark.createDataFrame(rows)
+
+    def run():
+        pairs = dedup.minhash_near_dup(
+            df, "doc_id", "text", num_hashes=16, bands=4, threshold=0.9
+        )
+        edges = pairs.select("id_a", "id_b")
+        clusters = dedup.duplicate_clusters(
+            edges, df.select("doc_id"), "doc_id"
+        )
+        return sorted(map(tuple, clusters.collect()))
+
+    monkeypatch.delenv("SPARK_GRAFT_DURABLE", raising=False)
+    local = run()
+    monkeypatch.setenv("SPARK_GRAFT_DURABLE", "1")
+    try:
+        durable = run()
+    finally:
+        for (_, rdd) in spark.sparkContext._jsc.getPersistentRDDs().items():
+            rdd.unpersist()
+    assert local == durable
+    assert len(local) == 30  # every doc labeled
