@@ -25,6 +25,13 @@ def load(path: str) -> dict:
         obj = json.loads(text.strip().splitlines()[-1])
     if "queries" not in obj and "parsed" in obj:
         obj = obj["parsed"]
+    if not isinstance(obj, dict) or "queries" not in obj:
+        sys.exit(
+            f"{path}: no per-query timings (the driver wrapper's 'parsed' "
+            "field is null when its bench capture was truncated — "
+            "BENCH_r03/BENCH_r04 have this; use a bench.py capture or "
+            "BENCH_ISOLATE_r05.json instead)"
+        )
     return obj
 
 
@@ -33,9 +40,18 @@ def main() -> None:
         sys.exit(__doc__)
     a, b = load(sys.argv[1]), load(sys.argv[2])
     qa, qb = a["queries"], b["queries"]
+    ma, mb = a.get("mode", "shared"), b.get("mode", "shared")
+    if ma != mb:
+        # isolate numbers sit ~30-60% above shared-suite numbers for
+        # the same code (cold JVM per query) — see docs/BENCH_NOTES.md
+        print(
+            f"WARNING: comparing mode={ma} against mode={mb} — "
+            "cross-mode deltas are mostly harness, not code; compare "
+            "isolate-vs-isolate or shared-vs-shared."
+        )
     print(
-        f"total: {a['value']:.1f}s ({len(qa)} queries) -> "
-        f"{b['value']:.1f}s ({len(qb)} queries)"
+        f"total: {a['value']:.1f}s ({len(qa)} queries, {ma}) -> "
+        f"{b['value']:.1f}s ({len(qb)} queries, {mb})"
     )
     added = sorted(set(qb) - set(qa))
     removed = sorted(set(qa) - set(qb))
