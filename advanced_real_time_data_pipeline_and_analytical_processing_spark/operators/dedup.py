@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import materialize
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import (
+    materialize,
+    materialize_round,
+    release,
+)
 
 TOKEN_SPLIT = r"\s+"
 
@@ -376,6 +380,7 @@ def duplicate_clusters(
     labels = vertices.select(
         F.col(id_col).alias("_vid"), F.col(id_col).alias("_label")
     ).transform(materialize)
+    prev = None  # previous round's eager frame, released once superseded
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges._src == labels._vid)
@@ -392,8 +397,10 @@ def duplicate_clusters(
                 ),
                 F.col("_label"),
             )
-            .transform(lambda _d: materialize(_d, eager=True))
+            .transform(lambda _d: materialize_round(_d, eager=True))
         )
+        release(prev)
+        prev = stepped
         converged = stepped.filter(F.col("_new") < F.col("_label")).isEmpty()
         labels = stepped.select("_vid", F.col("_new").alias("_label"))
         if converged:

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import materialize
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import (
+    materialize,
+    materialize_round,
+    release,
+)
 
 
 def cooccurrence_edges(
@@ -85,6 +89,7 @@ def pagerank_micro(
     # (src, dst, src_degree) built once, reused every round
     ed = dir_edges.join(deg, "u").transform(materialize)
     ranks = deg.select("u", F.lit(init).cast("bigint").alias("pr"))
+    prev = None  # previous round's materialized frame, released per round
     for _ in range(iters):
         contrib = (
             ed.join(ranks, "u")
@@ -97,7 +102,9 @@ def pagerank_micro(
         )
         ranks = contrib.select(
             "u", (F.lit(base).cast("bigint") + F.col("_in")).alias("pr")
-        ).transform(materialize)
+        ).transform(materialize_round)
+        release(prev)
+        prev = ranks
     return ranks.select(F.col("u").alias("node"), F.col("pr").alias("pr_micro"))
 
 
@@ -157,6 +164,8 @@ def bfs_min_dist(edges: DataFrame, max_depth: int = 3) -> DataFrame:
         "node", F.lit(0).cast("bigint").alias("dist")
     )
     frontier = visited.select("node")
+    prev_visited = None  # released once the round's successors are durable
+    prev_nxt = None
     for d in range(1, max_depth + 1):
         nxt = (
             frontier.join(dir_e, frontier.node == dir_e.u)
@@ -164,9 +173,13 @@ def bfs_min_dist(edges: DataFrame, max_depth: int = 3) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(d).cast("bigint").alias("dist"))
-            .transform(materialize)
+            .transform(materialize_round)
         )
-        visited = visited.union(nxt).transform(materialize)
+        new_visited = visited.union(nxt).transform(materialize_round)
+        release(prev_visited)
+        release(prev_nxt)
+        prev_visited, prev_nxt = new_visited, nxt
+        visited = new_visited
         frontier = nxt.select("node")
     return visited
 

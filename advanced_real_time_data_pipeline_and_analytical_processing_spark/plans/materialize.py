@@ -20,6 +20,7 @@ without rebuilding the session.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
@@ -39,3 +40,50 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
             out.count()
         return out
     return df.localCheckpoint(eager=eager)
+
+
+def materialize_round(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Materialize one iterative-loop round.
+
+    Durable mode uses a RELIABLE ``checkpoint()`` (not persist): persist
+    keeps lineage, and an iterative loop's plan references the previous
+    round on BOTH sides of its join, so the logical plan doubles per
+    round — by ~round 30 merely rendering the plan string OOMs the
+    driver (caught by test_durable_iterative_loops_release_old_rounds
+    on a 40-round chain). checkpoint() writes blocks to the checkpoint
+    dir (HDFS on a real cluster — survives executor churn, the whole
+    point of durable mode) AND truncates lineage, so round N's plan is
+    O(1) regardless of N. Eager always, so the caller may immediately
+    :func:`release` the previous round. Set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at submit
+    time to have the ContextCleaner delete superseded checkpoint files
+    (docs/CLUSTER.md).
+
+    Non-durable mode: ``localCheckpoint`` exactly as before."""
+    if durable_mode():
+        sc = df.sparkSession.sparkContext
+        if not sc._jsc.sc().getCheckpointDir().isDefined():
+            sc.setCheckpointDir(
+                os.path.join(
+                    tempfile.gettempdir(), "spark_graft_checkpoints"
+                )
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
+
+
+def release(df: DataFrame | None) -> None:
+    """Release a frame previously returned by :func:`materialize`.
+
+    Durable mode: unpersist the DISK_ONLY blocks — iterative operators
+    (duplicate_clusters, pagerank_micro, bfs_min_dist) persist a fresh
+    frame per round, so without this the disk cache grows unboundedly
+    over a long-lived session. Call ONLY after every successor that
+    reads ``df`` has been eagerly materialized (materialize_round does
+    that). localCheckpoint mode: no-op — checkpoint blocks are freed by
+    the ContextCleaner when the frame is garbage collected."""
+    if df is not None and durable_mode():
+        try:
+            df.unpersist()
+        except Exception:
+            pass

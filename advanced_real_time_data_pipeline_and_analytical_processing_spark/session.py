@@ -66,6 +66,13 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine configs to an externally provided
     session (the driver hands us one; master/memory are fixed by then)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Spark 4 defaults ANSI mode ON; under ANSI a no-match
+    # regexp_extract '' -> CAST(... AS BIGINT) raises instead of
+    # yielding NULL, and integer overflow errors instead of wrapping.
+    # The engine's semantics (and every oracle comparison) are defined
+    # with ANSI off; the conf is runtime-settable, so pin it here to
+    # neutralize whatever session the driver hands us.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -59,6 +59,9 @@ def _isolate() -> None:
             print(f"isolate: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
     ok = {k: v for k, v in timings.items() if v >= 0}
+    # "value" sums only succeeded queries; n_failed makes a partial
+    # artifact self-describing so bench_diff can refuse/adjust instead
+    # of comparing totals over different query sets.
     print(
         json.dumps(
             {
@@ -68,6 +71,7 @@ def _isolate() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "mode": "isolate",
+                "n_failed": len(timings) - len(ok),
             }
         )
     )

@@ -7,9 +7,11 @@ showed local-green/driver-red divergence. Two defenses exist:
 whatever session arrives, and the gated head emits only integers.
 This test builds a session a driver plausibly would — non-UTC
 timezone, parquet NTZ inference disabled (timestamps become LTZ),
-ANSI off — in a FRESH JVM (static confs can't change at runtime,
-hence the subprocess) and exact-compares the formerly driver-red
-queries plus the timestamp-heavy head queries against DuckDB.
+ANSI ON (the Spark 4 default; configure_session must pin it back
+off at runtime or ''->bigint casts become errors) — in a FRESH JVM
+(static confs can't change at runtime, hence the subprocess) and
+exact-compares the formerly driver-red queries plus the
+timestamp-heavy head queries against DuckDB.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import duckdb
 spark = (SparkSession.builder.master("local[4]")
     .config("spark.sql.session.timeZone", "America/New_York")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.ansi.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate())
 

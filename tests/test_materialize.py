@@ -97,3 +97,46 @@ def test_operators_run_durable_end_to_end(spark, monkeypatch):
             rdd.unpersist()
     assert local == durable
     assert len(local) == 30  # every doc labeled
+
+
+def test_durable_iterative_loops_release_old_rounds(spark, monkeypatch):
+    """Durable mode persists a fresh DISK_ONLY frame per iterative
+    round; without release() the cache grows unboundedly over a
+    long-lived session. After an operator returns, only the frames the
+    RESULT still needs may stay cached — not one per round."""
+    from pyspark.sql import Row
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import dedup, graph
+
+    monkeypatch.setenv("SPARK_GRAFT_DURABLE", "1")
+
+    def n_cached():
+        return sum(
+            1
+            for (_, rdd) in spark.sparkContext._jsc.getPersistentRDDs().items()
+        )
+
+    # a 40-node chain: label propagation needs many rounds to converge
+    edges = spark.createDataFrame(
+        [Row(u=i, v=i + 1) for i in range(39)]
+    ).selectExpr("u as id_a", "v as id_b")
+    vertices = spark.range(40).selectExpr("id as doc_id")
+    try:
+        before = n_cached()
+        out = dedup.duplicate_clusters(
+            edges.selectExpr("id_a", "id_b"), vertices, "doc_id"
+        )
+        assert out.count() == 40
+        # edges + initial labels + final round survive; released rounds don't
+        assert n_cached() - before <= 4
+
+        before = n_cached()
+        pr = graph.pagerank_micro(
+            spark.createDataFrame([Row(u=i, v=i + 1) for i in range(20)]),
+            iters=6,
+        )
+        assert pr.count() > 0
+        assert n_cached() - before <= 3
+    finally:
+        for (_, rdd) in spark.sparkContext._jsc.getPersistentRDDs().items():
+            rdd.unpersist()

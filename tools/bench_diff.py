@@ -49,10 +49,28 @@ def main() -> None:
             "cross-mode deltas are mostly harness, not code; compare "
             "isolate-vs-isolate or shared-vs-shared."
         )
+    # failed queries are recorded as -1.0 and excluded from 'value', so
+    # totals over different failure sets are not comparable — restrict
+    # the headline comparison to the intersection of SUCCEEDED queries.
+    ok_a = {q: v for q, v in qa.items() if v >= 0}
+    ok_b = {q: v for q, v in qb.items() if v >= 0}
+    fa = len(qa) - len(ok_a)
+    fb = len(qb) - len(ok_b)
+    if fa or fb:
+        print(
+            f"WARNING: partial artifacts ({fa} / {fb} failed queries) — "
+            "totals below are restricted to the intersection of "
+            "succeeded queries."
+        )
+    both = set(ok_a) & set(ok_b)
+    ta = sum(ok_a[q] for q in both)
+    tb = sum(ok_b[q] for q in both)
     print(
         f"total: {a['value']:.1f}s ({len(qa)} queries, {ma}) -> "
         f"{b['value']:.1f}s ({len(qb)} queries, {mb})"
     )
+    print(f"intersection ({len(both)} succeeded in both): {ta:.1f}s -> {tb:.1f}s")
+    qa, qb = ok_a, ok_b
     added = sorted(set(qb) - set(qa))
     removed = sorted(set(qa) - set(qb))
     if added:
