@@ -2284,8 +2284,8 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE into a variant column (binary-encoded, schema-on-read), then
     typed variant_get extraction feeding an integer aggregate — the
     open-table-format answer to schema drift in event payloads, vs the
-    per-field get_json_object re-parse in json_props_stats. Oracle
-    extracts the same path with DuckDB's JSON reader."""
+    per-field regex extraction in json_props_stats. Oracle extracts
+    the same path with DuckDB's JSON reader."""
     events = _t(spark, sf_dir, "events")
     parsed = events.select(
         "event_type", F.try_parse_json("props").alias("_v")

@@ -380,6 +380,7 @@ def duplicate_clusters(
     labels = vertices.select(
         F.col(id_col).alias("_vid"), F.col(id_col).alias("_label")
     ).transform(materialize)
+    labels0 = labels  # handle to the initial frame for end-of-loop release
     prev = None  # previous round's eager frame, released once superseded
     for _ in range(max_iter):
         nbr_min = (
@@ -405,6 +406,12 @@ def duplicate_clusters(
         labels = stepped.select("_vid", F.col("_new").alias("_label"))
         if converged:
             break
+    # the result derives from the final (checkpointed) round only, so
+    # the loop-invariant edge list and the initial label frame can be
+    # dropped in durable mode
+    release(edges)
+    if labels is not labels0:
+        release(labels0)
     return labels.select(
         F.col("_vid").alias(id_col), F.col("_label").alias("cluster_id")
     )

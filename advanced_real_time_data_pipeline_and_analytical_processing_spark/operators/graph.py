@@ -105,6 +105,9 @@ def pagerank_micro(
         ).transform(materialize_round)
         release(prev)
         prev = ranks
+    # final ranks is checkpointed (lineage cut), so the loop-invariant
+    # edge frame can be dropped too in durable mode
+    release(ed)
     return ranks.select(F.col("u").alias("node"), F.col("pr").alias("pr_micro"))
 
 
@@ -181,6 +184,7 @@ def bfs_min_dist(edges: DataFrame, max_depth: int = 3) -> DataFrame:
         prev_visited, prev_nxt = new_visited, nxt
         visited = new_visited
         frontier = nxt.select("node")
+    release(dir_e)  # final visited is checkpointed; edges no longer needed
     return visited
 
 
