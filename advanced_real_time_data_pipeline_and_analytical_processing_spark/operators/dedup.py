@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import (
     materialize,
     materialize_round,
+    persist_on_key,
     release,
 )
 
@@ -368,14 +369,17 @@ def duplicate_clusters(
     (id_col, cluster_id).
     """
     # Materialize the (bidirectional) edge list once — every round joins
-    # against it, and without the checkpoint each round would re-execute
-    # the full pair-generation lineage (fingerprint/LSH/scan).
-    edges = (
+    # against it on _src, and without a barrier each round would
+    # re-execute the full pair-generation lineage (fingerprint/LSH/
+    # scan). persist_on_key (not localCheckpoint) so the cached frame
+    # advertises hash(_src) partitioning and the per-round join only
+    # shuffles the label side (see plans/materialize.py).
+    edges = persist_on_key(
         pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
-        )
-        .transform(materialize)
+        ),
+        "_src",
     )
     labels = vertices.select(
         F.col(id_col).alias("_vid"), F.col(id_col).alias("_label")

@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import (
-    materialize,
     materialize_round,
+    persist_on_key,
     release,
 )
 
@@ -86,8 +86,17 @@ def pagerank_micro(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = dir_edges.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
-    # (src, dst, src_degree) built once, reused every round
-    ed = dir_edges.join(deg, "u").transform(materialize)
+    # (src, dst, src_degree) built once, reused every round — persisted
+    # HASH-PARTITIONED ON THE JOIN KEY rather than localCheckpoint'ed:
+    # localCheckpoint scans report UNKNOWN partitioning, so every round
+    # would re-Exchange the |E|-row edge frame; InMemoryRelation
+    # preserves outputPartitioning, so the per-round join only shuffles
+    # the |V|-row rank side. Locally AQE broadcasts the small rank
+    # table either way (A/B at sf1.0: identical checksums, equal time);
+    # at cluster scale where ranks exceed the broadcast threshold this
+    # removes iters× full-edge shuffles. persist keeps lineage, so a
+    # lost executor recomputes the shallow join instead of failing.
+    ed = persist_on_key(dir_edges.join(deg, "u"), "u")
     ranks = deg.select("u", F.lit(init).cast("bigint").alias("pr"))
     prev = None  # previous round's materialized frame, released per round
     for _ in range(iters):
@@ -158,10 +167,11 @@ def bfs_min_dist(edges: DataFrame, max_depth: int = 3) -> DataFrame:
     by construction — BFS level order IS the minimum distance, no
     floats anywhere. At 100 TB the frontier/visited sets shuffle on an
     unbounded key; rounds are O(diameter-bounded)."""
-    dir_e = (
-        edges.select("u", "v")
-        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .transform(materialize)
+    dir_e = persist_on_key(
+        edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        "u",
     )
     visited = dir_e.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).cast("bigint").alias("dist")
