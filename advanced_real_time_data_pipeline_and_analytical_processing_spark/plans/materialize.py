@@ -79,17 +79,23 @@ def persist_on_key(df: DataFrame, *key_cols: str) -> DataFrame:
     lineage cut via localCheckpoint is the wrong barrier: the resulting
     ExistingRDD scan reports unknown outputPartitioning, so each round
     re-Exchanges the full frame. ``repartition(key).persist()`` instead
-    materializes once AND advertises hash(key) partitioning through
-    InMemoryRelation, so every round's sort-merge/hash join skips the
-    big side's shuffle entirely (the small per-round side still
-    exchanges — or broadcasts under AQE). Lineage is retained, which is
-    exactly right for a shallow loop-invariant: a lost executor
-    recomputes the one join instead of failing the job. Storage level
-    follows the durability switch. Pair with :func:`release` at
-    operator exit (durable mode frees it; non-durable leaves it to the
-    ContextCleaner like any cached frame)."""
+    materializes once AND advertises hash(key) partitioning + in-
+    partition ordering through InMemoryRelation, so every round's
+    sort-merge join reads the big side as a bare InMemoryTableScan —
+    no per-round Exchange AND no per-round Sort (plan-verified; only
+    the small per-round side exchanges, or broadcasts under AQE).
+    Lineage is retained, which is exactly right for a shallow
+    loop-invariant: a lost executor recomputes the one join instead of
+    failing the job. Storage level follows the durability switch. Pair
+    with :func:`release` at operator exit (durable mode frees it;
+    non-durable leaves it to the ContextCleaner like any cached
+    frame)."""
     level = StorageLevel.DISK_ONLY if durable_mode() else StorageLevel.MEMORY_AND_DISK
-    return df.repartition(*[df[c] for c in key_cols]).persist(level)
+    return (
+        df.repartition(*[df[c] for c in key_cols])
+        .sortWithinPartitions(*key_cols)
+        .persist(level)
+    )
 
 
 def release(df: DataFrame | None) -> None:
