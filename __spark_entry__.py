@@ -1621,11 +1621,20 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy generations; edges CHAIN each fingerprint group (id → next id
     via lead()), so components are 3-node paths of diameter 2 — the
     propagation must actually iterate, and the DuckDB recursive-CTE
-    oracle value-checks the fixpoint."""
+    oracle value-checks the fixpoint.
+
+    Planted ids are the INJECTIVE map 3d / 3d+1 / 3d+2 (r6): the old
+    additive offsets (+100000/+200000) collided with real doc_ids on
+    the sf1.0 fixtures, and a duplicate id inside one fingerprint
+    group makes the lead() chain's ORDER BY doc_id tie — engines then
+    legally emit different edges. 3d+i cannot collide for any
+    non-negative input ids, so the construction is
+    scale/fixture-proof (found by the r6 full-tail sf1.0 sweep)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    c1 = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    c2 = docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
-    corpus = docs.unionByName(c1).unionByName(c2)
+    base = docs.select((F.col("doc_id") * 3).alias("doc_id"), "text")
+    c1 = docs.select((F.col("doc_id") * 3 + 1).alias("doc_id"), "text")
+    c2 = docs.select((F.col("doc_id") * 3 + 2).alias("doc_id"), "text")
+    corpus = base.unionByName(c1).unionByName(c2)
     fp = corpus.select("doc_id", text.fingerprint(F.col("text")).alias("_f"))
     w = Window.partitionBy("_f").orderBy("doc_id")
     edges = (
@@ -2226,7 +2235,7 @@ def q_stateful_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.unix_micros("ts")).alias("m"))
         .collect()[0]["m"]
     )
-    sentinel = 10**9
+    sentinel = -1
     gap_s = 1800
     fut1 = max_ts + (gap_s + 3600) * 1_000_000
     stage_dir = _tempfile.mkdtemp(prefix="stream_sess_")
@@ -2255,7 +2264,7 @@ def q_stateful_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif field.name == "user_id":
                 cols["user_id"] = _pa.array([sentinel], type=field.type)
             elif field.name == "event_id":
-                cols["event_id"] = _pa.array([10**12], type=field.type)
+                cols["event_id"] = _pa.array([-1], type=field.type)
             else:
                 cols[field.name] = _pa.nulls(1, type=field.type)
         _pq.write_table(
@@ -2892,7 +2901,7 @@ def q_stream_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.unix_micros("ts")).alias("m"))
         .collect()[0]["m"]
     )
-    sentinel = 10**9
+    sentinel = -1
     # tick1 must put the watermark (tick - 6h delay) past every real
     # purchase's join window (p_ts + 6h): max_ts + 13h does; tick2
     # (+7h more) triggers the eviction batch without matching anything.
@@ -2916,7 +2925,7 @@ def q_stream_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif field.name == "user_id":
                 cols["user_id"] = _pa.array([sentinel, sentinel], type=field.type)
             elif field.name == "event_id":
-                cols["event_id"] = _pa.array([10**12, 10**12 + 1], type=field.type)
+                cols["event_id"] = _pa.array([-1, -2], type=field.type)
             elif field.name == "event_type":
                 cols["event_type"] = _pa.array(["purchase", "click"], type=field.type)
             else:
@@ -2995,7 +3004,7 @@ def q_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.unix_micros("ts")).alias("m"))
         .collect()[0]["m"]
     )
-    sentinel = 10**9
+    sentinel = -1
     # Chained stateful ops flush in STAGES: the hourly state must emit
     # into the daily state while the day window can still accept rows,
     # and a daily row appended in batch N is only emitted by batch
@@ -3028,7 +3037,7 @@ def q_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif field.name == "user_id":
                 cols["user_id"] = _pa.array([sentinel], type=field.type)
             elif field.name == "event_id":
-                cols["event_id"] = _pa.array([10**12], type=field.type)
+                cols["event_id"] = _pa.array([-1], type=field.type)
             elif field.name == "event_type":
                 # ticks ride a sentinel GROUP KEY, not a pre-agg filter:
                 # a user_id filter before the aggregation gets pushed
@@ -3966,11 +3975,15 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max quality score, doc_id tiebreak) — what a production pipeline
     actually ships after near-dup detection. Same planted 3-node chain
     corpus as duplicate_clusters, so the propagation must iterate and
-    the recursive-CTE oracle value-checks survivor choice per cluster."""
+    the recursive-CTE oracle value-checks survivor choice per cluster.
+    Planted ids use the injective 3d/3d+1/3d+2 map (r6) — the old
+    additive offsets collided with sf1.0 replica ids, making the
+    lead() chain tie on doc_id (see q_duplicate_clusters)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    c1 = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    c2 = docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
-    corpus = docs.unionByName(c1).unionByName(c2)
+    base = docs.select((F.col("doc_id") * 3).alias("doc_id"), "text")
+    c1 = docs.select((F.col("doc_id") * 3 + 1).alias("doc_id"), "text")
+    c2 = docs.select((F.col("doc_id") * 3 + 2).alias("doc_id"), "text")
+    corpus = base.unionByName(c1).unionByName(c2)
     fp = corpus.select("doc_id", text.fingerprint(F.col("text")).alias("_f"))
     w = Window.partitionBy("_f").orderBy("doc_id")
     edges = (
@@ -5262,8 +5275,16 @@ def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-with-first-element matches the fold's initialization exactly.
     Constants are cast to DOUBLE on both engines (a bare 0.3 literal
     is DECIMAL in DuckDB) and every step shares operand order, so the
-    smoothed doubles agree bit-for-bit before the terminal round(6).
-    Daily grain bounded by calendar span; one shuffle on event_type."""
+    smoothed doubles agree BIT-FOR-BIT (verified three-way vs a pure
+    IEEE Python fold at sf1.0). Outputs are those raw doubles: r6
+    removed the former terminal round(x, 6) after the sf1.0 sweep
+    caught it — Spark rounds via exact-decimal HALF_UP while DuckDB
+    multiplies in float, so the two round() implementations disagree
+    at the ulp on IDENTICAL inputs once the level reaches ~3e9 (double
+    ulp ≈ the 6th decimal). Any terminal transform must be a function
+    both engines compute identically on identical doubles; identity
+    trivially is. Daily grain bounded by calendar span; one shuffle on
+    event_type."""
     events = _t(spark, sf_dir, "events")
     daily = events.groupBy(
         "event_type",
@@ -5277,9 +5298,9 @@ def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "event_type",
         F.col("n_points").alias("n_days"),
-        F.round("level", 6).alias("level_q4"),
-        F.round("trend", 6).alias("trend_q4"),
-        F.round(F.col("level") + F.col("trend"), 6).alias("forecast_q4"),
+        F.col("level").alias("level_q4"),
+        F.col("trend").alias("trend_q4"),
+        (F.col("level") + F.col("trend")).alias("forecast_q4"),
     )
 
 
@@ -7464,9 +7485,13 @@ def q_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
             " AND UNBOUNDED FOLLOWING)"
         ).alias("cum_pop_ppm"),
+        # cum spend in cents reaches ~4e13 at sf1.0; x1e6 would wrap
+        # int64 (found by the r6 full-tail sf1.0 sweep: garbage
+        # negative ppm). Widen the numerator to DECIMAL(38,0) — the
+        # DuckDB side is already exact (HUGEINT window sums).
         F.expr(
-            "sum(s) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
-            " PRECEDING AND CURRENT ROW) * 1000000"
+            "CAST(sum(s) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) * 1000000"
             " div sum(s) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
             " AND UNBOUNDED FOLLOWING)"
         ).alias("cum_spend_ppm"),
@@ -8644,9 +8669,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "duplicate_clusters": """
             WITH RECURSIVE corpus AS (
-                SELECT doc_id, text FROM documents
-                UNION ALL SELECT doc_id + 100000, text FROM documents
-                UNION ALL SELECT doc_id + 200000, text FROM documents
+                SELECT doc_id * 3 AS doc_id, text FROM documents
+                UNION ALL SELECT doc_id * 3 + 1, text FROM documents
+                UNION ALL SELECT doc_id * 3 + 2, text FROM documents
             ),
             fp AS (
                 SELECT doc_id,
@@ -9128,9 +9153,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_survivors": f"""
             WITH RECURSIVE corpus AS (
-                SELECT doc_id, text FROM documents
-                UNION ALL SELECT doc_id + 100000, text FROM documents
-                UNION ALL SELECT doc_id + 200000, text FROM documents
+                SELECT doc_id * 3 AS doc_id, text FROM documents
+                UNION ALL SELECT doc_id * 3 + 1, text FROM documents
+                UNION ALL SELECT doc_id * 3 + 2, text FROM documents
             ),
             fp AS (
                 SELECT doc_id,
@@ -10953,9 +10978,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ser
         )
         SELECT event_type, n_days,
-               round(st[1], 6) AS level_q4,
-               round(st[2], 6) AS trend_q4,
-               round(st[1] + st[2], 6) AS forecast_q4
+               st[1] AS level_q4,
+               st[2] AS trend_q4,
+               st[1] + st[2] AS forecast_q4
         FROM folded
     """
     out["spend_quintile_migration"] = """

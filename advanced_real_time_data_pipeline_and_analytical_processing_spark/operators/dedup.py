@@ -352,17 +352,20 @@ def duplicate_clusters(
     pairs, but transitive duplicates A~B~C must collapse to ONE
     cluster even when A~C was never emitted).
 
-    Iterative min-label propagation: per round, every vertex takes the
-    min of its own label and its neighbors' labels — one shuffle per
-    round on the vertex id, converging in O(component diameter) rounds
-    (near-dup clusters are shallow; web-scale corpora see single-digit
-    diameters). Each round ends with localCheckpoint() to truncate the
-    lineage — without it the plan doubles per iteration and the 100 TB
-    run dies in the optimizer long before the executors. The
-    convergence probe rides the same cached frame (one cheap count per
-    round). At extreme skew (one giant component), swap the neighbor
-    step for the large-star/small-star split [Kiveris et al. 2014] —
-    same per-round join shape, fewer rounds.
+    Iterative min-label propagation WITH POINTER DOUBLING (r6): per
+    round every vertex takes the min of (its label, its neighbors'
+    labels, the label OF its label node). The neighbor step alone
+    converges in O(diameter) rounds, which is NOT scale-safe: the r6
+    full-registry sf1.0 sweep caught a 60-member identical-text group
+    whose lead()-chained edges form a 60-node path — diameter 60 >
+    max_iter, so the loop returned unconverged labels (10x the true
+    cluster count). The label-of-label shortcut halves remaining path
+    length per round, so convergence is O(log diameter) — max_iter=20
+    covers diameters up to ~2^20 at two shuffles per round instead of
+    one. Each round ends with a materialize_round() lineage cut —
+    without it the plan doubles per iteration and the 100 TB run dies
+    in the optimizer long before the executors. The convergence probe
+    rides the same cached frame (one cheap count per round).
 
     ``pairs``: (id_a, id_b) undirected edges. ``vertices``: one row per
     id (isolated ids keep themselves as cluster_id). Returns
@@ -393,13 +396,23 @@ def duplicate_clusters(
             .groupBy("_vid")
             .agg(F.min("_label").alias("_nbr"))
         )
+        # pointer doubling: the label of my label node. labels is keyed
+        # by _vid, so one self-join on (_label = _vid) resolves it; a
+        # label is always a reachable node id, so label-of-label is
+        # reachable too and min stays within the component.
+        lab2 = labels.select(
+            F.col("_vid").alias("_lvid"), F.col("_label").alias("_llabel")
+        )
         stepped = (
             labels.join(nbr_min, "_vid", "left")
+            .join(lab2, F.col("_label") == F.col("_lvid"), "left")
             .select(
                 "_vid",
-                F.least(F.col("_label"), F.coalesce("_nbr", "_label")).alias(
-                    "_new"
-                ),
+                F.least(
+                    F.col("_label"),
+                    F.coalesce("_nbr", "_label"),
+                    F.coalesce("_llabel", "_label"),
+                ).alias("_new"),
                 F.col("_label"),
             )
             .transform(lambda _d: materialize_round(_d, eager=True))
