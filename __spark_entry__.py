@@ -130,7 +130,7 @@ def q_flagship_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "min_value_cents",
         "max_value_cents",
-        F.expr("_sc * 10000L div n_rows").alias("avg_value_micro"),
+        F.expr("CAST(_sc AS DECIMAL(38,0)) * 10000 div n_rows").alias("avg_value_micro"),
         F.expr(
             "CAST(floor(sqrt(CAST(CAST(n_rows AS DECIMAL(38,0)) * _sc2"
             " - CAST(_sc AS DECIMAL(38,0)) * _sc AS DOUBLE)) / n_rows)"
@@ -480,13 +480,22 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical function of the identical bytes with a primitive
     proven green in the driver environment 48 times over
     (q18_large_orders, monthly_order_seasonality, ... over this same
-    column). Every output column is bigint or string."""
+    column). Every output column is bigint or string.
+
+    r7: the five-round red signature was the WINDOW NULL-ORDERING
+    asymmetry (VERDICT r6 #1a, experimentally confirmed): Spark ASC
+    defaults to NULLS FIRST while DuckDB defaults to NULLS LAST, so a
+    single NULL o_orderdate in the driver parquet shifts every frame
+    near the NULL row — rows/schema match, values differ, no error,
+    invisible on NULL-free local fixtures. Fixed by pinning NULLS
+    FIRST explicitly on BOTH sides (reproduced + verified on the
+    hostile NULL-date fixture in tools/hostile_data_sweep.py)."""
     orders = _t(spark, sf_dir, "orders")
     cents = _cents("o_totalprice")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(cents).alias("rev_cents")
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    w = Window.orderBy(F.col("day").asc_nulls_first()).rowsBetween(-6, 0)
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "rev_cents",
@@ -635,7 +644,7 @@ def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "band",
             "n_parts",
-            F.expr("_sc * 10000L div n_parts").alias("avg_price_micro"),
+            F.expr("CAST(_sc AS DECIMAL(38,0)) * 10000 div n_parts").alias("avg_price_micro"),
         )
     )
 
@@ -1020,7 +1029,7 @@ def q_monthly_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year",
             "o_month",
             "n_orders",
-            F.expr("_sc * 10000L div n_orders").alias("avg_price_micro"),
+            F.expr("CAST(_sc AS DECIMAL(38,0)) * 10000 div n_orders").alias("avg_price_micro"),
         )
     )
 
@@ -1042,10 +1051,24 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the same bytes.
 
     The mean is emitted as `avg_k_micro = sum_k * 1_000_000 div n`
-    (bigint micro-units) instead of a double avg(): a float average's
+    (micro-units) instead of a double avg(): a float average's
     bit pattern depends on the engine's summation algorithm and
-    version. Integer division over non-negative bigints is
-    engine-version-proof."""
+    version. Integer division over non-negative values is
+    engine-version-proof.
+
+    r7: the five-round red signature was the SILENT INT64 WRAP
+    asymmetry (VERDICT r6 #1b, experimentally confirmed): with ANSI
+    pinned off, Spark wraps `sum(bigint)` and `sum_k * 1000000`
+    silently, while DuckDB promotes sum(BIGINT) to HUGEINT and stays
+    exact — epoch- or id-scale driver k values trip it while small
+    local-fixture k never can. Fixed by accumulating in DECIMAL(38,0)
+    and emitting BOTH sides as DECIMAL(38,0); the mean is the exact
+    floor division `(s*1e6 - pmod(s*1e6, n)) / n` — the numerator is
+    made exactly divisible first, so the decimal divide is exact at
+    any magnitude (no scale-6 rounding hazard) and cannot overflow a
+    LONG the way `div` would past mean_k ~ 9.2e12. Reproduced +
+    verified on the hostile epoch-scale-k fixture
+    (tools/hostile_data_sweep.py)."""
     events = _t(spark, sf_dir, "events")
     k = F.nullif(
         F.regexp_extract("props", r'"k":\s*(\d+)', 1), F.lit("")
@@ -1054,8 +1077,12 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
-            F.sum("k").alias("sum_k"),
-            F.expr("sum(k) * 1000000L div count(k)").alias("avg_k_micro"),
+            F.sum(F.col("k").cast("decimal(38,0)")).alias("sum_k"),
+            F.expr(
+                "CAST((sum(CAST(k AS DECIMAL(38,0))) * 1000000"
+                " - pmod(sum(CAST(k AS DECIMAL(38,0))) * 1000000,"
+                " count(k))) / count(k) AS DECIMAL(38,0))"
+            ).alias("avg_k_micro"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -5298,9 +5325,9 @@ def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "event_type",
         F.col("n_points").alias("n_days"),
-        F.col("level").alias("level_q4"),
-        F.col("trend").alias("trend_q4"),
-        (F.col("level") + F.col("trend")).alias("forecast_q4"),
+        F.col("level"),
+        F.col("trend"),
+        (F.col("level") + F.col("trend")).alias("forecast"),
     )
 
 
@@ -8392,10 +8419,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1, 2
         """,
         "json_props_stats": r"""
+            -- r7: emit DECIMAL(38,0) on both sides; DuckDB's HUGEINT
+            -- sum/divide is already exact, the casts pin the emitted
+            -- type to match Spark's DECIMAL(38,0) accumulation.
             SELECT event_type,
-                   sum(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS sum_k,
-                   sum(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) * 1000000
-                     // count(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS avg_k_micro,
+                   CAST(sum(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS DECIMAL(38,0)) AS sum_k,
+                   CAST(sum(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) * 1000000
+                     // count(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS DECIMAL(38,0)) AS avg_k_micro,
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
@@ -8853,7 +8883,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(rev_cents) OVER w AS rolling_7d_cents,
                    count(*) OVER w AS n_days_in_window
             FROM daily
-            WINDOW w AS (ORDER BY day
+            WINDOW w AS (ORDER BY day NULLS FIRST
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "stream_stream_join": """
@@ -10978,9 +11008,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ser
         )
         SELECT event_type, n_days,
-               st[1] AS level_q4,
-               st[2] AS trend_q4,
-               st[1] + st[2] AS forecast_q4
+               st[1] AS level,
+               st[2] AS trend,
+               st[1] + st[2] AS forecast
         FROM folded
     """
     out["spend_quintile_migration"] = """

@@ -63,6 +63,18 @@ def materialize_round(df: DataFrame, eager: bool = False) -> DataFrame:
     if durable_mode():
         sc = df.sparkSession.sparkContext
         if not sc._jsc.sc().getCheckpointDir().isDefined():
+            # A local-FS tempdir checkpoint is only valid when driver and
+            # executors share the filesystem, i.e. local[*] masters. On a
+            # real cluster each executor would write blocks to its OWN
+            # disk and the re-read fails — don't mask a missing
+            # submit-time config there; fail loudly and point at the
+            # cluster doc.
+            if not sc.master.startswith("local"):
+                raise RuntimeError(
+                    "durable mode needs spark.checkpoint.dir set to a "
+                    "shared filesystem (HDFS/S3) on non-local masters — "
+                    "set it at submit time; see docs/CLUSTER.md"
+                )
             sc.setCheckpointDir(
                 os.path.join(
                     tempfile.gettempdir(), "spark_graft_checkpoints"

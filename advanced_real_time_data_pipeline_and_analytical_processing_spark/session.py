@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 defaults ANSI ON; the engine's semantics (and every
+        # oracle comparison) are defined with ANSI off. configure_session
+        # pins this for driver-provided sessions — pin it here too so
+        # local pytest / direct-operator sessions run under the SAME
+        # overflow/cast semantics as the gate (VERDICT r6 #2).
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", mem or "8g")  # cluster-submit path only
         .config("spark.ui.enabled", "false")
@@ -58,6 +64,10 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate may hand back a pre-existing session whose builder
+    # configs never applied; ANSI is runtime-settable, so pin it
+    # unconditionally — both factory paths must agree with the gate.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 

@@ -70,13 +70,23 @@ def main() -> None:
         f"{b['value']:.1f}s ({len(qb)} queries, {mb})"
     )
     print(f"intersection ({len(both)} succeeded in both): {ta:.1f}s -> {tb:.1f}s")
-    qa, qb = ok_a, ok_b
+    # registry changes come from the FULL key sets; a query present in
+    # both but failed (-1.0) in one is a regression/fix, not an edit —
+    # report those separately so a regression-to-failure can't
+    # masquerade as "removed".
     added = sorted(set(qb) - set(qa))
     removed = sorted(set(qa) - set(qb))
+    newly_failing = sorted(q for q in set(qa) & set(qb) if qa[q] >= 0 > qb[q])
+    newly_passing = sorted(q for q in set(qa) & set(qb) if qb[q] >= 0 > qa[q])
+    qa, qb = ok_a, ok_b
     if added:
-        print(f"added ({sum(qb[q] for q in added):.1f}s):", ", ".join(added))
+        print(f"added ({sum(qb[q] for q in added if q in qb):.1f}s):", ", ".join(added))
     if removed:
-        print(f"removed ({sum(qa[q] for q in removed):.1f}s):", ", ".join(removed))
+        print(f"removed ({sum(qa[q] for q in removed if q in qa):.1f}s):", ", ".join(removed))
+    if newly_failing:
+        print("NEWLY FAILING:", ", ".join(newly_failing))
+    if newly_passing:
+        print("newly passing:", ", ".join(newly_passing))
     movers = []
     for q in set(qa) & set(qb):
         d = qb[q] - qa[q]
