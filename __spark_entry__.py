@@ -120,10 +120,13 @@ def q_flagship_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(c).alias("min_value_cents"),
         F.max(c).alias("max_value_cents"),
         F.sum(c).alias("_sc"),
-        # c*c <= ~4e8 per row is exact bigint, but the SUM would wrap
-        # int64 past ~2.3e10 rows/group — accumulate in DECIMAL(38,0),
-        # mirroring the oracle's HUGEINT sum (docs/HEAD_AUDIT.md).
-        F.sum((c * c).cast("decimal(38,0)")).alias("_sc2"),
+        # Widen BEFORE the multiply: at the documented money-domain edge
+        # (cents ~4.5e15) c*c exceeds int64 PER ROW, so a bigint product
+        # wraps before any cast could save it; decimal(38,0)*bigint is
+        # exact per row AND as a sum to ~1e38, mirroring the oracle's
+        # CAST(cents AS HUGEINT) * cents (docs/HEAD_AUDIT.md; hostile
+        # sweep caught the per-row wrap).
+        F.sum(c.cast("decimal(38,0)") * c).alias("_sc2"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     return agg.select(
@@ -702,8 +705,11 @@ def q_vector_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, multiply, and floor are all IEEE-exact-specified), then the
     group mean is truncating integer division, so no float aggregate
     whose result depends on engine summation order ever reaches the
-    output."""
-    emb = _t(spark, sf_dir, "embeddings")
+    output. Profiles the indexable-vector population (degenerate
+    vectors carry no norm; oracle mirrors via _emb_ok)."""
+    emb = similarity.indexable_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding"
+    )
     nrm_micro = F.floor(similarity.l2_norm(F.col("embedding")) * 1000000).cast(
         "bigint"
     )
@@ -1532,8 +1538,12 @@ def q_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     label centroid — the clustering-quality audit for labeled
     embedding spaces. Centroids are rebuilt as arrays (array_sort of
     collected (dim, val) structs — deterministic) and broadcast back;
-    the member-side cosine is pure zip_with/aggregate JVM math."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    the member-side cosine is pure zip_with/aggregate JVM math.
+    Cohesion is over the indexable-vector population (oracle mirrors
+    via _emb_ok)."""
+    emb = similarity.indexable_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding"
+    ).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     comps = emb.select("label", F.posexplode("v").alias("dim", "val"))
@@ -2321,12 +2331,22 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed variant_get extraction feeding an integer aggregate — the
     open-table-format answer to schema drift in event payloads, vs the
     per-field regex extraction in json_props_stats. Oracle extracts
-    the same path with DuckDB's JSON reader."""
+    the same path with DuckDB's JSON reader.
+
+    r7 hostile-data hardening: try_variant_get (NULL, not error, on an
+    above-int64 k — variant casts are strict even with ANSI off;
+    DuckDB mirrors via TRY_CAST + json_valid, verified cell-by-cell
+    across the hostile props ladder: near/above int64, negative,
+    quoted, whitespace, missing, malformed, empty, NULL). sum_k
+    accumulates in DECIMAL(38,0) on both sides — a near-int64 k plus
+    neighbors wraps a bigint sum. Integer-k contract: on a fractional
+    k Spark's variant cast truncates while DuckDB's JSON cast rounds;
+    props k is integer-typed everywhere this engine reads it."""
     events = _t(spark, sf_dir, "events")
     parsed = events.select(
         "event_type", F.try_parse_json("props").alias("_v")
     )
-    k = F.variant_get(F.col("_v"), "$.k", "bigint")
+    k = F.try_variant_get(F.col("_v"), "$.k", "bigint")
     return (
         parsed.select("event_type", k.alias("k"))
         .filter(F.col("k").isNotNull())
@@ -2335,7 +2355,7 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_with_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            F.sum("k").alias("sum_k"),
+            F.sum(F.col("k").cast("decimal(38,0)")).alias("sum_k"),
         )
     )
 
@@ -4269,8 +4289,11 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     math is the identical expression tree in both engines (JVM-side
     higher-order functions — transform/zip_with/aggregate — no UDF).
     4x memory cut for ANN shortlists; the error report is what decides
-    whether the shortlist can be scored on codes alone."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    whether the shortlist can be scored on codes alone. Audits the
+    indexable-vector population (oracle mirrors via _emb_ok)."""
+    emb = similarity.indexable_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding"
+    ).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("_x")
     )
     # scale staged in its own projection: closed over by the two
@@ -7854,6 +7877,21 @@ def _pct2_sql(col: str) -> str:
     """DuckDB mirror of _pct2(): exact bigint percent (x100)."""
     return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
 
+def _emb_ok(col: str = "embedding") -> str:
+    """DuckDB mirror of similarity.indexable_vectors: keep only vectors
+    an index can hold — non-NULL, non-empty, every component non-NULL
+    and finite, nonzero norm. Injected into every embedding oracle so
+    both engines profile/search the identical vector population on
+    hostile fixtures (NULL / empty / zero / NULL-component vectors)."""
+    return (
+        f"({col} IS NOT NULL AND len({col}) > 0"
+        f" AND list_aggregate(list_transform({col},"
+        f" x -> CASE WHEN x IS NULL OR NOT isfinite(x) THEN 1 ELSE 0 END),"
+        f" 'sum') = 0"
+        f" AND list_aggregate(list_transform({col}, x -> abs(x)), 'sum') > 0)"
+    )
+
+
 
 # integer-ppm punctuation ratio (mirror of text.punct_ratio_ppm)
 _PUNCT_PPM = (
@@ -7902,12 +7940,15 @@ def _simhash_oracle(source: str = "documents") -> str:
 # Shared brute-force oracle for the two ANN index queries: over the
 # planted-copy corpus (_ann_corpus) the index answer provably equals
 # brute force, so one exact SQL computation certifies both pipelines.
-_ANN_TOPK_ORACLE = """
-    WITH corpus AS (
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
-        UNION ALL SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings
-        UNION ALL SELECT vec_id + 300000 AS vec_id, embedding FROM embeddings
+def _ann_topk_oracle() -> str:
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE {_emb_ok()}
+    ), corpus AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM base
+        UNION ALL SELECT vec_id + 200000 AS vec_id, embedding FROM base
+        UNION ALL SELECT vec_id + 300000 AS vec_id, embedding FROM base
     )
     SELECT query_id, neighbor_id, rank, round(sim, 6) AS score FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -7919,10 +7960,13 @@ _ANN_TOPK_ORACLE = """
                                                    CAST(c.embedding AS DOUBLE[])) DESC,
                             c.vec_id ASC
                ) AS rank
-        FROM embeddings q
+        FROM base q
         JOIN corpus c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
     ) WHERE rank <= 3
 """
+
+
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7943,12 +7987,12 @@ def oracle_sql() -> dict[str, str]:
                        min(cents) AS min_value_cents,
                        max(cents) AS max_value_cents,
                        sum(cents) AS sc,
-                       sum(cents * cents) AS sc2,
+                       sum(CAST(cents AS HUGEINT) * cents) AS sc2,
                        count(*) AS n_rows
                 FROM c GROUP BY event_type
             )
             SELECT event_type, min_value_cents, max_value_cents,
-                   CAST(sc * 10000 // n_rows AS BIGINT) AS avg_value_micro,
+                   TRY_CAST(sc * 10000 // n_rows AS BIGINT) AS avg_value_micro,
                    CAST(floor(sqrt(CAST(n_rows * sc2 - sc * sc AS DOUBLE)) / n_rows)
                         AS BIGINT) AS stddev_value_cents,
                    n_rows
@@ -8121,7 +8165,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
-        "cosine_topk": """
+        "cosine_topk": f"""
+            WITH base AS (
+                SELECT vec_id, embedding FROM embeddings WHERE {_emb_ok()}
+            )
             SELECT query_id, neighbor_id, rank, round(sim, 6) AS score FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -8132,8 +8179,8 @@ def oracle_sql() -> dict[str, str]:
                                                            CAST(c.embedding AS DOUBLE[])) DESC,
                                     c.vec_id ASC
                        ) AS rank
-                FROM embeddings q
-                JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+                FROM base q
+                JOIN base c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
             ) WHERE rank <= 5
         """,
         "events_hourly": """
@@ -8307,7 +8354,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) GROUP BY source
         """,
-        "vector_norms_by_label": """
+        "vector_norms_by_label": f"""
             SELECT label,
                    CAST(sum(nrm_micro) // count(*) AS BIGINT) AS avg_norm_micro,
                    count(*) AS n_vectors
@@ -8316,7 +8363,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(sqrt(list_sum(list_transform(
                            CAST(embedding AS DOUBLE[]), x -> x * x))) * 1000000)
                             AS BIGINT) AS nrm_micro
-                FROM embeddings
+                FROM embeddings WHERE {_emb_ok()}
             ) GROUP BY label
         """,
         "simhash_docs": _simhash_oracle(),
@@ -8349,11 +8396,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
             ) WHERE jaccard_sim >= 0.8
         """,
-        "embedding_near_dup": """
-            WITH corpus AS (
+        "embedding_near_dup": f"""
+            WITH base AS (
                 SELECT vec_id, embedding, label FROM embeddings
+                WHERE {_emb_ok()}
+            ), corpus AS (
+                SELECT vec_id, embedding, label FROM base
                 UNION ALL
-                SELECT vec_id + 100000, embedding, label FROM embeddings
+                SELECT vec_id + 100000, embedding, label FROM base
             )
             SELECT id_a, id_b, cos_sim FROM (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -8370,8 +8420,8 @@ def oracle_sql() -> dict[str, str]:
         # per query provably dominate (max natural cosine ~0.49 vs 1.0)
         # and are guaranteed co-bucketed/co-celled with the query, so
         # the index answer equals this brute-force computation.
-        "lsh_ann_topk": _ANN_TOPK_ORACLE,
-        "ivf_ann_topk": _ANN_TOPK_ORACLE,
+        "lsh_ann_topk": _ann_topk_oracle(),
+        "ivf_ann_topk": _ann_topk_oracle(),
         "cube_order_stats": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
@@ -8422,10 +8472,13 @@ def oracle_sql() -> dict[str, str]:
             -- r7: emit DECIMAL(38,0) on both sides; DuckDB's HUGEINT
             -- sum/divide is already exact, the casts pin the emitted
             -- type to match Spark's DECIMAL(38,0) accumulation.
+            -- TRY_CAST: an above-int64 k string is NULL on both sides
+            -- (Spark non-ANSI CAST overflow -> NULL; plain DuckDB CAST
+            -- would error instead).
             SELECT event_type,
-                   CAST(sum(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS DECIMAL(38,0)) AS sum_k,
-                   CAST(sum(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) * 1000000
-                     // count(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS DECIMAL(38,0)) AS avg_k_micro,
+                   CAST(sum(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS DECIMAL(38,0)) AS sum_k,
+                   CAST(sum(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) * 1000000
+                     // count(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS DECIMAL(38,0)) AS avg_k_micro,
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
@@ -8650,12 +8703,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ) GROUP BY 1, 2
         """,
-        "centroid_cohesion": """
+        "centroid_cohesion": f"""
             WITH comps AS (
                 SELECT label,
                        unnest(CAST(embedding AS DOUBLE[])) AS val,
                        generate_subscripts(embedding, 1) AS dim
-                FROM embeddings
+                FROM embeddings WHERE {_emb_ok()}
             ),
             cent AS (
                 SELECT label, dim, avg(val) AS cval
@@ -8665,7 +8718,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, label,
                        unnest(CAST(embedding AS DOUBLE[])) AS val,
                        generate_subscripts(embedding, 1) AS dim
-                FROM embeddings
+                FROM embeddings WHERE {_emb_ok()}
             ),
             cosines AS (
                 SELECT m.vec_id, m.label,
@@ -9374,10 +9427,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN stats s ON e.event_type = s.event_type
             GROUP BY e.event_type
         """,
-        "embedding_quantization": """
+        "embedding_quantization": f"""
             WITH v AS (
                 SELECT label, CAST(embedding AS DOUBLE[]) AS x
-                FROM embeddings
+                FROM embeddings WHERE {_emb_ok()}
             ),
             scaled AS (
                 SELECT label,
@@ -9791,12 +9844,14 @@ def oracle_sql() -> dict[str, str]:
     out["variant_props_extract"] = """
         WITH k AS (
             SELECT event_type,
-                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
-            FROM events WHERE props IS NOT NULL
+                   TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+            WHERE props IS NOT NULL AND json_valid(props)
         )
         SELECT event_type,
                count(*) AS n_with_k,
-               min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k
+               min(k) AS min_k, max(k) AS max_k,
+               CAST(sum(k) AS DECIMAL(38,0)) AS sum_k
         FROM k WHERE k IS NOT NULL
         GROUP BY event_type
     """
@@ -9814,14 +9869,14 @@ def oracle_sql() -> dict[str, str]:
                sum(n_suppliers) AS n_suppliers
         FROM per_nation GROUP BY r_name
     """
-    out["ann_planted_truth"] = """
+    out["ann_planted_truth"] = f"""
         SELECT 'lsh' AS method, vec_id AS query_id,
                vec_id + 100000 AS top1_id
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < 8 AND {_emb_ok()}
         UNION ALL
         SELECT 'ivf' AS method, vec_id AS query_id,
                vec_id + 100000 AS top1_id
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < 8 AND {_emb_ok()}
     """
     out["weighted_quality_sample"] = f"""
         WITH scored AS (
@@ -10255,7 +10310,11 @@ def oracle_sql() -> dict[str, str]:
         FROM d WHERE dur IS NOT NULL
         GROUP BY user_id HAVING sum(dur) > 0
     """
-    out["hard_negatives"] = """
+    out["hard_negatives"] = f"""
+        WITH base AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            WHERE {_emb_ok()}
+        )
         SELECT query_id, neighbor_id, neighbor_label, rank,
                round(sim, 6) AS score
         FROM (
@@ -10270,8 +10329,8 @@ def oracle_sql() -> dict[str, str]:
                                     CAST(c.embedding AS DOUBLE[])) DESC,
                                 c.vec_id ASC
                    ) AS rank
-            FROM embeddings q
-            JOIN embeddings c
+            FROM base q
+            JOIN base c
               ON q.vec_id < 16
              AND q.vec_id <> c.vec_id
              AND q.label <> c.label

@@ -43,6 +43,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def indexable_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop vectors no similarity index can hold: NULL, empty, any
+    NULL/NaN/Inf component, or zero norm (cosine against a zero vector
+    is 0/0 = NaN, which sorts ABOVE every real score in BOTH engines'
+    descending order and so poisons top-k on hostile data; a NULL
+    vector crashes driver-side centroid seeding outright). Applied at
+    every similarity entry point; oracle queries mirror it with the
+    same three-clause predicate (see _EMB_OK in __spark_entry__)."""
+    v = F.col(vec_col)
+    ok = (
+        v.isNotNull()
+        & (F.size(v) > 0)
+        & F.forall(
+            v,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) != float("inf")),
+        )
+        & (
+            F.aggregate(
+                F.transform(v, lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        )
+    )
+    return df.filter(ok)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -60,11 +90,13 @@ def cosine_topk(
     space.
     """
     q = F.broadcast(
-        queries.select(
+        indexable_vectors(queries, query_vec).select(
             F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
         )
     )
-    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec"))
+    c = indexable_vectors(corpus, corpus_vec).select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec")
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("_qid") != F.col("_cid"))
@@ -164,7 +196,7 @@ def cosine_near_dup(
     (id_a, id_b, cos_sim >= threshold)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     normed = (
-        df.select(
+        indexable_vectors(df, vec_col).select(
             F.col(block_col).alias("_blk"),
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
@@ -210,6 +242,7 @@ def hyperplane_lsh_buckets(
     probability; candidate search then joins on bucket instead of
     scanning the full corpus. Planes are driver-generated constants
     (broadcast as literals)."""
+    df = indexable_vectors(df, vec_col)
     bucket = sum(
         (
             F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1))
@@ -229,7 +262,8 @@ def sample_centroids(
     smallest ids, unit-normalized. Driver-side data is exactly n_cells
     vectors — bounded and tiny; the corpus itself never moves."""
     rows = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        indexable_vectors(df, vec_col)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy("_id")
         .limit(n_cells)  # TakeOrderedAndProject on the raw vectors...
         .select(unit_normalize(F.col("_v")).alias("_u"))  # ...then normalize only n_cells rows
@@ -300,7 +334,8 @@ def ivf_assign(
     kernel; the 16-element argmax stays a cheap JVM expression."""
     scores = centroid_scores_udf(centroids)
     return (
-        df.withColumn("_ivf_s", scores(F.col(vec_col)))
+        indexable_vectors(df, vec_col)
+        .withColumn("_ivf_s", scores(F.col(vec_col)))
         .withColumn(
             "cell",
             (
@@ -349,7 +384,8 @@ def ivf_topk(
     )
     qscores = centroid_scores_udf(centroids)
     probes = (
-        queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec"))
+        indexable_vectors(queries, query_vec)
+        .select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec"))
         .withColumn("_qs", qscores(F.col("_qvec")))
         .select("_qid", "_qvec", F.explode(probe_cells).alias("_p"))
         .select("_qid", "_qvec", F.col("_p.cell").alias("cell"))
@@ -429,13 +465,13 @@ def hard_negative_topk(
     corpus). Returns (query_id, neighbor_id, neighbor_label, rank,
     score)."""
     q = F.broadcast(
-        queries.select(
+        indexable_vectors(queries, query_vec).select(
             F.col(query_id).alias("_qid"),
             F.col(label_col).alias("_qlabel"),
             F.col(query_vec).alias("_qvec"),
         )
     )
-    c = corpus.select(
+    c = indexable_vectors(corpus, corpus_vec).select(
         F.col(corpus_id).alias("_cid"),
         F.col(label_col).alias("_clabel"),
         F.col(corpus_vec).alias("_cvec"),

@@ -119,7 +119,10 @@ def main() -> int:
     spark.stop()
     summary = {"fixture": sf_dir, "counts": counts, "queries": report}
     if not only:
-        with open("/root/repo/docs/HOSTILE_DATA_SWEEP.json", "w") as f:
+        import os
+
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        with open(f"/root/repo/docs/HOSTILE_DATA_SWEEP_{tag}.json", "w") as f:
             json.dump(summary, f, indent=1, sort_keys=True)
     print("hostile-data sweep:", json.dumps(counts))
     bad = sum(v for k, v in counts.items() if k not in ("PASS", "rows-only"))

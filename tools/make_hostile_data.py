@@ -25,8 +25,19 @@ fixture from a base sf dir with every such channel armed:
 Deterministic (fixed seed, fixed mutation positions). Row counts stay
 within a few dozen of the base so the full registry runs in minutes.
 
-Usage: python tools/make_hostile_data.py [base_sf_dir] [out_dir]
-Defaults: /root/testdata/sf0.001 -> /root/repo/testdata_hostile
+Two tiers are generated so NaN cast errors cannot MASK other channels:
+
+  testdata_hostile_nonan  NULLs + int64-edge + empty strings only —
+                          the driver-plausible envelope (the gate's
+                          green float-casting rows prove driver data
+                          has no NaN/Inf, but NULL dates and big
+                          magnitudes are live risks). Target: the
+                          full registry must PASS here.
+  testdata_hostile        everything above PLUS NaN/±Inf doubles —
+                          the chaos tier for cast-guard hardening.
+
+Usage: python tools/make_hostile_data.py [base_sf_dir] [out_root]
+Defaults: /root/testdata/sf0.001 -> /root/repo/testdata_hostile{,_nonan}
 """
 
 from __future__ import annotations
@@ -44,11 +55,15 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_hostile"
 
 NAN = float("nan")
 INF = float("inf")
+NINF = float("-inf")
 
-# price with cents ~9e15: per-row bigint products (cents * small ints)
-# exceed int64 while plain per-group sums stay exact — arms the
-# multiply-wrap channel without wrecking every sum.
-BIG_PRICE = 87654321098765.43
+# price with cents ~4.3e15 — INSIDE the engine's documented _cents
+# domain (|x| < 2^52/100 ~ 4.5e13 dollars) yet big enough that per-row
+# bigint products (cents * two small ints, ~8.5e19) exceed int64,
+# arming the multiply-wrap channel while plain per-group sums stay
+# exact. Values beyond the documented money domain are out of contract
+# (floor(x*100+0.5) loses the tie-free property past 2^52/100).
+BIG_PRICE = 43210987654321.09
 # above int64 after *1e6 scaling at modest group sums
 MID_PRICE = 98765432109.87
 
@@ -83,7 +98,7 @@ def mutate_orders(tbl: pa.Table) -> pa.Table:
     d["o_totalprice"][8] = 0.0
     d["o_totalprice"][9] = NAN
     d["o_totalprice"][10] = INF
-    d["o_totalprice"][11] = -INF
+    d["o_totalprice"][11] = NINF
     # appended fully-hostile rows
     for j, (tp, od) in enumerate(
         [
@@ -137,7 +152,7 @@ def mutate_events(tbl: pa.Table) -> pa.Table:
     d["value"][4] = None
     d["value"][5] = NAN
     d["value"][6] = INF
-    d["value"][7] = -INF
+    d["value"][7] = NINF
     d["value"][8] = BIG_PRICE
     # hostile props on existing rows: the k-magnitude ladder
     hostile_props = [
@@ -171,7 +186,7 @@ def mutate_customer(tbl: pa.Table) -> pa.Table:
     d = {f.name: col(tbl, f.name) for f in tbl.schema}
     d["c_acctbal"][1] = None
     d["c_acctbal"][2] = NAN
-    d["c_acctbal"][3] = -INF
+    d["c_acctbal"][3] = NINF
     d["c_mktsegment"][4] = None
     d["c_mktsegment"][5] = ""
     d["c_name"][6] = ""
@@ -251,8 +266,8 @@ MUTATORS = {
 }
 
 
-def main() -> int:
-    os.makedirs(OUT, exist_ok=True)
+def write_tier(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
     for name in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
@@ -260,9 +275,20 @@ def main() -> int:
         tbl = pq.read_table(os.path.join(BASE, f"{name}.parquet"))
         mut = MUTATORS.get(name)
         out = mut(tbl) if mut else tbl
-        pq.write_table(out, os.path.join(OUT, f"{name}.parquet"))
+        pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
         print(f"{name}: {tbl.num_rows} -> {out.num_rows} rows")
-    print(f"hostile fixture written to {OUT}")
+    print(f"hostile fixture written to {out_dir}")
+
+
+def main() -> int:
+    global NAN, INF, NINF
+    # chaos tier: NULLs + edge magnitudes + NaN/Inf
+    write_tier(OUT)
+    # driver-plausible tier: same mutations, NaN/Inf slots become NULLs
+    NAN = None
+    INF = None
+    NINF = None
+    write_tier(OUT + "_nonan")
     return 0
 
 
