@@ -2276,7 +2276,9 @@ def q_stateful_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_s = 1800
     fut1 = max_ts + (gap_s + 3600) * 1_000_000
     stage_dir = _tempfile.mkdtemp(prefix="stream_sess_")
-    _os.symlink(path, _os.path.join(stage_dir, "f1_events.parquet"))
+    # abspath: a relative sf_dir would make the symlink target resolve
+    # relative to the tempdir (broken link -> silently empty batch 0)
+    _os.symlink(_os.path.abspath(path), _os.path.join(stage_dir, "f1_events.parquet"))
     arrow_schema = _pq.read_schema(path)
     for name, ts_us in (("f2", fut1), ("f3", fut1 + 1_000_000)):
         cols = {}
@@ -9820,10 +9822,13 @@ def oracle_sql() -> dict[str, str]:
     """
     out["stateful_session_report"] = """
         WITH ordered AS (
+            -- mirror of session_close_on_timeout's contract: a NULL
+            -- key or NULL event time is unsessionizable
             SELECT user_id, epoch_us(ts) AS us,
                    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
                      AS prev_us
             FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
         ), flags AS (
             SELECT user_id, us,
                    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000

@@ -28,6 +28,7 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -166,6 +167,16 @@ def session_close_on_timeout(
     only — the contract downstream dedup-free sinks need."""
 
     gap_us = gap_seconds * 1_000_000
+
+    # A NULL key or NULL event time is unsessionizable: the state key
+    # would be None (crashes the int64 emit frame) and a NULL timestamp
+    # can neither extend a session nor advance the timeout clock. Drop
+    # both up front — Catalyst places the filter below the watermark
+    # node, which is exactly right here (unlike tick rows, these can
+    # never carry watermark signal).
+    stream_df = stream_df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
 
     def _emit(rows: list) -> pd.DataFrame:
         return pd.DataFrame(
