@@ -490,10 +490,20 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     defaults to NULLS FIRST while DuckDB defaults to NULLS LAST, so a
     single NULL o_orderdate in the driver parquet shifts every frame
     near the NULL row — rows/schema match, values differ, no error,
-    invisible on NULL-free local fixtures. Fixed by pinning NULLS
-    FIRST explicitly on BOTH sides (reproduced + verified on the
-    hostile NULL-date fixture in tools/hostile_data_sweep.py)."""
-    orders = _t(spark, sf_dir, "orders")
+    invisible on NULL-free local fixtures. Fixed by dropping NULL
+    order dates on BOTH sides (the verdict's mirrored-filter
+    option): DuckDB 1.0.0's window operator is unreliable whenever a
+    NULL DATE is present in its input — measured mis-placements
+    (NULL mid-sequence at 83 rows, first at 1092) AND dropped rows,
+    surviving both a NULLS FIRST qualifier and a leading
+    `(day IS NOT NULL)` boolean key — so the only deterministic
+    cross-engine mirror is for no NULL date to reach the window at
+    all. A dateless order has no place on a daily series; Spark keeps
+    asc_nulls_first as belt-and-braces. Reproduced + verified on the
+    hostile NULL-date fixture in tools/hostile_data_sweep.py."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     cents = _cents("o_totalprice")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(cents).alias("rev_cents")
@@ -529,7 +539,13 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each purchase, the value of the user's latest click at-or-before
     the purchase time. Union+window composition — one shuffle, no range
     blow-up."""
-    events = _t(spark, sf_dir, "events")
+    # NULL join keys / NULL event times are excluded on BOTH sides:
+    # SQL ASOF JOIN predicates (key equality, ts <=) are never true on
+    # NULL, while the union+window composition would group NULL keys
+    # and sort NULL ts first — the hostile-data sweep channel.
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
@@ -1990,10 +2006,14 @@ def q_user_credit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold no window frame expresses. Integer cents over a
     total order (us, event_id), so DuckDB's list_reduce over the
     identically-ordered sequence matches EXACTLY with zero float
-    discipline."""
+    discipline. Rows with a NULL event time are dropped on BOTH
+    sides: they have no position in the fold order, and the engines'
+    null-sort defaults disagree (Spark struct-sort NULLS FIRST vs
+    DuckDB list(ORDER BY) NULLS LAST — the hostile-data sweep
+    channel)."""
     events = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select(
             "user_id",
             F.unix_micros("ts").alias("_us"),
@@ -2503,7 +2523,9 @@ def q_monthly_revenue_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue in integer cents per row before summing; the lag window is
     unpartitioned but reads the MONTHLY aggregate (a few dozen rows),
     so the single-reducer sort is safe by construction."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = orders.groupBy(
         F.trunc(F.col("o_orderdate"), "month").alias("month")
     ).agg(
@@ -2732,8 +2754,11 @@ def q_monthly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("rev_cents").over(w).alias("prev_cents"),
         (F.col("rev_cents") - F.lag("rev_cents").over(w)).alias("delta_cents"),
         F.expr(
-            "(rev_cents - lag(rev_cents) OVER (ORDER BY month)) * 1000000"
-            " div lag(rev_cents) OVER (ORDER BY month)"
+            "(CAST(rev_cents AS DECIMAL(38,0))"
+            " - CAST(lag(rev_cents) OVER (ORDER BY month)"
+            "        AS DECIMAL(38,0))) * 1000000"
+            " div CAST(lag(rev_cents) OVER (ORDER BY month)"
+            "          AS DECIMAL(38,0))"
         ).alias("growth_ppm"),
     )
 
@@ -4915,6 +4940,12 @@ def q_pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("order_date"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d"),
     )
+    # A point with a NULL coordinate has no dominance order — drop on
+    # BOTH sides (the SQL anti-join would let it survive vacuously,
+    # the window frame comparison would drop it: engine asymmetry).
+    pts = pts.filter(
+        F.col("price_cents").isNotNull() & F.col("d").isNotNull()
+    )
     return topk.skyline_2d(
         pts, ["segment"], "price_cents", "d"
     ).select("segment", "o_orderkey", "price_cents", "order_date")
@@ -5144,11 +5175,13 @@ def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_name",
         "rev_cents",
         F.expr(
-            "rev_cents * 1000000 div sum(rev_cents)"
+            "CAST(rev_cents AS DECIMAL(38,0)) * 1000000"
+            " div sum(CAST(rev_cents AS DECIMAL(38,0)))"
             " OVER (PARTITION BY region_name)"
         ).alias("share_of_region_ppm"),
         F.expr(
-            "rev_cents * 1000000 div sum(rev_cents)"
+            "CAST(rev_cents AS DECIMAL(38,0)) * 1000000"
+            " div sum(CAST(rev_cents AS DECIMAL(38,0)))"
             " OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
             " AND UNBOUNDED FOLLOWING)"
         ).alias("share_of_global_ppm"),
@@ -5243,9 +5276,10 @@ def q_segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div CAST(CAST(n_customers AS DECIMAL(38,0))"
                 " * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0))"
             ).alias("gini_ppm"),
-            F.expr("_top_cents * 1000000 div total_cents").alias(
-                "top_decile_share_ppm"
-            ),
+            F.expr(
+                "CAST(_top_cents AS DECIMAL(38,0)) * 1000000"
+                " div CAST(total_cents AS DECIMAL(38,0))"
+            ).alias("top_decile_share_ppm"),
         )
     )
 
@@ -5902,12 +5936,19 @@ def q_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator retention curves and LTV projections share). Month
     index is integer year*12+month arithmetic; the cumulative window
     runs per cohort over the bounded month-index grain."""
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        (
-            F.year("o_orderdate") * 12 + F.month("o_orderdate")
-        ).alias("ym"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    # NULL o_orderdate rows are dropped on BOTH sides: a dateless
+    # order has no cohort month / month index (and NULL-group string
+    # rendering + window null-ordering both diverge across engines).
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("ym"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
     )
     first = orders.groupBy("o_custkey").agg(F.min("ym").alias("cym"))
     joined = orders.join(first, "o_custkey").select(
@@ -8234,13 +8275,15 @@ def oracle_sql() -> dict[str, str]:
                    ) AS price_rank,
                    CAST(sum(cents) OVER (
                        PARTITION BY o_custkey
-                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ORDER BY (o_orderdate IS NOT NULL), o_orderdate ASC,
+                                o_orderkey ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS running_total_cents
             FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                             AS cents FROM orders)
             WINDOW w AS (PARTITION BY o_custkey
-                         ORDER BY o_orderdate ASC, o_orderkey ASC)
+                         ORDER BY (o_orderdate IS NOT NULL), o_orderdate ASC,
+                                  o_orderkey ASC)
         """,
         "sessionization": """
             SELECT user_id,
@@ -8261,8 +8304,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_click": """
             SELECT p.event_id AS purchase_id, p.user_id,
                    CAST(floor(c.value * 100 + 0.5) AS BIGINT) AS click_value_cents
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            FROM (SELECT * FROM events WHERE event_type = 'purchase'
+                  AND user_id IS NOT NULL AND ts IS NOT NULL) p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click'
+                  AND user_id IS NOT NULL AND ts IS NOT NULL) c
               ON p.user_id = c.user_id AND c.ts <= p.ts
         """,
         "distinct_agg_orders": """
@@ -8932,13 +8977,13 @@ def oracle_sql() -> dict[str, str]:
             WITH daily AS (
                 SELECT CAST(o_orderdate AS DATE) AS day,
                        sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
-                FROM orders GROUP BY 1
+                FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
             )
             SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
                    sum(rev_cents) OVER w AS rolling_7d_cents,
                    count(*) OVER w AS n_days_in_window
             FROM daily
-            WINDOW w AS (ORDER BY day NULLS FIRST
+            WINDOW w AS (ORDER BY day
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "stream_stream_join": """
@@ -9721,7 +9766,7 @@ def oracle_sql() -> dict[str, str]:
                              THEN -CAST(round(value * 100) AS BIGINT)
                              ELSE CAST(round(value * 100) AS BIGINT) END
                         ORDER BY epoch_us(ts), event_id) AS deltas
-            FROM events WHERE value IS NOT NULL
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
             GROUP BY user_id
         )
         SELECT user_id,
@@ -9966,7 +10011,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                    count(*) AS n_orders,
                    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
-            FROM orders GROUP BY 1
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
         )
         SELECT month,
                CAST(last_day(month) AS DATE) AS month_end,
@@ -10725,10 +10770,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT month, rev_cents,
                lag(rev_cents) OVER w AS prev_cents,
                rev_cents - lag(rev_cents) OVER w AS delta_cents,
-               (rev_cents - lag(rev_cents) OVER w) * 1000000
-                   // lag(rev_cents) OVER w AS growth_ppm
+               CAST((rev_cents - lag(rev_cents) OVER w) * 1000000
+                   // lag(rev_cents) OVER w AS BIGINT) AS growth_ppm
         FROM monthly
-        WINDOW w AS (ORDER BY month)
+        WINDOW w AS (ORDER BY (month IS NOT NULL), month)
     """
     out["rfm_segments"] = """
         WITH per_cust AS (
@@ -10819,12 +10864,14 @@ def oracle_sql() -> dict[str, str]:
                        AS price_cents,
                    CAST(o.o_orderdate AS DATE) AS order_date
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice IS NOT NULL
+              AND o.o_orderdate IS NOT NULL
         )
         SELECT segment, o_orderkey, price_cents, order_date
         FROM pts q
         WHERE NOT EXISTS (
             SELECT 1 FROM pts p
-            WHERE p.segment = q.segment
+            WHERE p.segment IS NOT DISTINCT FROM q.segment
               AND p.price_cents >= q.price_cents
               AND p.order_date >= q.order_date
               AND (p.price_cents > q.price_cents
@@ -11395,7 +11442,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey,
                    year(o_orderdate) * 12 + month(o_orderdate) AS ym,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-            FROM orders
+            FROM orders WHERE o_orderdate IS NOT NULL
         ), fst AS (
             SELECT o_custkey, min(ym) AS cym FROM o GROUP BY 1
         ), sizes AS (
@@ -11547,12 +11594,15 @@ def oracle_sql() -> dict[str, str]:
         ), ranked AS (
             SELECT month, p_brand, rev_cents,
                    row_number() OVER (PARTITION BY month
-                                      ORDER BY rev_cents DESC, p_brand)
+                                      ORDER BY rev_cents DESC,
+                                               (p_brand IS NOT NULL),
+                                               p_brand)
                        AS rnk
             FROM monthly
         ), lagged AS (
             SELECT month, p_brand, rnk,
-                   lag(rnk) OVER (PARTITION BY p_brand ORDER BY month)
+                   lag(rnk) OVER (PARTITION BY p_brand
+                                  ORDER BY (month IS NOT NULL), month)
                        AS prev_rnk
             FROM ranked
         )
