@@ -521,7 +521,10 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: 30-min-gap sessions per user via lag +
     conditional cumsum (the classic Spark shape; streaming equivalent is
     session_window in streaming/windows.py)."""
-    events = _t(spark, sf_dir, "events")
+    # NULL event times are unsessionizable (no position in the gap
+    # order; engines' window null-sort defaults also disagree) — drop
+    # them identically on both sides.
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     new_session = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
@@ -2453,7 +2456,7 @@ def q_rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     then size(collect_set()) over a RANGE frame on the bounded daily
     grain. The oracle rewrites it as a range self-join + GROUP BY,
     proving the two classic rewrites agree exactly."""
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     du = events.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
@@ -2562,7 +2565,7 @@ def q_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     stage_dir = _tempfile.mkdtemp(prefix="stream_enrich_")
-    _os.symlink(path, _os.path.join(stage_dir, "events.parquet"))
+    _os.symlink(_os.path.abspath(path), _os.path.join(stage_dir, "events.parquet"))
     stream = catalog.normalize_event_time(
         spark.readStream.schema(schema).parquet(stage_dir)
     ).select("user_id", "event_type", "value")
@@ -2778,8 +2781,15 @@ def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
+    # The slices must PARTITION the table: a NULL order date satisfies
+    # no range predicate, so it rides with the first batch explicitly
+    # (otherwise incremental state silently loses those rows vs the
+    # single-shot recompute).
     batches = [
-        orders.filter(F.col("o_orderdate") < "1996-01-01"),
+        orders.filter(
+            (F.col("o_orderdate") < "1996-01-01")
+            | F.col("o_orderdate").isNull()
+        ),
         orders.filter(
             (F.col("o_orderdate") >= "1996-01-01")
             & (F.col("o_orderdate") < "1997-01-01")
@@ -2871,7 +2881,7 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file stream source wants a directory to watch; stage the
     # (read-only) parquet file into one via symlink.
     stage_dir = _tempfile.mkdtemp(prefix="stream_events_")
-    _os.symlink(path, _os.path.join(stage_dir, "events.parquet"))
+    _os.symlink(_os.path.abspath(path), _os.path.join(stage_dir, "events.parquet"))
     stream = (
         spark.readStream.schema(schema)
         .parquet(stage_dir)
@@ -2908,7 +2918,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     stage_dir = _tempfile.mkdtemp(prefix="stream_ss_join_")
-    _os.symlink(path, _os.path.join(stage_dir, "events.parquet"))
+    _os.symlink(_os.path.abspath(path), _os.path.join(stage_dir, "events.parquet"))
     raw = catalog.normalize_event_time(
         spark.readStream.schema(schema).parquet(stage_dir)
     )
@@ -2982,7 +2992,7 @@ def q_stream_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tick1 = max_ts + 13 * 3600 * 1_000_000
     tick2 = tick1 + 7 * 3600 * 1_000_000
     stage_dir = _tempfile.mkdtemp(prefix="stream_louter_")
-    _os.symlink(path, _os.path.join(stage_dir, "f1_events.parquet"))
+    _os.symlink(_os.path.abspath(path), _os.path.join(stage_dir, "f1_events.parquet"))
     arrow_schema = _pq.read_schema(path)
     for name, ts_us in (("f2", tick1), ("f3", tick2)):
         cols = {}
@@ -3013,6 +3023,11 @@ def q_stream_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
     )
+    # NULL join keys / event times can neither pair nor advance a
+    # watermark; the batch oracle's LEFT JOIN would instead KEEP a
+    # NULL-ts purchase as an unmatched row — excluded identically on
+    # both sides (ticks carry non-null sentinels, so they always pass).
+    raw = raw.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     purchases = raw.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts")
     )
@@ -3094,7 +3109,7 @@ def q_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("f5", max_ts + 28 * hour_us),
     ]
     stage_dir = _tempfile.mkdtemp(prefix="stream_chain_")
-    _os.symlink(path, _os.path.join(stage_dir, "f1_events.parquet"))
+    _os.symlink(_os.path.abspath(path), _os.path.join(stage_dir, "f1_events.parquet"))
     arrow_schema = _pq.read_schema(path)
     for name, ts_us in ticks:
         cols = {}
@@ -3350,7 +3365,7 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered by (ts, event_id) so ties are deterministic; timestamps in
     exact integer microseconds; valid_to is NULL for each user's
     current (open) interval."""
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     base = events.select(
         "user_id",
         "event_type",
@@ -3394,7 +3409,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly is array_sort(collect_list(struct(rn, type))) — ordered
     by construction, so the string is deterministic under any
     partitioning; ties broken by event_id."""
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     base = events.select(
         "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
     )
@@ -3482,21 +3497,33 @@ def q_daily_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = daily.crossJoin(F.broadcast(mind)).select(
         "event_type", (F.col("d") - F.col("d0")).alias("x"), "y"
     )
+    # Moments in DECIMAL(38,0) (HUGEINT on the oracle side): x*y with
+    # quanta-scale y exceeds int64 per ROW, so widen BEFORE the
+    # product (the user_value_twap rule); the final quotient can also
+    # exceed int64, so it stays decimal end to end — exact truncating
+    # division (num*1e6 - num*1e6 % den)/den, NULL on a degenerate
+    # zero denominator on both sides.
+    dec = "decimal(38,0)"
     mom = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     return mom.select(
         "event_type",
         "n",
-        F.expr("n * sxy - sx * sy").alias("slope_num_q4"),
-        F.expr("n * sxx - sx * sx").alias("slope_den"),
-        F.expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)").alias(
-            "slope_micro_q4_per_day"
+        F.expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").alias(
+            "slope_num_q4"
         ),
+        F.expr("n * sxx - sx * sx").alias("slope_den"),
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 1000000"
+            " - ((n * sxy - sx * sy) * 1000000)"
+            "   % nullif(n * sxx - sx * sx, 0))"
+            " / nullif(n * sxx - sx * sx, 0) AS DECIMAL(38,0))"
+        ).alias("slope_micro_q4_per_day"),
     )
 
 
@@ -3849,9 +3876,11 @@ def q_order_value_item_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        # cast BEFORE multiplying: cents^2 exceeds int64 per ROW, so a
+        # bigint product would wrap before the decimal cast saw it
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -4394,8 +4423,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     stage_dir = _tempfile.mkdtemp(prefix="stream_dedup_")
-    _os.symlink(path, _os.path.join(stage_dir, "a.parquet"))
-    _os.symlink(path, _os.path.join(stage_dir, "b.parquet"))
+    _os.symlink(_os.path.abspath(path), _os.path.join(stage_dir, "a.parquet"))
+    _os.symlink(_os.path.abspath(path), _os.path.join(stage_dir, "b.parquet"))
     stream = catalog.normalize_event_time(
         spark.readStream.schema(schema).parquet(stage_dir)
     ).select("event_id", "ts", "event_type")
@@ -4622,8 +4651,10 @@ def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = (
         _t(spark, sf_dir, "events")
         # NULL values would make the fold sticky-NaN in pandas but
-        # sticky-NULL in SQL — exclude them identically on both sides
-        .filter(F.col("value").isNotNull())
+        # sticky-NULL in SQL, and a NULL event time has no fold
+        # position (engines' null-sort defaults disagree) — exclude
+        # both identically on both sides
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select(
             "user_id",
             F.unix_micros("ts").alias("_us"),
@@ -4813,7 +4844,7 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     users — then a hash agg on the bounded (channel × channel)
     vocabulary. Revenue carried as value×10⁴ bigint quanta so the
     attribution totals are associativity-proof."""
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     base = events.select(
         "user_id",
         "event_type",
@@ -6536,7 +6567,7 @@ def q_session_bounce_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounce share in exact ppm, keyed by the session's START day —
     the engagement-health headline. One user-partitioned window pass
     to sessionize, one session-grain aggregate, one day rollup."""
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     base = events.select(
         "user_id", F.unix_micros("ts").alias("t"), "event_id"
     )
@@ -6721,7 +6752,7 @@ def q_user_busy_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     running max of all PRIOR ends (cummax over a bounded-above frame),
     burst id is the running sum of starts — then one burst-grain
     aggregate. All integer microseconds."""
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     iv = events.select(
         "user_id",
         (F.unix_micros("ts") - 150 * 1_000_000).alias("s"),
@@ -7968,8 +7999,13 @@ def _simhash_oracle(source: str = "documents") -> str:
         )
         terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
     fingerprint = "\n                 + ".join(terms)
+    # NULL text -> NULL simhash on both sides: Spark's fold over a NULL
+    # token array is NULL, while a bare DuckDB CASE chain would turn
+    # every NULL vote into 0 and fabricate fingerprint 0
     return f"""
-        SELECT doc_id, ({fingerprint}) AS simhash
+        SELECT doc_id,
+               CASE WHEN md5s IS NULL THEN NULL
+                    ELSE ({fingerprint}) END AS simhash
         FROM (
             SELECT doc_id,
                    list_transform(
@@ -8191,7 +8227,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_pred_counts": f"""
             SELECT lang_pred, count(*) AS n_docs FROM (
                 SELECT CASE
-                         WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+                         -- coalesce: a NULL text row has NULL scores and
+                         -- must land in 'und' exactly like Spark's
+                         -- lang_id_from_scores, not fall through to the
+                         -- ELSE arm
+                         WHEN coalesce(greatest(s_en, s_de, s_es, s_fr), 0)
+                              <= 0 THEN 'und'
                          WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
                          WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
                          WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
@@ -8227,11 +8268,13 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "events_hourly": """
+            -- ts IS NOT NULL mirrors Spark's window(): the time-window
+            -- generator emits no window for a NULL event time
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_value_cents
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             GROUP BY 1, 2
         """,
         # minhash_near_dup: candidate generation is LSH (not
@@ -8297,7 +8340,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM (
                     SELECT user_id, ts,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-                    FROM events
+                    FROM events WHERE ts IS NOT NULL
                 )
             ) GROUP BY user_id
         """,
@@ -8487,13 +8530,17 @@ def oracle_sql() -> dict[str, str]:
                                     (o_orderstatus), ())
         """,
         "rolling_fingerprint": r"""
+            -- NULL text -> NULL fp on both sides (Spark's fold over a
+            -- NULL array is NULL; DuckDB's list_prepend(0, NULL) would
+            -- fabricate fp 0)
             SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL ELSE
                    list_reduce(
                        list_prepend(CAST(0 AS BIGINT),
                            list_transform(
                                regexp_split_to_array(trim(lower(text)), '\s+'),
                                t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
-                       (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
+                       (a, b) -> (a * 31 + b) % 2147483647) END AS rolling_fp
             FROM documents
         """,
         "quartiles_by_segment": """
@@ -9148,7 +9195,7 @@ def oracle_sql() -> dict[str, str]:
                        ]) AS window_start,
                        event_type, value,
                        CAST(round(value * 10000) AS BIGINT) AS sv
-                FROM events
+                FROM events WHERE ts IS NOT NULL
             ) GROUP BY 1, 2
         """,
         "scd1_latest_merge": """
@@ -9332,7 +9379,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "native_session_windows": """
             WITH us AS (
+                -- ts IS NOT NULL mirrors Spark session_window(): no
+                -- window is generated for a NULL event time
                 SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+                WHERE ts IS NOT NULL
             ),
             flagged AS (
                 SELECT user_id, us,
@@ -9387,11 +9437,14 @@ def oracle_sql() -> dict[str, str]:
             FROM joined
         """,
         "chunk_documents": """
+            -- text IS NOT NULL mirrors chunk_documents(): NULL text
+            -- yields no chunks (DuckDB's greatest() skips NULLs and
+            -- would fabricate one phantom chunk)
             WITH toked AS (
                 SELECT doc_id,
                        regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
                        len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n
-                FROM documents
+                FROM documents WHERE text IS NOT NULL
             ),
             exploded AS (
                 SELECT doc_id, t,
@@ -9583,7 +9636,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    list(value ORDER BY epoch_ns(ts) // 1000, event_id) AS xs
             FROM events
-            WHERE value IS NOT NULL
+            WHERE value IS NOT NULL AND ts IS NOT NULL
             GROUP BY user_id
         )
         SELECT user_id,
@@ -9951,6 +10004,7 @@ def oracle_sql() -> dict[str, str]:
     out["rolling_7day_active_users"] = """
         WITH du AS (
             SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            WHERE ts IS NOT NULL
         ), days AS (SELECT DISTINCT day FROM du)
         SELECT d.day, count(DISTINCT u.user_id) AS n_active_7d
         FROM days d
@@ -10242,8 +10296,10 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY promo_id
     """
     out["stream_outer_join_report"] = """
-        WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
-        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+                   AND user_id IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'
+              AND user_id IS NOT NULL AND ts IS NOT NULL)
         SELECT p.user_id,
                count(*) AS n_rows,
                count(c.ts) AS n_matched,
@@ -10294,8 +10350,10 @@ def oracle_sql() -> dict[str, str]:
               ON l.l_orderkey = o.o_orderkey
         ), m AS (
             SELECT pri, count(*) AS n,
-                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-                   sum(x * x) AS sxx, sum(y * y) AS syy
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
             FROM per_order GROUP BY pri
         )
         SELECT pri AS o_orderpriority,
@@ -10470,10 +10528,12 @@ def oracle_sql() -> dict[str, str]:
     """
     out["chained_window_rollup"] = """
         WITH hourly AS (
+            -- ts IS NOT NULL mirrors the streaming window generator:
+            -- a NULL event time lands in no tumbling window
             SELECT date_trunc('hour', ts) AS h, event_type,
                    count(*) AS n,
                    sum(CAST(round(value * 10000) AS BIGINT)) AS s
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             GROUP BY 1, 2
         )
         SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
@@ -10602,7 +10662,7 @@ def oracle_sql() -> dict[str, str]:
     out["scd2_user_state"] = """
         WITH base AS (
             SELECT user_id, event_type, epoch_us(ts) AS t, event_id
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ), flagged AS (
             SELECT user_id, event_type, t, event_id,
                    CASE WHEN lag(event_type) OVER w IS NULL
@@ -10632,7 +10692,7 @@ def oracle_sql() -> dict[str, str]:
     out["session_paths"] = """
         WITH base AS (
             SELECT user_id, event_type, epoch_us(ts) AS t, event_id
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ), sess AS (
             SELECT user_id, event_type, t, event_id,
                    sum(CASE WHEN prev_t IS NULL
@@ -10653,7 +10713,10 @@ def oracle_sql() -> dict[str, str]:
             FROM sess
         ), paths AS (
             SELECT user_id, session_id,
-                   string_agg(event_type, '>' ORDER BY rn) AS path
+                   -- coalesce mirrors Spark concat_ws, which yields ''
+                   -- (never NULL) when every element is NULL
+                   coalesce(string_agg(event_type, '>' ORDER BY rn), '')
+                       AS path
             FROM ranked WHERE rn <= 3
             GROUP BY user_id, session_id
         )
@@ -10701,9 +10764,12 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_type, n,
                n * sxy - sx * sy AS slope_num_q4,
-               n * sxx - sx * sx AS slope_den,
-               CAST((n * sxy - sx * sy) * 1000000 AS BIGINT)
-                   // (n * sxx - sx * sx) AS slope_micro_q4_per_day
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               ((n * sxy - sx * sy) * 1000000
+                - ((n * sxy - sx * sy) * 1000000)
+                  % nullif(n * sxx - sx * sx, 0))
+                   // nullif(n * sxx - sx * sx, 0)
+                   AS slope_micro_q4_per_day
         FROM mom
     """
     out["modal_order_priority"] = """
@@ -10813,7 +10879,7 @@ def oracle_sql() -> dict[str, str]:
                    last_value(CASE WHEN event_type <> 'purchase'
                                    THEN event_type END IGNORE NULLS)
                        OVER w AS lt
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND 1 PRECEDING)
@@ -11770,6 +11836,7 @@ def oracle_sql() -> dict[str, str]:
     out["session_bounce_profile"] = """
         WITH base AS (
             SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+            WHERE ts IS NOT NULL
         ), flagged AS (
             SELECT user_id, t, event_id,
                    CASE WHEN lag(t) OVER w IS NULL
@@ -11871,7 +11938,7 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) - 150 * 1000000 AS s,
                    epoch_us(ts) + 150 * 1000000 AS e,
                    event_id
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ), flagged AS (
             SELECT user_id, s, e, event_id,
                    CASE WHEN max(e) OVER wp IS NULL

@@ -34,9 +34,13 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toked = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).withColumn("_n", F.size("_toks"))
+    # NULL text yields NO chunks (a NULL token array would otherwise
+    # ride greatest(NULL-overlap, 0) -> one phantom empty chunk)
+    toked = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.col("_toks").isNotNull())
+        .withColumn("_n", F.size("_toks"))
+    )
     # starts: 0, stride, 2*stride, ... while start < max(n - overlap, 1)
     starts = F.sequence(
         F.lit(0),

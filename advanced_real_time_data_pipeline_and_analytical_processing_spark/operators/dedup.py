@@ -50,10 +50,16 @@ def _shingled(
     """(id, out_col: array<string>) — tokenize in its OWN projection,
     then shingle from the materialized array (see shingles_from_tokens
     for why the split must not sit inside the lambda)."""
-    return df.select(
-        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        F.col(id_col), shingles_from_tokens(F.col("_toks"), n).alias(out_col)
+    # NULL text has no shingle set and is invisible to every SQL
+    # mirror (NULL never equality-joins) — drop it here so no
+    # shingle-based pairing fabricates NULL-vs-NULL candidates.
+    return (
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.col("_toks").isNotNull())
+        .select(
+            F.col(id_col),
+            shingles_from_tokens(F.col("_toks"), n).alias(out_col),
+        )
     )
 
 

@@ -285,9 +285,28 @@ def merge_agg_delta(
     if state is None:
         return partial
     val_cols = [count_col] + [f"sum_{c}" for c in sum_cols]
-    s = state.select(*keys, *[F.col(c).alias(f"_s_{c}") for c in val_cols])
-    d = partial.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in val_cols])
-    merged = s.join(d, on=keys, how="full_outer")
+    # Explicit aliases: state and delta often share lineage (slices of
+    # the same source frame), so s[k]/d[k] attribute references would
+    # be ambiguous self-join references.
+    s = state.select(
+        *keys, *[F.col(c).alias(f"_s_{c}") for c in val_cols]
+    ).alias("_mad_s")
+    d = partial.select(
+        *keys, *[F.col(c).alias(f"_d_{c}") for c in val_cols]
+    ).alias("_mad_d")
+    # NULL-SAFE key equality: a NULL group key is a real group (GROUP
+    # BY treats all NULLs as one), but a name-list equi-join would
+    # never match NULL to NULL — the state's NULL group and the
+    # delta's NULL group would survive as two separate rows forever.
+    cond = None
+    for k in keys:
+        c = F.col(f"_mad_s.{k}").eqNullSafe(F.col(f"_mad_d.{k}"))
+        cond = c if cond is None else (cond & c)
+    merged = s.join(d, cond, "full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"_mad_s.{k}"), F.col(f"_mad_d.{k}")).alias(k)
+        for k in keys
+    ]
     out_cols = [
         (
             F.coalesce(F.col(f"_s_{c}"), F.lit(0))
@@ -295,7 +314,7 @@ def merge_agg_delta(
         ).alias(c)
         for c in val_cols
     ]
-    return merged.select(*keys, *out_cols)
+    return merged.select(*key_cols, *out_cols)
 
 
 def weighted_sample(

@@ -55,6 +55,10 @@ def get_spark(
         # local pytest / direct-operator sessions run under the SAME
         # overflow/cast semantics as the gate (VERDICT r6 #2).
         .config("spark.sql.ansi.enabled", "false")
+        # size(NULL) = NULL (SQL / DuckDB len() semantics), not the
+        # legacy -1 the non-ANSI default resurrects — a NULL text row
+        # must profile as NULL tokens, not -1 tokens
+        .config("spark.sql.legacy.sizeOfNull", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", mem or "8g")  # cluster-submit path only
         .config("spark.ui.enabled", "false")
@@ -68,6 +72,7 @@ def get_spark(
     # configs never applied; ANSI is runtime-settable, so pin it
     # unconditionally — both factory paths must agree with the gate.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -83,6 +88,8 @@ def configure_session(spark: SparkSession) -> SparkSession:
     # with ANSI off; the conf is runtime-settable, so pin it here to
     # neutralize whatever session the driver hands us.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # size(NULL) = NULL, matching DuckDB len(NULL) — see get_spark
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

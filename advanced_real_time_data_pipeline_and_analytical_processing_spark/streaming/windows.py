@@ -64,7 +64,17 @@ def sliding_avg(
             F.col("w.start").alias("window_start"),
             group_col,
             (
-                F.expr("_ssum * 100 div _n").cast("double") / 1000000.0
+                # DECIMAL(38,0) end to end: a bigint quanta sum near
+                # 1e17 wraps at the *100 under non-ANSI Spark, and even
+                # `div`'s BIGINT result wraps once the quotient passes
+                # int64 — divide exactly in decimal ((x - x%n)/n = the
+                # truncating division DuckDB's HUGEINT // computes) and
+                # only then go double
+                F.expr(
+                    "CAST((CAST(_ssum AS DECIMAL(38,0)) * 100"
+                    " - (CAST(_ssum AS DECIMAL(38,0)) * 100) % _n)"
+                    " / _n AS DOUBLE)"
+                ) / 1000000.0
             ).alias("avg_value"),
         )
     )
