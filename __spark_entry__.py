@@ -298,11 +298,23 @@ def q_segment_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_without_orders"))
     )
     total = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+    # the assembly joins must be NULL-SAFE: a NULL segment is a real
+    # group on all three sides, but a name-list equi-join would drop
+    # its semi/anti counts (hostile-data sweep channel)
+    t, w, wo = total.alias("t"), with_orders.alias("w"), without_orders.alias("wo")
     return (
-        total.join(with_orders, "c_mktsegment", "left")
-        .join(without_orders, "c_mktsegment", "left")
+        t.join(
+            w,
+            F.col("t.c_mktsegment").eqNullSafe(F.col("w.c_mktsegment")),
+            "left",
+        )
+        .join(
+            wo,
+            F.col("t.c_mktsegment").eqNullSafe(F.col("wo.c_mktsegment")),
+            "left",
+        )
         .select(
-            "c_mktsegment",
+            F.col("t.c_mktsegment").alias("c_mktsegment"),
             "n_customers",
             F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
             F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
@@ -2074,7 +2086,11 @@ def q_priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — date then orderkey, so ties can't flip the matrix), plus
     each transition's share of its source row. One window shuffle on
     the customer key + one tiny aggregate."""
-    orders = _t(spark, sf_dir, "orders")
+    # an undated order has no position in the priority sequence (and
+    # null-sort defaults disagree across engines) — dropped both sides
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
@@ -3156,7 +3172,9 @@ def q_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, rolled, shuffle_partitions=8, output_mode="append"
     )
     _shutil.rmtree(stage_dir, ignore_errors=True)
-    return drained.filter(F.col("event_type") != "__tick__").select(
+    # null-safe: a real NULL-event_type group must survive this filter
+    # (NULL != '__tick__' is NULL, which a bare filter drops)
+    return drained.filter(~F.col("event_type").eqNullSafe("__tick__")).select(
         F.date_format("day_start", "yyyy-MM-dd").alias("day"),
         "event_type",
         "n_events",
@@ -4027,7 +4045,11 @@ def q_price_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number are covered elsewhere). One shuffle on o_orderstatus,
     per-group sort; emitted only for the top percentile band to keep
     the result compact."""
-    orders = _t(spark, sf_dir, "orders")
+    # a priceless order has no percentile position (and NULL sort
+    # keys order differently per engine) — dropped both sides
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
@@ -5109,7 +5131,12 @@ def q_theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     each engine's median() whose interpolation forms differ in the
     last ulp. Core in timeseries.theil_sen_slope, property-pinned
     against a numpy reference."""
-    events = _t(spark, sf_dir, "events")
+    # NULL event times have no day index; an all-NULL-value day would
+    # carry a NULL vq whose pairwise slopes rank differently per
+    # engine — both dropped identically on both sides
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     daily = events.groupBy(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
@@ -5134,12 +5161,18 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregated to the (brand, price) grain BEFORE the cumulative
     window, so ties carry no ordering ambiguity and the window input
     is the bounded distinct-price grain, not the raw line count."""
-    lines = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
-            "price_cents"
-        ),
-        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    # a line with no price has no place on the price axis (and a NULL
+    # sort key orders differently per engine) — dropped both sides
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+                "price_cents"
+            ),
+            F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        )
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     by_price = (
@@ -5402,7 +5435,12 @@ def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compute identically on identical doubles; identity
     trivially is. Daily grain bounded by calendar span; one shuffle on
     event_type."""
-    events = _t(spark, sf_dir, "events")
+    # NULL event times have no fold position and a NULL vq would make
+    # the smoothing state sticky-NULL on one engine only — both
+    # dropped identically on both sides
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     daily = events.groupBy(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
@@ -5479,7 +5517,10 @@ def q_revenue_band_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy. Per-type windows are parallel; the frame excludes the
     current day (a breakout must not shift its own baseline)."""
     dec = "decimal(38,0)"
-    events = _t(spark, sf_dir, "events")
+    # NULL event times have no day index (and would shift the ±2σ
+    # frames differently under each engine's null-sort default) —
+    # dropped identically on both sides
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = events.groupBy(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
@@ -5705,16 +5746,28 @@ def q_dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"s{g}")
         )
     m = daily.groupBy("event_type").agg(*aggs)
-    d_prod = " * ".join(f"n{g}" for g in range(7))
-    ssb = " + ".join(f"s{g} * s{g} * (({d_prod}) div n{g})" for g in range(7))
+    # r7: the division-cleared all-integer form (x D = Pi n_g) blows
+    # past 38 digits once vq reaches quanta scale (hostile sweep:
+    # INT128 overflow on the oracle side, silent decimal NULL here).
+    # Terminal expression is now DOUBLE over the exact integer
+    # moments, METHOD-IDENTICAL text on both sides (same casts, same
+    # term order, per-term nullif guard), which is engine-stable:
+    # identical IEEE ops on identical inputs.
+    ssb = " + ".join(
+        f"(CAST(s{g} AS DOUBLE) * CAST(s{g} AS DOUBLE)"
+        f" / CAST(nullif(n{g}, 0) AS DOUBLE))"
+        for g in range(7)
+    )
+    num = f"(CAST(n AS DOUBLE) * ({ssb}) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    den = (
+        "(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    )
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
         F.expr(
-            f"CAST((n * ({ssb}) - ({d_prod}) * s * s) * 1000000"
-            f" AS DECIMAL(38,0))"
-            f" div CAST(n * ({d_prod}) * q - ({d_prod}) * s * s"
-            f" AS DECIMAL(38,0))"
+            f"CAST(floor({num} * 1000000 / nullif({den}, 0.0)) AS BIGINT)"
         ).alias("eta2_ppm"),
     )
 
@@ -5754,9 +5807,21 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "rev_cents",
         F.when(
-            F.expr("prev_cum * 1000000 div total") < 800000, "A"
+            F.expr(
+                "CAST(prev_cum AS DECIMAL(38,0)) * 1000000"
+                " div CAST(total AS DECIMAL(38,0))"
+            )
+            < 800000,
+            "A",
         )
-        .when(F.expr("prev_cum * 1000000 div total") < 950000, "B")
+        .when(
+            F.expr(
+                "CAST(prev_cum AS DECIMAL(38,0)) * 1000000"
+                " div CAST(total AS DECIMAL(38,0))"
+            )
+            < 950000,
+            "B",
+        )
         .otherwise("C")
         .alias("abc_class"),
     )
@@ -6838,7 +6903,11 @@ def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation grid is (sources × distinct lengths) — bounded by
     vocabulary, not corpus size; CDF cumsums are per-source windows
     over that grid."""
-    docs = _t(spark, sf_dir, "documents")
+    # a doc with no length has no place on the CDF axis (and the NULL
+    # grid point sorts differently per engine) — dropped both sides
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     csl = docs.groupBy("source", "n_chars").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -6901,7 +6970,9 @@ def q_mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(X>Y)+½P(X=Y) as u2·10⁶ div (2·n1·n2). Values quantized to
     ten-thousandths; the rank grid is the bounded distinct-value
     domain with one cumulative window over it."""
-    events = _t(spark, sf_dir, "events")
+    # NULL values cannot rank (and the NULL group's position in the
+    # rank order differs per engine) — dropped both sides
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vals = events.filter(
         F.col("event_type").isin("purchase", "click")
     ).select(
@@ -7107,7 +7178,12 @@ def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the established moment discipline, here applied to ranks. All
     windows on the bounded daily grain."""
     dec = "decimal(38,0)"
-    events = _t(spark, sf_dir, "events")
+    # NULL event times have no day index and NULL values would make a
+    # day's sum NULL (whose rank position differs per engine) — both
+    # dropped identically on both sides
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     daily = (
         events.filter(F.col("event_type").isin("purchase", "click"))
         .groupBy(
@@ -7221,7 +7297,12 @@ def q_monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal index is a floor-division mean of ppm integers. Windows
     run on the bounded monthly grain; months without a full 13-month
     window are excluded, as the classical method requires."""
-    orders = _t(spark, sf_dir, "orders")
+    # dateless orders have no month index (and the NULL group would
+    # sit at engine-specific ends of the MA frames) — dropped both
+    # sides
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = orders.groupBy(
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
     ).agg(
@@ -7265,7 +7346,9 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds are observed quantized values picked by rank (no
     interpolation), clamping is least/greatest on bigints, and the
     mean is one floor division. Rank windows partition per type."""
-    events = _t(spark, sf_dir, "events")
+    # NULL measurements can neither rank nor clamp (and NULL sort
+    # keys order differently per engine) — dropped both sides
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vals = events.select(
         "event_type",
         F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
@@ -9286,7 +9369,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderstatus, o_orderkey,
                        round(percent_rank() OVER w, 6) AS pct_rank,
                        round(cume_dist() OVER w, 6) AS cume
-                FROM orders
+                FROM orders WHERE o_totalprice IS NOT NULL
                 WINDOW w AS (PARTITION BY o_orderstatus
                              ORDER BY o_totalprice ASC, o_orderkey ASC)
             ) WHERE pct_rank >= 0.999
@@ -9851,7 +9934,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lag(o_orderpriority) OVER (PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey) AS from_priority,
                    o_orderpriority AS to_priority
-            FROM orders
+            FROM orders WHERE o_orderdate IS NOT NULL
         ), counts AS (
             SELECT from_priority, to_priority, count(*) AS n
             FROM seq WHERE from_priority IS NOT NULL
@@ -11006,7 +11089,8 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
                        AS day,
                    sum(CAST(round(value * 10000) AS BIGINT)) AS vq
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
         ), slopes AS (
             SELECT a.event_type,
                    CAST(b.vq - a.vq AS DOUBLE) / (b.day - a.day) AS slope
@@ -11035,6 +11119,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(l.l_quantity) AS BIGINT)) AS w,
                    count(*) AS n
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_extendedprice IS NOT NULL
             GROUP BY 1, 2
         ), cum AS (
             SELECT p_brand, price_cents, n,
@@ -11167,7 +11252,8 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
                        AS day,
                    sum(CAST(round(value * 10000) AS BIGINT)) AS vq
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
         ), ser AS (
             SELECT event_type,
                    count(*) AS n_days,
@@ -11219,7 +11305,7 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
                        AS day,
                    sum(CAST(round(value * 10000) AS BIGINT)) AS vq
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         ), m AS (
             SELECT event_type, day, vq,
                    count(*) OVER w AS n_win,
@@ -11345,9 +11431,21 @@ def oracle_sql() -> dict[str, str]:
                    AS xcorr
         FROM m
     """
-    dprod = " * ".join(f"n{g}" for g in range(7))
+    # terminal expression mirrors the Spark side TEXT-IDENTICALLY in
+    # DOUBLE over the exact HUGEINT moments (the division-cleared
+    # integer form overflows INT128 at quanta-scale vq)
     ssb_sql = " + ".join(
-        f"s{g} * s{g} * (({dprod}) // n{g})" for g in range(7)
+        f"(CAST(s{g} AS DOUBLE) * CAST(s{g} AS DOUBLE)"
+        f" / CAST(nullif(n{g}, 0) AS DOUBLE))"
+        for g in range(7)
+    )
+    num_sql = (
+        f"(CAST(n AS DOUBLE) * ({ssb_sql})"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    )
+    den_sql = (
+        "(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
     )
     dow_aggs = ", ".join(
         f"CAST(sum(CASE WHEN dow = {g} THEN 1 ELSE 0 END) AS HUGEINT)"
@@ -11374,8 +11472,7 @@ def oracle_sql() -> dict[str, str]:
             FROM daily GROUP BY 1
         )
         SELECT event_type, CAST(n AS BIGINT) AS n_days,
-               CAST((n * ({ssb_sql}) - ({dprod}) * s * s) * 1000000
-                    // (n * ({dprod}) * q - ({dprod}) * s * s)
+               CAST(floor({num_sql} * 1000000 / nullif({den_sql}, 0.0))
                     AS BIGINT) AS eta2_ppm
         FROM m
     """
@@ -11986,7 +12083,7 @@ def oracle_sql() -> dict[str, str]:
     out["source_ks_drift"] = """
         WITH csl AS (
             SELECT source, n_chars, count(*) AS c
-            FROM documents GROUP BY 1, 2
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
         ), grid AS (
             SELECT s.source, l.n_chars
             FROM (SELECT DISTINCT source FROM csl) s
@@ -12006,10 +12103,12 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW) AS call
             FROM (SELECT n_chars, count(*) AS ct FROM documents
-                  GROUP BY 1)
+                  WHERE n_chars IS NOT NULL GROUP BY 1)
         ), n_s AS (
-            SELECT source, count(*) AS ns FROM documents GROUP BY 1
-        ), n_tot AS (SELECT count(*) AS n FROM documents)
+            SELECT source, count(*) AS ns FROM documents
+            WHERE n_chars IS NOT NULL GROUP BY 1
+        ), n_tot AS (SELECT count(*) AS n FROM documents
+                     WHERE n_chars IS NOT NULL)
         SELECT source, ns AS n_source, n - ns AS n_rest,
                max(abs(cs * (n - ns) - (call - cs) * ns)) * 1000000
                    // (ns * (n - ns)) AS ks_d_ppm
@@ -12025,6 +12124,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(value * 10000) AS BIGINT) AS vq
             FROM events
             WHERE event_type IN ('purchase', 'click')
+              AND value IS NOT NULL
         ), per_v AS (
             SELECT vq,
                    sum(CASE WHEN event_type = 'purchase' THEN 1
@@ -12142,6 +12242,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END) AS y
             FROM events
             WHERE event_type IN ('purchase', 'click')
+              AND ts IS NOT NULL AND value IS NOT NULL
             GROUP BY 1
         ), ranked AS (
             SELECT 2 * rank() OVER (ORDER BY x)
@@ -12199,7 +12300,7 @@ def oracle_sql() -> dict[str, str]:
         WITH monthly AS (
             SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
                    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
-            FROM orders GROUP BY 1
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
         ), ma AS (
             SELECT ym, rev,
                    count(*) OVER w13 AS n_win,
@@ -12225,7 +12326,7 @@ def oracle_sql() -> dict[str, str]:
         WITH vals AS (
             SELECT event_type,
                    CAST(round(value * 10000) AS BIGINT) AS vq
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ), ranked AS (
             SELECT event_type, vq,
                    row_number() OVER (PARTITION BY event_type

@@ -91,26 +91,29 @@ def repartition_for_decode(
     return df.repartition(n)
 
 
-def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
+def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float] | None:
     """Deterministic stand-in for a real decoder: sha256-seeded floats.
-    Stable across runs/machines so tests can assert exact values."""
+    Stable across runs/machines so tests can assert exact values.
+    A NULL payload has no features (None, not zeros): downstream
+    averages must skip it exactly like SQL's sha256(NULL) -> NULL."""
     if payload is None:
-        return [0.0] * dim
+        return None
     digest = hashlib.sha256(payload).digest()
     return [digest[i % 32] / 255.0 for i in range(dim)]
 
 
-def _pil_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
+def _pil_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float] | None:
     """Real image features via PIL: decode, resize to a 4x4 grayscale
     thumbnail, emit the 16 normalized pixel intensities. Import happens
     inside the executor-side call (the module must stay importable
-    without PIL). Undecodable/missing payloads yield the zero vector —
-    decode errors must not kill a 100 TB job."""
+    without PIL). A MISSING payload has no features (None — averages
+    skip it, mirroring _fake_features); an UNDECODABLE one yields the
+    zero vector — decode errors must not kill a 100 TB job."""
     from PIL import Image  # noqa: deferred — only on the real path
     import io
 
     if payload is None:
-        return [0.0] * dim
+        return None
     try:
         img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
     except Exception:

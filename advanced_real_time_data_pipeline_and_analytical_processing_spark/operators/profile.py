@@ -21,7 +21,30 @@ from pyspark.sql import functions as F
 
 def _fmt(col: Column, dtype: str, float_prec: int) -> Column:
     if dtype in ("double", "float"):
-        return F.format_string(f"%.{float_prec}f", col)
+        # NOT %.Nf: Java's Formatter renders the SHORTEST-decimal repr
+        # of a double while C printf renders the exact binary value, so
+        # the two disagree once magnitude pushes the Nth decimal past
+        # double precision (43210987654321.09 -> '...0900' vs
+        # '...0938', hostile-data sweep). Quantize to an exact integer
+        # first (tie-free floor(x*scale + 0.5), the _cents primitive)
+        # and typeset div/mod — bit-identical on any engine.
+        scale = 10 ** float_prec
+        q = F.floor(col * scale + F.lit(0.5)).cast("bigint")
+        aq = F.abs(q)
+        # integer part via EXACT decimal division (aq can exceed 2^53,
+        # where a float quotient would lose digits): strip the
+        # remainder first, so the decimal divide is exact at any scale
+        int_part = (
+            ((aq - aq % scale).cast("decimal(38,0)") / F.lit(scale))
+            .cast("bigint")
+            .cast("string")
+        )
+        return F.concat(
+            F.when(q < 0, F.lit("-")).otherwise(F.lit("")),
+            int_part,
+            F.lit("."),
+            F.lpad((aq % scale).cast("string"), float_prec, "0"),
+        )
     return col.cast("string")
 
 
@@ -65,7 +88,16 @@ def profile_oracle_sql(
 
     def fmt(expr: str, c: str) -> str:
         if dtypes[c] in ("double", "float"):
-            return f"printf('%.{float_prec}f', {expr})"
+            # mirror of _fmt's exact-integer typesetting (see there)
+            scale = 10**float_prec
+            q = f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
+            return (
+                f"(CASE WHEN {q} < 0 THEN '-' ELSE '' END"
+                f" || CAST(abs({q}) // {scale} AS VARCHAR)"
+                f" || '.'"
+                f" || lpad(CAST(abs({q}) % {scale} AS VARCHAR),"
+                f" {float_prec}, '0'))"
+            )
         return f"CAST({expr} AS VARCHAR)"
 
     selects = []

@@ -68,7 +68,7 @@ def test_fake_decode_deterministic_shape(spark):
     # deterministic across runs
     again = {r["media_id"]: r for r in M.decode_image_features(media_df(spark), fake=True).collect()}
     assert rows[1]["features"] == again[1]["features"]
-    assert rows[4]["features"] == [0.0] * M.FEATURE_DIM  # null payload
+    assert rows[4]["features"] is None  # null payload has no features
 
 
 def test_metadata_only_query_does_not_read_payload(spark, tmp_path):
