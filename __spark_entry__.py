@@ -212,11 +212,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_base_price_cents",
         "sum_disc_price_e4",
         "sum_charge_e6",
-        F.expr("sum_qty * 1000000L div count_order").alias("avg_qty_micro"),
-        F.expr("sum_base_price_cents * 10000L div count_order").alias(
-            "avg_price_micro"
-        ),
-        F.expr("_sdp * 10000L div count_order").alias("avg_disc_micro"),
+        # DECIMAL(38,0) before the scale-multiply: the oracle's sums
+        # are HUGEINT-exact, while a bigint sum*10000L here would wrap
+        # silently past ~9.2e14 group cents (sf-scale or hostile
+        # magnitudes) — the json_props_stats channel, closed everywhere
+        F.expr(
+            "CAST(sum_qty AS DECIMAL(38,0)) * 1000000 div count_order"
+        ).alias("avg_qty_micro"),
+        F.expr(
+            "CAST(sum_base_price_cents AS DECIMAL(38,0)) * 10000"
+            " div count_order"
+        ).alias("avg_price_micro"),
+        F.expr(
+            "CAST(_sdp AS DECIMAL(38,0)) * 10000 div count_order"
+        ).alias("avg_disc_micro"),
         "count_order",
     )
 
@@ -363,7 +372,9 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "n_docs",
-            F.expr("_st * 1000000L div n_docs").alias("avg_tokens_micro"),
+            F.expr(
+                "CAST(_st AS DECIMAL(38,0)) * 1000000 div n_docs"
+            ).alias("avg_tokens_micro"),
             "max_tokens",
         )
     )
@@ -1289,7 +1300,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_promo"),
             F.sum(disc_e4).alias("_all"),
         )
-        .select(F.expr("_promo * 1000000L div _all").alias("promo_share_ppm"))
+        .select(
+            F.expr(
+                "CAST(_promo AS DECIMAL(38,0)) * 1000000"
+                " div CAST(_all AS DECIMAL(38,0))"
+            ).alias("promo_share_ppm")
+        )
     )
 
 
@@ -5065,8 +5081,12 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.expr("n_ab * 1000000 div n_baskets").alias("support_ppm"),
             F.expr("n_ab * 1000000 div n_a").alias("confidence_ppm"),
+            # decimal before multiplying: n_ab*n_baskets is a
+            # count-squared product that wraps int64 at cluster
+            # cardinalities (1e10 baskets)
             F.expr(
-                "n_ab * n_baskets * 1000000 div (n_a * n_b)"
+                "CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
             ).alias("lift_ppm"),
         )
     )
@@ -6944,14 +6964,21 @@ def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "ns",
             (F.col("n") - F.col("ns")).alias("nr"),
+            # decimal cross-products: count*count wraps int64 at
+            # cluster doc cardinalities (oracle side is HUGEINT-exact)
             F.abs(
-                F.col("cs") * (F.col("n") - F.col("ns"))
-                - (F.col("call") - F.col("cs")) * F.col("ns")
+                F.col("cs").cast("decimal(38,0)")
+                * (F.col("n") - F.col("ns"))
+                - (F.col("call") - F.col("cs")).cast("decimal(38,0)")
+                * F.col("ns")
             ).alias("dev"),
         )
     )
     return cells.groupBy("source", "ns", "nr").agg(
-        F.expr("max(dev) * 1000000 div (ns * nr)").alias("ks_d_ppm")
+        F.expr(
+            "max(dev) * 1000000"
+            " div (CAST(ns AS DECIMAL(38,0)) * nr)"
+        ).alias("ks_d_ppm")
     ).select(
         "source",
         F.col("ns").alias("n_source"),
@@ -6995,17 +7022,26 @@ def q_mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("rank2"),
     )
+    # rank-sum products are count x rank ~ n^2: decimal before the
+    # per-row multiply and through the U statistic (oracle side sums
+    # to HUGEINT); the emitted u2 stays bigint like the oracle's cast
     agg = ranked.agg(
         F.sum("c1").alias("n1"),
         (F.sum("ceq") - F.sum("c1")).alias("n2"),
-        F.sum(F.col("c1") * F.col("rank2")).alias("r1_2"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * F.col("rank2").cast("decimal(38,0)")
+        ).alias("r1_2"),
     )
     return agg.select(
         "n1",
         "n2",
-        (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).alias("u2"),
         F.expr(
-            "(r1_2 - n1 * (n1 + 1)) * 1000000 div (2 * n1 * n2)"
+            "CAST(r1_2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)"
+        ).alias("u2"),
+        F.expr(
+            "(r1_2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 1000000"
+            " div (2 * CAST(n1 AS DECIMAL(38,0)) * n2)"
         ).alias("cles_ppm"),
     )
 
@@ -11045,7 +11081,8 @@ def oracle_sql() -> dict[str, str]:
                ca.n_part AS n_a, cb.n_part AS n_b,
                n_ab * 1000000 // n_baskets AS support_ppm,
                n_ab * 1000000 // ca.n_part AS confidence_ppm,
-               n_ab * n_baskets * 1000000 // (ca.n_part * cb.n_part)
+               CAST(n_ab AS HUGEINT) * n_baskets * 1000000
+                   // (CAST(ca.n_part AS HUGEINT) * cb.n_part)
                    AS lift_ppm
         FROM pairs
         JOIN part_counts ca ON ca.l_partkey = part_a
@@ -12111,7 +12148,7 @@ def oracle_sql() -> dict[str, str]:
                      WHERE n_chars IS NOT NULL)
         SELECT source, ns AS n_source, n - ns AS n_rest,
                max(abs(cs * (n - ns) - (call - cs) * ns)) * 1000000
-                   // (ns * (n - ns)) AS ks_d_ppm
+                   // (CAST(ns AS HUGEINT) * (n - ns)) AS ks_d_ppm
         FROM cum_s
         JOIN cum_all USING (n_chars)
         JOIN n_s USING (source)
