@@ -35,10 +35,12 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     # NULL text yields NO chunks (a NULL token array would otherwise
-    # ride greatest(NULL-overlap, 0) -> one phantom empty chunk)
+    # ride greatest(NULL-overlap, 0) -> one phantom empty chunk);
+    # filter the raw column, not the token array — the array probe
+    # would tokenize twice after projection collapse
     toked = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        .filter(F.col("_toks").isNotNull())
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .withColumn("_n", F.size("_toks"))
     )
     # starts: 0, stride, 2*stride, ... while start < max(n - overlap, 1)

@@ -51,11 +51,12 @@ def _shingled(
     then shingle from the materialized array (see shingles_from_tokens
     for why the split must not sit inside the lambda)."""
     # NULL text has no shingle set and is invisible to every SQL
-    # mirror (NULL never equality-joins) — drop it here so no
-    # shingle-based pairing fabricates NULL-vs-NULL candidates.
+    # mirror (NULL never equality-joins) — drop it BEFORE tokenizing
+    # (filtering on the token array would re-run the split per row
+    # just for the null probe once Catalyst collapses the projections).
     return (
-        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
-        .filter(F.col("_toks").isNotNull())
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
         .select(
             F.col(id_col),
             shingles_from_tokens(F.col("_toks"), n).alias(out_col),

@@ -206,6 +206,42 @@ def test_merge_agg_delta_handles_new_and_missing_keys(spark):
     assert got == {"a": (2, 3), "b": (2, 15), "c": (1, 7)}
 
 
+def test_merge_agg_delta_merges_null_group_key(spark):
+    """A NULL group key is ONE group (GROUP BY semantics): the state's
+    NULL row and the delta's NULL row must merge via null-safe key
+    equality, not survive as two forever-separate rows — and slices of
+    the SAME source frame must not trip self-join ambiguity."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import maintenance
+
+    src_df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 10), (None, 4), ("a", 20)],
+        "k string, v long",
+    )
+    b1 = src_df.filter(F.col("v") < 4)
+    b2 = src_df.filter(F.col("v") >= 4)
+    state = maintenance.merge_agg_delta(None, b1, ["k"], ["v"])
+    state = maintenance.merge_agg_delta(state, b2, ["k"], ["v"])
+    got = {r.k: (r.n_rows, r.sum_v) for r in state.collect()}
+    assert got == {None: (3, 7), "a": (2, 30)}
+    # one NULL row, not two
+    assert sum(1 for k in got if k is None) == 1
+
+
+def test_chunk_documents_null_text_yields_no_chunks(spark):
+    """NULL text produces NO chunks (no phantom empty chunk riding
+    greatest(NULL-overlap, 0)); empty text still yields exactly one."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import chunking
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")], "doc_id long, text string"
+    )
+    out = chunking.chunk_documents(df, "doc_id", "text", 4, 1)
+    ids = [r.doc_id for r in out.collect()]
+    assert 1 not in ids
+    assert ids.count(2) == 1
+    assert ids.count(3) == 1
+
+
 def test_weighted_sample_favors_heavy_weights(spark):
     """With weights 100 vs 1, the heavy rows must dominate the sample
     (law of the key ln(u)/w), the draw must be deterministic across
