@@ -39,11 +39,29 @@ def _fmt(col: Column, dtype: str, float_prec: int) -> Column:
             .cast("bigint")
             .cast("string")
         )
-        return F.concat(
-            F.when(q < 0, F.lit("-")).otherwise(F.lit("")),
-            int_part,
-            F.lit("."),
-            F.lpad((aq % scale).cast("string"), float_prec, "0"),
+        # r8 (advisor catch): non-finite / long-overflow inputs get a
+        # fixed sentinel on BOTH engines — Spark's non-ANSI
+        # double->bigint cast yields 0/NULL where DuckDB's CAST raises,
+        # so without the guard a NaN becomes '0.0000' here and an
+        # oracle-err there. The overflow threshold is the identical
+        # double expression on both sides (2^63 as a double).
+        return (
+            F.when(F.isnan(col), F.lit("nan"))
+            .when(col == F.lit(float("inf")), F.lit("inf"))
+            .when(col == F.lit(float("-inf")), F.lit("-inf"))
+            .when(
+                F.abs(col) * scale + F.lit(0.5)
+                >= F.lit(9.223372036854776e18),
+                F.lit("overflow"),
+            )
+            .otherwise(
+                F.concat(
+                    F.when(q < 0, F.lit("-")).otherwise(F.lit("")),
+                    int_part,
+                    F.lit("."),
+                    F.lpad((aq % scale).cast("string"), float_prec, "0"),
+                )
+            )
         )
     return col.cast("string")
 
@@ -88,15 +106,22 @@ def profile_oracle_sql(
 
     def fmt(expr: str, c: str) -> str:
         if dtypes[c] in ("double", "float"):
-            # mirror of _fmt's exact-integer typesetting (see there)
+            # mirror of _fmt's exact-integer typesetting (see there),
+            # including the r8 non-finite/overflow sentinels — DuckDB's
+            # CAST would raise where Spark's non-ANSI cast nulls/zeros
             scale = 10**float_prec
             q = f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
             return (
-                f"(CASE WHEN {q} < 0 THEN '-' ELSE '' END"
+                f"(CASE WHEN isnan({expr}) THEN 'nan'"
+                f" WHEN ({expr}) = 'infinity'::DOUBLE THEN 'inf'"
+                f" WHEN ({expr}) = '-infinity'::DOUBLE THEN '-inf'"
+                f" WHEN abs({expr}) * {scale} + 0.5"
+                f" >= 9223372036854775808.0 THEN 'overflow'"
+                f" ELSE CASE WHEN {q} < 0 THEN '-' ELSE '' END"
                 f" || CAST(abs({q}) // {scale} AS VARCHAR)"
                 f" || '.'"
                 f" || lpad(CAST(abs({q}) % {scale} AS VARCHAR),"
-                f" {float_prec}, '0'))"
+                f" {float_prec}, '0') END)"
             )
         return f"CAST({expr} AS VARCHAR)"
 
