@@ -2897,8 +2897,14 @@ def q_price_band_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING over integer
     cents. Partitioned by customer (unbounded key cardinality — no
     giant single partitions); prices quantized to cents so the frame
-    boundary comparisons are exact integer, never float-epsilon."""
-    orders = _t(spark, sf_dir, "orders")
+    boundary comparisons are exact integer, never float-epsilon.
+
+    r8 hazard audit: NULL prices are dropped on BOTH sides — a NULL
+    RANGE ORDER key has no peer-group/frame-arithmetic definition the
+    two engines agree on, and a priceless order has no band."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     base = orders.select(
         "o_orderkey", "o_custkey", cents.alias("price_cents")
@@ -3363,8 +3369,16 @@ def q_daily_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (values quantized to ten-thousandths, ref = integer-div mean), so
     the identical SQL windows replay it exactly. Heavy lifting (daily
     sums) is a partial+final hash agg; the per-type windows run on one
-    row per (type, day)."""
-    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    row per (type, day).
+
+    r8 hazard audit: NULL event times are dropped on BOTH sides — the
+    daily grain `day` is a DATE window ORDER key, and DuckDB 1.0.0's
+    window sort is unreliable with any NULL DATE in its input (the
+    measured r7 bug; a pin does not survive it). A timeless event has
+    no place on a daily series."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     daily = (
         events.select(
             "event_type",
@@ -6038,8 +6052,16 @@ def q_order_gap_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer LOWER median by rank selection (no interpolation form to
     disagree on); gaps come from one lag window per customer —
     embarrassingly parallel — and the corpus anchor date arrives as a
-    broadcast scalar."""
-    orders = _t(spark, sf_dir, "orders").select(
+    broadcast scalar.
+
+    r8 hazard audit: NULL order dates are dropped on BOTH sides — `od`
+    is a DATE lag-window ORDER key and DuckDB 1.0.0 mis-places NULL
+    DATEs mid-sequence (r7 measured bug), which would corrupt a real
+    gap pair rather than only the filtered NULL gaps. A dateless order
+    has no position in a purchase rhythm."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    ).select(
         "o_custkey", F.to_date("o_orderdate").alias("od")
     )
     anchor = orders.agg(F.max("od").alias("anchor"))
@@ -9562,7 +9584,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             deciled AS (
-                SELECT *, ntile(10) OVER (ORDER BY q ASC, doc_id ASC) AS decile
+                SELECT *, ntile(10) OVER (ORDER BY q ASC NULLS FIRST, doc_id ASC) AS decile
                 FROM scored
             )
             SELECT decile,
@@ -10875,10 +10897,13 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
     out["daily_cusum_drift"] = """
+        -- r8 hazard audit: NULL event times dropped on BOTH sides (day
+        -- is a DATE window ORDER key; DuckDB 1.0.0's window sort is
+        -- unreliable with any NULL DATE present — r7 measured bug)
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day,
                    sum(CAST(round(value * 10000) AS BIGINT)) AS x
-            FROM events WHERE value IS NOT NULL
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
             GROUP BY 1, 2
         ), refs AS (
             SELECT event_type, sum(x) // count(*) AS ref_q4,
@@ -11109,7 +11134,7 @@ def oracle_sql() -> dict[str, str]:
         ), ranked AS (
             SELECT *, row_number() OVER
                    (PARTITION BY o_orderstatus
-                    ORDER BY n DESC, o_orderpriority) AS rn
+                    ORDER BY n DESC, o_orderpriority NULLS FIRST) AS rn
             FROM counts
         )
         SELECT o_orderstatus, o_orderpriority AS modal_priority,
@@ -11143,10 +11168,12 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked GROUP BY 1, 2
     """
     out["price_band_window"] = """
+        -- r8 hazard audit: NULL prices dropped on BOTH sides (NULL
+        -- RANGE ORDER key has no agreed frame semantics cross-engine)
         WITH base AS (
             SELECT o_orderkey, o_custkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-            FROM orders
+            FROM orders WHERE o_totalprice IS NOT NULL
         )
         SELECT o_orderkey, o_custkey, price_cents,
                count(*) OVER w AS n_band_orders,
@@ -11187,8 +11214,8 @@ def oracle_sql() -> dict[str, str]:
                    frequency, monetary_cents,
                    ntile(5) OVER (ORDER BY date_diff('day', last_dt, anchor_dt)
                                       DESC, o_custkey) AS r_score,
-                   ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
-                   ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+                   ntile(5) OVER (ORDER BY frequency, o_custkey NULLS FIRST) AS f_score,
+                   ntile(5) OVER (ORDER BY monetary_cents NULLS FIRST, o_custkey NULLS FIRST)
                        AS m_score
             FROM per_cust, anchor
         )
@@ -11433,7 +11460,7 @@ def oracle_sql() -> dict[str, str]:
         ), ranked AS (
             SELECT segment, spend_cents,
                    row_number() OVER (PARTITION BY segment
-                                      ORDER BY spend_cents, c_custkey)
+                                      ORDER BY spend_cents NULLS FIRST, c_custkey)
                        AS rank,
                    count(*) OVER (PARTITION BY segment) AS n
             FROM spend
@@ -11533,7 +11560,7 @@ def oracle_sql() -> dict[str, str]:
         ), q AS (
             SELECT yr, o_custkey,
                    ntile(5) OVER (PARTITION BY yr
-                                  ORDER BY spend_cents, o_custkey)
+                                  ORDER BY spend_cents NULLS FIRST, o_custkey NULLS FIRST)
                        AS quintile
             FROM yearly
         ), mx AS (SELECT max(yr) AS max_yr FROM yearly)
@@ -11771,9 +11798,12 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
     out["order_gap_risk"] = """
+        -- r8 hazard audit: NULL order dates dropped on BOTH sides (od
+        -- is a DATE lag-window key; the DuckDB 1.0.0 NULL-DATE window
+        -- bug mis-places them mid-sequence, corrupting real gaps)
         WITH o AS (
             SELECT o_custkey, CAST(o_orderdate AS DATE) AS od
-            FROM orders
+            FROM orders WHERE o_orderdate IS NOT NULL
         ), anchor AS (SELECT max(od) AS anchor FROM o),
         gaps AS (
             SELECT o_custkey,
@@ -12104,7 +12134,7 @@ def oracle_sql() -> dict[str, str]:
             FROM rev CROSS JOIN total
         ), ranked AS (
             SELECT n_name, rev_cents, base_units,
-                   row_number() OVER (ORDER BY rem DESC, n_name)
+                   row_number() OVER (ORDER BY rem DESC, n_name NULLS FIRST)
                        AS rem_rank,
                    1000 - sum(base_units) OVER () AS leftover
             FROM quotas
@@ -12604,15 +12634,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 10000) AS BIGINT)) AS v
             FROM events GROUP BY 1
         ), moves AS (
+            -- r8 hazard audit: day is a nullable BIGINT grain (NULL ts
+            -- group); NULLS FIRST mirrors Spark's ASC default so the
+            -- NULL-day row takes the same lag position in both engines
             SELECT day,
                    CASE WHEN d > 0 THEN 1 ELSE 0 END AS up
-            FROM (SELECT day, v - lag(v) OVER (ORDER BY day) AS d
+            FROM (SELECT day, v - lag(v) OVER (ORDER BY day NULLS FIRST) AS d
                   FROM daily)
             WHERE d IS NOT NULL AND d <> 0
         ), runs AS (
             SELECT up,
-                   CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
-                             OR lag(up) OVER (ORDER BY day) <> up
+                   CASE WHEN lag(up) OVER (ORDER BY day NULLS FIRST) IS NULL
+                             OR lag(up) OVER (ORDER BY day NULLS FIRST) <> up
                         THEN 1 ELSE 0 END AS new_run
             FROM moves
         ), agg AS (
@@ -12755,7 +12788,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
             FROM orders GROUP BY 1
         ), deciled AS (
-            SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) AS decile
+            SELECT x, ntile(10) OVER (ORDER BY x NULLS FIRST, o_custkey NULLS FIRST) AS decile
             FROM spend
         ), per_decile AS (
             SELECT decile, count(*) AS n, sum(x) AS s

@@ -15,6 +15,13 @@ Modes:
                                   is a clean-room measurement suitable
                                   for round-over-round comparison.
                                   Honors SPARK_GRAFT_QUERIES to subset.
+  python bench.py --isolate --reps N
+                                  N timed runs per query inside the
+                                  query's fresh JVM; per-query value is
+                                  the MEDIAN and the artifact keeps the
+                                  raw reps. The box swings 4-6x per
+                                  single run (docs/BENCH_NOTES.md r7);
+                                  medians stop phantom regressions.
   python bench.py --single NAME   internal: child process of --isolate.
 
 The emitted JSON carries "mode": "shared" | "isolate" so artifacts are
@@ -36,28 +43,48 @@ import __spark_entry__ as entrymod
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.session import get_spark
 
 
+def _reps_arg() -> int:
+    if "--reps" in sys.argv:
+        return max(1, int(sys.argv[sys.argv.index("--reps") + 1]))
+    return 1
+
+
 def _isolate() -> None:
     """One fresh JVM per query: spawn `bench.py --single NAME` children
     sequentially and aggregate their timings into the standard one-line
-    artifact. Every measurement starts from a cold, clean JVM."""
+    artifact. Every measurement starts from a cold, clean JVM. With
+    --reps N each child times the query N times (post-warmup, cache
+    cleared between reps) and the per-query value is the median — the
+    r7->r8 protocol fix for the 4-6x single-run box swings."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     only = {n for n in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if n}
     names = [n for n in entrymod.queries() if not only or n in only]
+    n_reps = _reps_arg()
     timings: dict[str, float] = {}
+    raw_reps: dict[str, list[float]] = {}
     for name in names:
         try:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", name],
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--single",
+                    name,
+                    "--reps",
+                    str(n_reps),
+                ],
                 capture_output=True,
                 text=True,
                 timeout=600,
             )
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             timings[name] = rec["sec"]
+            raw_reps[name] = rec.get("reps", [rec["sec"]])
         except Exception as exc:  # timing artifact must not die mid-suite
             print(f"isolate: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            raw_reps[name] = []
     ok = {k: v for k, v in timings.items() if v >= 0}
     # "value" sums only succeeded queries; n_failed makes a partial
     # artifact self-describing so bench_diff can refuse/adjust instead
@@ -72,16 +99,20 @@ def _isolate() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "mode": "isolate",
                 "n_failed": len(timings) - len(ok),
+                "n_reps": n_reps,
+                "reps": raw_reps,
             }
         )
     )
 
 
 def _single(name: str) -> None:
-    """Child of --isolate: warm up this JVM, time ONE query, print one
+    """Child of --isolate: warm up this JVM, time ONE query --reps
+    times (median reported as "sec", raw runs as "reps"), print one
     JSON record."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_reps = _reps_arg()
     spark = get_spark("bench-single", cpus=cpus, shuffle_partitions=int(cpus))
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(int(cpus) * 10).repartition(int(cpus)).mapInPandas(
@@ -98,10 +129,16 @@ def _single(name: str) -> None:
         except Exception:
             pass
         spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).collect()
-    sec = round(time.perf_counter() - t0, 3)
-    print(json.dumps({"name": name, "sec": sec}))
+    reps: list[float] = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        reps.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.clearCache()
+    med = sorted(reps)[len(reps) // 2] if len(reps) % 2 else round(
+        (sorted(reps)[len(reps) // 2 - 1] + sorted(reps)[len(reps) // 2]) / 2, 3
+    )
+    print(json.dumps({"name": name, "sec": med, "reps": reps}))
     spark.stop()
 
 

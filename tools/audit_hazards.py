@@ -49,7 +49,7 @@ NONNULL_IDS = re.compile(
     r"\b(doc_id|vec_id|event_id|o_orderkey|o_custkey|l_orderkey|"
     r"l_partkey|l_linenumber|p_partkey|s_suppkey|c_custkey|n_nationkey|"
     r"r_regionkey|user_id|decile|quintile|bucket|seg|cell|lag_k|b|i|g|"
-    r"band|shard_id|pos|idx|k)\b"
+    r"band|shard_id|pos|idx|k|ts_us)\b"
 )
 PIN = re.compile(r"NULLS\s+(FIRST|LAST)", re.I)
 FLAG = re.compile(r"IS\s+NOT\s+NULL\s*\)", re.I)
@@ -120,6 +120,9 @@ def window_order_clauses(sql: str) -> list[str]:
 
 
 def classify_key(key: str, sql: str) -> str:
+    # strip table qualifiers (`c.vec_id` -> `vec_id`) so the
+    # non-null-id classifier sees the column, not the alias
+    key = re.sub(r"\b[A-Za-z_][A-Za-z_0-9]*\.", "", key)
     if PIN.search(key):
         return "pinned"
     if FLAG.search(key) or key.strip().upper().startswith("("):
@@ -150,6 +153,8 @@ def classify_key(key: str, sql: str) -> str:
         "ym": ["o_orderdate"], "month_idx": ["o_orderdate"],
         "vq": ["value"], "x": ["value", "ts"], "y": ["value", "ts"],
         "q": ["value", "n_chars"], "slope": ["value", "ts"],
+        "s": ["ts"], "e": ["ts"],
+        "price_cents": ["l_extendedprice", "o_totalprice"],
     }
     candidates = set(ident)
     for i in ident:
@@ -160,6 +165,116 @@ def classify_key(key: str, sql: str) -> str:
         ):
             return "filtered"
     return "UNGUARDED"
+
+
+# ---------------------------------------------------------------------------
+# Per-site dispositions (VERDICT r7 #6): every residual UNGUARDED window
+# key and UNWIDENED scaling carries a one-line justification. A site
+# with no disposition is listed UNANNOTATED — widen/pin it or add an
+# (honest) line here. Keys: (query, normalized key text) for windows;
+# ordered regex rules over the snippet for scalings (first match wins).
+WINDOW_DISPOSITIONS = {
+    ("event_burstiness", "epoch_us(ts)"):
+        "lag-gap over a BIGINT key: gaps touching a NULL-positioned row "
+        "are NULL and filtered (WHERE g IS NOT NULL) on both sides; NULL "
+        "placement at either end leaves identical surviving gaps",
+    ("gap_percentile_slo", "epoch_us(ts)"):
+        "lag-gap over a BIGINT key; NULL-adjacent gaps are NULL and "
+        "filtered on both sides (WHERE gap_s IS NOT NULL)",
+    ("interarrival_histogram", "t"):
+        "lag-gap over BIGINT epoch_us; NULL-adjacent gaps are NULL and "
+        "filtered on both sides (WHERE gap_us IS NOT NULL)",
+    ("user_value_twap", "t"):
+        "lead-gap over BIGINT epoch_us; NULL-adjacent durations are NULL "
+        "and filtered on both sides (WHERE dur IS NOT NULL)",
+    ("gap_filled_daily_revenue", "day"):
+        "window input is the generated spine (generate_series over "
+        "non-null min/max bounds); a NULL-day daily group can never "
+        "equi-join into it — key non-null by construction",
+    ("rfm_segments", "frequency"):
+        "count(*) is non-null by construction; the nullable o_custkey "
+        "tiebreaker is pinned NULLS FIRST (r8)",
+    ("survival_first_purchase", "t"):
+        "t = coalesce(conv.t, cens.t) of two WHERE-IS-NOT-NULL-filtered "
+        "keys — non-null by construction",
+    ("tfidf_top_terms", "term ASC"):
+        "terms come from split+explode/unnest of text: NULL text yields "
+        "zero rows on both engines, so term is never NULL",
+    ("user_purchase_streaks", "day"):
+        "NULL day forms its own island on both engines; the NULLS-"
+        "placement row_number shift changes island LABELS uniformly, not "
+        "the (user,island) grouping, and labels are not output",
+    ("weekly_ohlc", "t"):
+        "t is NULL iff the wk partition key is NULL (both derive from "
+        "ts); within the all-NULL-t partition the non-null event_id "
+        "tiebreaker fully orders rows identically on both engines",
+    ("zipf_exponent", "tok ASC LIMIT 200"):
+        "tokens from split of text are never NULL (WHERE tok <> '' also "
+        "excludes NULL on both engines)",
+    ("zipf_exponent", "tok ASC"):
+        "same: split-derived token, never NULL",
+    ("zipf_exponent", "slope"):
+        "slope operands lf/lr derive from non-null f and row_number; "
+        "the a.lr < b.lr join predicate guarantees a nonzero divisor — "
+        "non-null by construction",
+}
+
+SCALE_DISPOSITIONS = [
+    (re.compile(r"(floor|round)\s*\(\s*\(?\s*[A-Za-z_][\w.()]*\s*\)?\s*"
+                r"\*\s*(100|10000)\s*(\+\s*0\.5)?\s*\)", re.I),
+     "double-domain quantization: the multiply happens in DOUBLE (cannot "
+     "wrap int64 silently); beyond-long magnitudes are the documented "
+     "NULL-vs-error chaos-tier class; money/value columns are 2/4-decimal "
+     "bounded (|x| < 4.5e13 precondition, docs/HEAD_AUDIT.md)"),
+    (re.compile(r"round\s*\(\s*ln\s*\(", re.I),
+     "|ln(x)| <= ~709 for any double, so the 1e6 scaling is <= 7.1e8 — "
+     "five orders inside int64"),
+    (re.compile(r"epoch_us|\b(1800|150|300|600|60|360|1440|48)\s*\*\s*"
+                r"(3600|1000000)\b", re.I),
+     "epoch-microsecond arithmetic: magnitudes ~1.7e15 plus second-to-us "
+     "constants <= 1.3e11 — int64 headroom > 5000x"),
+    (re.compile(r"\*\s*1000000\s*(//|%|\s*-\s*\()", re.I),
+     "ppm of a COUNT/rank-bounded integer: numerators are counts or "
+     "count-derived (<= rows-per-group, <= ~1e12 even at 100 TB) so "
+     "x*1e6 <= 1e18 < 2^63; DuckDB BIGINT overflow errors loudly rather "
+     "than wrapping, and the nonan int64-edge sweep passes"),
+    (re.compile(r"(strpos|md5|substr)\(", re.I),
+     "positional hex-digit arithmetic over md5 text: terms bounded by "
+     "16^8 ~ 4.3e9 — six orders inside int64"),
+    (re.compile(r"round\s*\(\s*\(?(h\.hll_est|est\.hll_est)", re.I),
+     "relative-error percentage of an HLL estimate: |x| <= a few hundred "
+     "by construction"),
+    (re.compile(r"round\s*\(\s*sqrt|sqrt\s*\(\s*CAST", re.I),
+     "terminal DOUBLE expression over exact integer moments (the "
+     "documented text-identical-double terminal class) — no int64 path"),
+    (re.compile(r"(n_tokens|n_chars|length\(|len\()", re.I),
+     "ppm/ratio of text lengths: document lengths <= ~1e7 chars, so "
+     "x*1e6 <= 1e13 — far inside int64"),
+    (re.compile(r"9223372036854775808\.0"),
+     "the r8 overflow guard itself: a DOUBLE-domain comparison, the "
+     "identical expression on both engines — no int64 path"),
+    (re.compile(r"(round|floor)\s*\(\s*ln\s*\(", re.I),
+     "|ln(x)| <= ~709 for any double — 1e6 scaling stays <= 7.1e8"),
+    (re.compile(r"DOUBLE\).{0,80}\*\s*1000000(\.0)?\s*/", re.S),
+     "terminal DOUBLE expression over exact integer moments (the "
+     "documented text-identical-double terminal class) — computed "
+     "entirely in double, no int64 multiply"),
+    (re.compile(r"round\(CAST\(embedding"),
+     "unit-scale embedding component quantization: |x| = O(1) by "
+     "generator, 1e4 scaling <= ~1e5"),
+    (re.compile(r"TRY_CAST\(sc \* 10000"),
+     "sc is an upstream sum: HUGEINT in DuckDB, DECIMAL(38,0) on the "
+     "Spark side (r6 flagship widening) — product exact at any scale; "
+     "TRY_CAST nulls symmetrically past int64"),
+    (re.compile(r"(sum_base_price_cents|sdp|sum_qty)\s*\*\s*10000"),
+     "numerator is an upstream sum: HUGEINT in DuckDB, DECIMAL(38,0) "
+     "on the Spark side (r7 q1 avg-division widening) — exact at any "
+     "scale"),
+    (re.compile(r"l_extendedprice \* \(1 - l_discount\)|"
+                r"0\.001 \* p_retailprice|\(1 - l_discount\) \* l_tax"),
+     "all-DOUBLE product of bounded money columns quantized once at "
+     "the end: double domain (no silent wrap); magnitude <= ~1e9 cents"),
+]
 
 
 def main() -> int:
@@ -188,13 +303,25 @@ def main() -> int:
                 unwidened_sites.append((name, " ".join(ctx.split())[-120:]))
     lines.append(f"counts: {counts}")
     lines.append("")
-    lines.append("## UNGUARDED window order keys (manual review)")
+    unannotated = 0
+    lines.append("## UNGUARDED window order keys — per-site dispositions (r8)")
     for name, key in unguarded_sites:
-        lines.append(f"- `{name}`: `{' '.join(key.split())[:100]}`")
+        norm = " ".join(key.split())[:100]
+        disp = WINDOW_DISPOSITIONS.get((name, norm))
+        if disp is None:
+            unannotated += 1
+            lines.append(f"- `{name}`: `{norm}` — **UNANNOTATED**")
+        else:
+            lines.append(f"- `{name}`: `{norm}` — {disp}")
     lines.append("")
-    lines.append("## UNWIDENED scalings (manual review)")
+    lines.append("## UNWIDENED scalings — per-site dispositions (r8)")
     for name, ctx in unwidened_sites:
-        lines.append(f"- `{name}`: `...{ctx}`")
+        disp = next((d for rx, d in SCALE_DISPOSITIONS if rx.search(ctx)), None)
+        if disp is None:
+            unannotated += 1
+            lines.append(f"- `{name}`: `...{ctx}` — **UNANNOTATED**")
+        else:
+            lines.append(f"- `{name}`: `...{ctx}` — {disp}")
     lines.append("")
     lines.append(
         "Empirical gate: `tools/hostile_data_sweep.py testdata_hostile_nonan`"
@@ -206,7 +333,8 @@ def main() -> int:
         f.write("\n".join(lines) + "\n")
     print(f"window keys: {counts}")
     print(f"unguarded: {len(unguarded_sites)}, unwidened: {len(unwidened_sites)}")
-    return 0
+    print(f"unannotated: {unannotated}")
+    return 1 if unannotated else 0
 
 
 if __name__ == "__main__":
