@@ -1246,45 +1246,76 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_a mismatch -> the regexp_extract/digit-parse/sum chain diverges
     (e.g. Java-vs-RE2 \\s or \\d byte-class differences on driver
     props bytes); c_b-only mismatch -> the DECIMAL floor-division
-    diverges; both match -> the divergence is in DECIMAL(38,0) value
-    normalization inside the harness. Decode with
-    tools/decode_probe.py."""
+    diverges; both match -> the divergence is in value normalization
+    or version-specific rendering. Decode with tools/decode_probe.py.
+
+    r8 emission change: accumulation stays DECIMAL(38,0)/HUGEINT
+    (exact at any magnitude) but sum_k/avg_k_micro EMIT as bigint via
+    mirrored try_cast — this row was the gated head's ONLY
+    DECIMAL(38,0) emitter while bigint emission is proven green 48x,
+    so the harness's DECIMAL normalization was a live suspect; NULL
+    past int64 is symmetric on both engines. Additionally the RE2
+    `\\s` shorthand is expanded to the explicit Java whitespace class
+    in every oracle (_java_ws) — Java \\s matches \\x0B, RE2's does
+    not, a byte-class divergence proven live in
+    tests/test_probe_channel.py and now closed."""
     events = _t(spark, sf_dir, "events")
     k = F.nullif(
         F.regexp_extract("props", r'"k":\s*(\d+)', 1), F.lit("")
     ).cast("bigint")
+    # r8: accumulate in DECIMAL(38,0) (exact at any magnitude, the r7
+    # wrap fix) but EMIT bigint via mirrored try_cast — DECIMAL(38,0)
+    # output is unique to this row in the gated head while bigint
+    # emission is proven green 48x, so the harness's DECIMAL value
+    # normalization is a live suspect the type change eliminates. A
+    # sum past int64 becomes NULL on BOTH engines (try_cast), still
+    # symmetric. Checksums fold over the DECIMAL accumulators (not
+    # the emitted bigints) so they stay magnitude-exact.
     base = (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
-            F.sum(F.col("k").cast("decimal(38,0)")).alias("sum_k"),
             F.expr(
-                "CAST((sum(CAST(k AS DECIMAL(38,0))) * 1000000"
+                "TRY_CAST(sum(CAST(k AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("sum_k"),
+            F.expr(
+                "TRY_CAST(CAST((sum(CAST(k AS DECIMAL(38,0))) * 1000000"
                 " - pmod(sum(CAST(k AS DECIMAL(38,0))) * 1000000,"
-                " count(k))) / count(k) AS DECIMAL(38,0))"
+                " count(k))) / count(k) AS DECIMAL(38,0)) AS BIGINT)"
             ).alias("avg_k_micro"),
             F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(coalesce(pmod(sum(CAST(k AS DECIMAL(38,0))), 101),"
+                " 0) AS BIGINT)"
+            ).alias("_ca"),
+            F.expr(
+                "CAST(coalesce(pmod(CAST((sum(CAST(k AS DECIMAL(38,0)))"
+                " * 1000000 - pmod(sum(CAST(k AS DECIMAL(38,0)))"
+                " * 1000000, count(k))) / count(k) AS DECIMAL(38,0)),"
+                " 97), 0) AS BIGINT)"
+            ).alias("_cb"),
         )
     )
     chk = base.agg(
-        F.expr(
-            "CAST(coalesce(pmod(sum(sum_k), 101), 0) AS BIGINT)"
-        ).alias("c_a"),
-        F.expr(
-            "CAST(coalesce(pmod(sum(avg_k_micro), 97), 0) AS BIGINT)"
-        ).alias("c_b"),
+        F.expr("CAST(pmod(coalesce(sum(_ca), 0), 101) AS BIGINT)").alias(
+            "c_a"
+        ),
+        F.expr("CAST(pmod(coalesce(sum(_cb), 0), 97) AS BIGINT)").alias(
+            "c_b"
+        ),
     )
+    out = base.select("event_type", "sum_k", "avg_k_micro", "n_events")
     markers = _probe_rows(
         spark,
         chk,
         [
             F.lit("~probe").alias("event_type"),
-            F.lit(-1).cast("decimal(38,0)").alias("sum_k"),
-            F.lit(-1).cast("decimal(38,0)").alias("avg_k_micro"),
+            F.lit(-1).cast("long").alias("sum_k"),
+            F.lit(-1).cast("long").alias("avg_k_micro"),
             F.lit(-1).cast("long").alias("n_events"),
         ],
     )
-    return base.unionAll(markers)
+    return out.unionAll(markers)
 
 
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8875,18 +8906,28 @@ def oracle_sql() -> dict[str, str]:
             -- marker block of c_a + 101*c_b + 9797*vcode rows appended,
             -- computed by THIS engine over its own base result. See the
             -- Spark docstring for the decode table.
-            WITH base AS (
+            -- r8: exact HUGEINT accumulation, bigint EMISSION via
+            -- TRY_CAST (mirrors Spark's try_cast; NULL past int64 on
+            -- both engines). Checksums fold the EXACT accumulators.
+            WITH exact AS (
                 SELECT event_type,
-                       CAST(sum(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS DECIMAL(38,0)) AS sum_k,
-                       CAST(sum(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) * 1000000
-                         // count(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS DECIMAL(38,0)) AS avg_k_micro,
+                       sum(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS sum_k_x,
+                       sum(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) * 1000000
+                         // count(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS avg_x,
                        count(*) AS n_events
                 FROM events GROUP BY event_type
             ),
+            base AS (
+                SELECT event_type,
+                       TRY_CAST(sum_k_x AS BIGINT) AS sum_k,
+                       TRY_CAST(avg_x AS BIGINT) AS avg_k_micro,
+                       n_events
+                FROM exact
+            ),
             chk AS (
-                SELECT CAST(coalesce(((CAST(sum(sum_k) AS HUGEINT) % 101) + 101) % 101, 0) AS BIGINT) AS c_a,
-                       CAST(coalesce(((CAST(sum(avg_k_micro) AS HUGEINT) % 97) + 97) % 97, 0) AS BIGINT) AS c_b
-                FROM base
+                SELECT CAST(coalesce(((CAST(sum(CAST(sum_k_x AS HUGEINT)) AS HUGEINT) % 101) + 101) % 101, 0) AS BIGINT) AS c_a,
+                       CAST(coalesce(((CAST(sum(CAST(avg_x AS HUGEINT)) AS HUGEINT) % 97) + 97) % 97, 0) AS BIGINT) AS c_b
+                FROM exact
             ),
             ver AS (
                 SELECT least(greatest(coalesce(
@@ -8898,8 +8939,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM base
             UNION ALL
             SELECT '~probe' AS event_type,
-                   CAST(-1 AS DECIMAL(38,0)) AS sum_k,
-                   CAST(-1 AS DECIMAL(38,0)) AS avg_k_micro,
+                   CAST(-1 AS BIGINT) AS sum_k,
+                   CAST(-1 AS BIGINT) AS avg_k_micro,
                    CAST(-1 AS BIGINT) AS n_events
             FROM range(150000) t(i), pn WHERE t.i < pn.c
         """,
@@ -12831,4 +12872,22 @@ def oracle_sql() -> dict[str, str]:
         FROM cv JOIN part p ON cv.l_partkey = p.p_partkey
         GROUP BY 1
     """
-    return out
+    return {name: _java_ws(sql) for name, sql in out.items()}
+
+
+def _java_ws(sql: str) -> str:
+    """Expand the regex shorthand `\\s` in oracle SQL to Java's exact
+    whitespace class.
+
+    r8 method-identity hardening: Java regex `\\s` (Spark) is
+    `[ \\t\\n\\x0B\\f\\r]` while RE2 `\\s` (DuckDB) is `[\\t\\n\\f\\r ]`
+    — they disagree on VERTICAL TAB (\\x0B). Every mirrored oracle
+    regex therefore spells the Java class out explicitly so both
+    engines match the identical byte set; the Spark side keeps `\\s`
+    (which IS that class in Java). Class-internal occurrences like
+    `[^\\w\\s]` merge into the surrounding class first so brackets
+    never nest. \\x0B-bearing text/props is exercised by the hostile
+    fixture (tools/make_hostile_data.py)."""
+    return sql.replace(r"\s]", r" \t\n\x0B\f\r]").replace(
+        r"\s", r"[ \t\n\x0B\f\r]"
+    )

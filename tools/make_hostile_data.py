@@ -164,6 +164,8 @@ def mutate_events(tbl: pa.Table) -> pa.Table:
         '{"k": -5}',                               # negative (regex no-match)
         '{"k": "123"}',                            # quoted
         '{"k" :  7 }',                             # hostile whitespace
+        '{"k":\x0b42}',                            # VERTICAL TAB: Java \\s
+                                                   # matches it, RE2 \\s not
         '{"z": 1}',                                # missing k
         '{not json',                               # malformed
         "",                                        # empty string
@@ -229,6 +231,11 @@ def mutate_documents(tbl: pa.Table) -> pa.Table:
     d["text"][2] = ""
     d["text"][3] = "   "
     d["text"][4] = "\n\t"
+    # r8: VERTICAL TAB between words — Java regex \s matches \x0B,
+    # RE2's does not, so any oracle still using RE2's \s shorthand
+    # tokenizes/cleans this row differently (the class the r8
+    # _java_ws explicit-class mirror closes)
+    d["text"][10] = "alpha\x0bbeta gamma\x0b delta"
     d["lang"][5] = None
     d["lang"][6] = ""
     d["source"][7] = None
