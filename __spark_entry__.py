@@ -627,7 +627,13 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(cents).alias("rev_cents")
     )
-    w = Window.orderBy(F.col("day").asc_nulls_first()).rowsBetween(-6, 0)
+    # r8: the window ORDER key is the INTEGER epoch-day, not the DATE
+    # (identical ordering on non-null dates — bijective monotone), so
+    # no engine's DATE window-sort implementation is on the path at
+    # all: DuckDB 1.0.0's DATE sort is measured-buggy with NULLs and
+    # the driver's DuckDB version is unknown. Mirrored in the oracle.
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = Window.orderBy(day_num.asc()).rowsBetween(-6, 0)
     base = daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "rev_cents",
@@ -9399,11 +9405,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
             ),
             base AS (
+                -- r8: INTEGER epoch-day window key (mirrors the Spark
+                -- side; identical ordering, no DATE window-sort path)
                 SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
                        sum(rev_cents) OVER w AS rolling_7d_cents,
                        count(*) OVER w AS n_days_in_window
                 FROM daily
-                WINDOW w AS (ORDER BY day
+                WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
             ),
             chk AS (
