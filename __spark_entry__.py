@@ -504,68 +504,6 @@ def q_window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PROBE_RANGE = 150_000  # > max packed probe count (100 + 101*96 + 9797*14)
-
-# r8 row-count probe channel (docs/QUERIES.md §probe): the two
-# six-round-driver-red slots carry marker rows whose COUNT encodes
-# engine version + two per-primitive checksums. Local comparison tools
-# use strip_probe() to verify the checksum fields agree while ignoring
-# the version field (which legitimately differs across engines).
-PROBE_QUERIES = {"rolling_7day_revenue": "day", "json_props_stats": "event_type"}
-PROBE_MARKER = "~probe"
-PROBE_VBASE = 9797  # marker_count // 9797 = version code; % 9797 = checksums
-
-
-def strip_probe(name, cols, rows):
-    """Split result rows into (base_rows, marker_count) for probe
-    queries; (rows, None) for everything else. Comparators must then
-    check base rows exactly and marker counts mod PROBE_VBASE (the
-    version field is the only legitimate cross-engine difference)."""
-    key = PROBE_QUERIES.get(name)
-    cols = list(cols)
-    if key is None or key not in cols:
-        return rows, None
-    i = cols.index(key)
-    base = [r for r in rows if str(r[i]) != PROBE_MARKER]
-    return base, len(rows) - len(base)
-
-
-def _spark_version_code(spark: SparkSession) -> int:
-    """Map the running Spark version to a small code for the row-count
-    probe channel (docs/QUERIES.md §probe): clamp((major-3)*5 +
-    min(minor,4), 0, 14). 3.5->4, 4.0->5, 4.1->6, 4.2->7, 4.3->8,
-    4.4+->9, 5.x->10.., unknown/unparsable->14. Driver-side session
-    metadata, deterministic per engine build."""
-    try:
-        parts = spark.version.split(".")
-        major, minor = int(parts[0]), int(parts[1])
-        return max(0, min((major - 3) * 5 + min(minor, 4), 14))
-    except Exception:
-        return 14
-
-
-def _probe_rows(spark: SparkSession, chk: DataFrame, marker_cols) -> DataFrame:
-    """Generate `c_a + 101*c_b + 9797*vcode` marker rows (the row-count
-    probe channel, docs/QUERIES.md §probe). `chk` is a 1-row frame with
-    bigint c_a in [0,101) and c_b in [0,97); the version code occupies
-    the high field so the packed count decodes uniquely:
-    v = c // 9797; c_b = (c % 9797) // 101; c_a = c % 101.
-    Fully declarative — a bounded range crossJoined with the broadcast
-    1-row checksum frame, no driver-side collect."""
-    vcode = _spark_version_code(spark)
-    pn = chk.select(
-        (
-            F.col("c_a") + F.lit(101) * F.col("c_b") + F.lit(9797) * F.lit(vcode)
-        ).alias("c")
-    )
-    return (
-        spark.range(_PROBE_RANGE)
-        .crossJoin(F.broadcast(pn))
-        .filter(F.col("id") < F.col("c"))
-        .select(*marker_cols)
-    )
-
-
 def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-row rolling window over the DAILY aggregate (ROWS
     BETWEEN 6 PRECEDING AND CURRENT ROW — the standard trailing-7-day
@@ -601,25 +539,18 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     asc_nulls_first as belt-and-braces. Reproduced + verified on the
     hostile NULL-date fixture in tools/hostile_data_sweep.py.
 
-    r8 PROBE ROUND (docs/QUERIES.md §probe — the r5 contingency, the
-    r6 verdict's conditional instruction, and the r7 verdict's
-    explicit task #1): after SIX consecutive driver-red rounds with
-    every locally-testable hypothesis falsified, this slot temporarily
-    carries the row-count probe channel. The base result is UNCHANGED;
-    a marker-row block of size `c_a + 101*c_b + 9797*vcode` is
-    UNION ALLed on, computed independently by each engine over its own
-    base result:
-      c_a  = pmod(sum(rev_cents), 101)          — daily-agg checksum
-      c_b  = pmod(sum(rolling_7d_cents), 97)    — window checksum
-      vcode = engine version code (_spark_version_code / the DuckDB
-              version() parse in the oracle)
-    CORRECTNESS_r08's raw spark_rows/oracle_rows (base is 2399 in the
-    driver env, stable r02-r07) then decode to each engine's version
-    and both checksums: c_a mismatch -> daily agg/cents parse diverges;
-    c_b-only mismatch -> the window frame diverges; both match ->
-    divergence is in day-string formatting or harness value
-    normalization. rows_match is knowingly sacrificed this round on an
-    already-red row. Decode with tools/decode_probe.py."""
+    r8 carried the row-count probe channel in this slot (post-mortem:
+    docs/QUERIES.md §probe). The decode proved BOTH per-primitive
+    checksums agree across engines on the driver's own data — the
+    computation, the data, and the engine versions all match; the only
+    divergent layer was the harness's value normalization of the
+    oracle's output types. This oracle was the gated head's ONLY
+    emitter of DuckDB HUGEINT columns (sum(BIGINT) promotes to INT128).
+    r9 fix: the oracle CASTs both sum columns to BIGINT (values proven
+    in-range by the probe checksums) and the probe block is retired.
+    A registry-wide emission-type lint (tests/test_oracle_types.py)
+    now pins every oracle's result types to the Spark-emittable set so
+    this divergence class cannot recur."""
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").isNotNull()
     )
@@ -634,33 +565,12 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver's DuckDB version is unknown. Mirrored in the oracle.
     day_num = F.datediff(F.col("day"), F.lit("1970-01-01"))
     w = Window.orderBy(day_num.asc()).rowsBetween(-6, 0)
-    base = daily.select(
+    return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "rev_cents",
         F.sum("rev_cents").over(w).alias("rolling_7d_cents"),
         F.count(F.lit(1)).over(w).alias("n_days_in_window"),
     )
-    chk = base.agg(
-        F.expr(
-            "CAST(coalesce(pmod(sum(CAST(rev_cents AS DECIMAL(38,0))), 101),"
-            " 0) AS BIGINT)"
-        ).alias("c_a"),
-        F.expr(
-            "CAST(coalesce(pmod(sum(CAST(rolling_7d_cents AS DECIMAL(38,0))),"
-            " 97), 0) AS BIGINT)"
-        ).alias("c_b"),
-    )
-    markers = _probe_rows(
-        spark,
-        chk,
-        [
-            F.lit("~probe").alias("day"),
-            F.lit(-1).cast("long").alias("rev_cents"),
-            F.lit(-1).cast("long").alias("rolling_7d_cents"),
-            F.lit(-1).cast("long").alias("n_days_in_window"),
-        ],
-    )
-    return base.unionAll(markers)
 
 
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,19 +1151,12 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified on the hostile epoch-scale-k fixture
     (tools/hostile_data_sweep.py).
 
-    r8 PROBE ROUND (docs/QUERIES.md §probe; see q_rolling_7day_revenue
-    for the full rationale): base result UNCHANGED, plus a marker-row
-    block of size `c_a + 101*c_b + 9797*vcode` computed independently
-    by each engine over its own base result:
-      c_a  = pmod(sum(sum_k), 101)        — regex parse + sum checksum
-      c_b  = pmod(sum(avg_k_micro), 97)   — exact-division checksum
-      vcode = engine version code
-    Decode of CORRECTNESS_r08's raw counts (base = 5, stable r02-r07):
-    c_a mismatch -> the regexp_extract/digit-parse/sum chain diverges
-    (e.g. Java-vs-RE2 \\s or \\d byte-class differences on driver
-    props bytes); c_b-only mismatch -> the DECIMAL floor-division
-    diverges; both match -> the divergence is in value normalization
-    or version-specific rendering. Decode with tools/decode_probe.py.
+    r8 carried the row-count probe channel in this slot; the decode
+    proved both checksums agree across engines (post-mortem:
+    docs/QUERIES.md §probe) — the divergence was the harness's value
+    normalization of the oracle's DECIMAL(38,0) output, the exact
+    class the r8 emission change below eliminates. r9 retires the
+    probe block; the emission fix stays.
 
     r8 emission change: accumulation stays DECIMAL(38,0)/HUGEINT
     (exact at any magnitude) but sum_k/avg_k_micro EMIT as bigint via
@@ -1264,7 +1167,7 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     `\\s` shorthand is expanded to the explicit Java whitespace class
     in every oracle (_java_ws) — Java \\s matches \\x0B, RE2's does
     not, a byte-class divergence proven live in
-    tests/test_probe_channel.py and now closed."""
+    tests/test_java_ws.py and now closed."""
     events = _t(spark, sf_dir, "events")
     k = F.nullif(
         F.regexp_extract("props", r'"k":\s*(\d+)', 1), F.lit("")
@@ -1275,9 +1178,8 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emission is proven green 48x, so the harness's DECIMAL value
     # normalization is a live suspect the type change eliminates. A
     # sum past int64 becomes NULL on BOTH engines (try_cast), still
-    # symmetric. Checksums fold over the DECIMAL accumulators (not
-    # the emitted bigints) so they stay magnitude-exact.
-    base = (
+    # symmetric.
+    return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
@@ -1290,38 +1192,8 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " count(k))) / count(k) AS DECIMAL(38,0)) AS BIGINT)"
             ).alias("avg_k_micro"),
             F.count(F.lit(1)).alias("n_events"),
-            F.expr(
-                "CAST(coalesce(pmod(sum(CAST(k AS DECIMAL(38,0))), 101),"
-                " 0) AS BIGINT)"
-            ).alias("_ca"),
-            F.expr(
-                "CAST(coalesce(pmod(CAST((sum(CAST(k AS DECIMAL(38,0)))"
-                " * 1000000 - pmod(sum(CAST(k AS DECIMAL(38,0)))"
-                " * 1000000, count(k))) / count(k) AS DECIMAL(38,0)),"
-                " 97), 0) AS BIGINT)"
-            ).alias("_cb"),
         )
     )
-    chk = base.agg(
-        F.expr("CAST(pmod(coalesce(sum(_ca), 0), 101) AS BIGINT)").alias(
-            "c_a"
-        ),
-        F.expr("CAST(pmod(coalesce(sum(_cb), 0), 97) AS BIGINT)").alias(
-            "c_b"
-        ),
-    )
-    out = base.select("event_type", "sum_k", "avg_k_micro", "n_events")
-    markers = _probe_rows(
-        spark,
-        chk,
-        [
-            F.lit("~probe").alias("event_type"),
-            F.lit(-1).cast("long").alias("sum_k"),
-            F.lit(-1).cast("long").alias("avg_k_micro"),
-            F.lit(-1).cast("long").alias("n_events"),
-        ],
-    )
-    return out.unionAll(markers)
 
 
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2584,7 +2456,10 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the hostile props ladder: near/above int64, negative,
     quoted, whitespace, missing, malformed, empty, NULL). sum_k
     accumulates in DECIMAL(38,0) on both sides — a near-int64 k plus
-    neighbors wraps a bigint sum. Integer-k contract: on a fractional
+    neighbors wraps a bigint sum; r9 EMITS it as bigint via mirrored
+    TRY_CAST (NULL past int64 on both engines) — DECIMAL output is
+    the harness-normalization divergence class the r8 probe
+    root-caused (tests/test_oracle_types.py). Integer-k contract: on a fractional
     k Spark's variant cast truncates while DuckDB's JSON cast rounds;
     props k is integer-typed everywhere this engine reads it."""
     events = _t(spark, sf_dir, "events")
@@ -2600,7 +2475,9 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_with_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            F.sum(F.col("k").cast("decimal(38,0)")).alias("sum_k"),
+            F.expr(
+                "TRY_CAST(sum(CAST(k AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("sum_k"),
         )
     )
 
@@ -3735,10 +3612,13 @@ def q_daily_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Moments in DECIMAL(38,0) (HUGEINT on the oracle side): x*y with
     # quanta-scale y exceeds int64 per ROW, so widen BEFORE the
-    # product (the user_value_twap rule); the final quotient can also
-    # exceed int64, so it stays decimal end to end — exact truncating
-    # division (num*1e6 - num*1e6 % den)/den, NULL on a degenerate
-    # zero denominator on both sides.
+    # product (the user_value_twap rule); accumulation stays decimal
+    # end to end — exact truncating division
+    # (num*1e6 - num*1e6 % den)/den, NULL on a degenerate zero
+    # denominator on both sides. r9: numerator and quotient EMIT as
+    # bigint via mirrored TRY_CAST (NULL past int64 on both engines) —
+    # DECIMAL/HUGEINT output is the harness-normalization divergence
+    # class the r8 probe root-caused (tests/test_oracle_types.py).
     dec = "decimal(38,0)"
     mom = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -3750,15 +3630,14 @@ def q_daily_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "event_type",
         "n",
-        F.expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").alias(
-            "slope_num_q4"
-        ),
+        F.expr("TRY_CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))"
+               " AS BIGINT)").alias("slope_num_q4"),
         F.expr("n * sxx - sx * sx").alias("slope_den"),
         F.expr(
-            "CAST(((n * sxy - sx * sy) * 1000000"
+            "TRY_CAST(CAST(((n * sxy - sx * sy) * 1000000"
             " - ((n * sxy - sx * sy) * 1000000)"
             "   % nullif(n * sxx - sx * sx, 0))"
-            " / nullif(n * sxx - sx * sx, 0) AS DECIMAL(38,0))"
+            " / nullif(n * sxx - sx * sx, 0) AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("slope_micro_q4_per_day"),
     )
 
@@ -8908,13 +8787,10 @@ def oracle_sql() -> dict[str, str]:
             -- TRY_CAST: an above-int64 k string is NULL on both sides
             -- (Spark non-ANSI CAST overflow -> NULL; plain DuckDB CAST
             -- would error instead).
-            -- r8 PROBE (docs/QUERIES.md §probe): base result unchanged;
-            -- marker block of c_a + 101*c_b + 9797*vcode rows appended,
-            -- computed by THIS engine over its own base result. See the
-            -- Spark docstring for the decode table.
             -- r8: exact HUGEINT accumulation, bigint EMISSION via
             -- TRY_CAST (mirrors Spark's try_cast; NULL past int64 on
-            -- both engines). Checksums fold the EXACT accumulators.
+            -- both engines). r9: probe block retired (decode proved
+            -- both checksums agree; docs/QUERIES.md §probe).
             WITH exact AS (
                 SELECT event_type,
                        sum(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS sum_k_x,
@@ -8922,33 +8798,12 @@ def oracle_sql() -> dict[str, str]:
                          // count(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS avg_x,
                        count(*) AS n_events
                 FROM events GROUP BY event_type
-            ),
-            base AS (
-                SELECT event_type,
-                       TRY_CAST(sum_k_x AS BIGINT) AS sum_k,
-                       TRY_CAST(avg_x AS BIGINT) AS avg_k_micro,
-                       n_events
-                FROM exact
-            ),
-            chk AS (
-                SELECT CAST(coalesce(((CAST(sum(CAST(sum_k_x AS HUGEINT)) AS HUGEINT) % 101) + 101) % 101, 0) AS BIGINT) AS c_a,
-                       CAST(coalesce(((CAST(sum(CAST(avg_x AS HUGEINT)) AS HUGEINT) % 97) + 97) % 97, 0) AS BIGINT) AS c_b
-                FROM exact
-            ),
-            ver AS (
-                SELECT least(greatest(coalesce(
-                         (TRY_CAST(regexp_extract(version(), '(\d+)\.(\d+)', 1) AS INT) - 1) * 10
-                         + least(TRY_CAST(regexp_extract(version(), '(\d+)\.(\d+)', 2) AS INT), 9),
-                       14), 0), 14) AS vcode
-            ),
-            pn AS (SELECT c_a + 101 * c_b + 9797 * vcode AS c FROM chk, ver)
-            SELECT * FROM base
-            UNION ALL
-            SELECT '~probe' AS event_type,
-                   CAST(-1 AS BIGINT) AS sum_k,
-                   CAST(-1 AS BIGINT) AS avg_k_micro,
-                   CAST(-1 AS BIGINT) AS n_events
-            FROM range(150000) t(i), pn WHERE t.i < pn.c
+            )
+            SELECT event_type,
+                   TRY_CAST(sum_k_x AS BIGINT) AS sum_k,
+                   TRY_CAST(avg_x AS BIGINT) AS avg_k_micro,
+                   n_events
+            FROM exact
         """,
         "q17_small_qty_revenue": """
             SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
@@ -9395,44 +9250,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang ORDER BY lang
         """,
         "rolling_7day_revenue": """
-            -- r8 PROBE (docs/QUERIES.md §probe): base result unchanged;
-            -- marker block of c_a + 101*c_b + 9797*vcode rows appended,
-            -- computed by THIS engine over its own base result. See the
-            -- Spark docstring for the decode table.
+            -- r9: every integer sum is CAST back to BIGINT before
+            -- emission. DuckDB promotes sum(BIGINT) to HUGEINT
+            -- (INT128); Spark emits plain bigint — the r8 probe decode
+            -- proved values agree and fit int64, so the HUGEINT output
+            -- type was the only remaining divergence layer (harness
+            -- value normalization). Mirrors the Spark side exactly.
             WITH daily AS (
                 SELECT CAST(o_orderdate AS DATE) AS day,
-                       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
                 FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
-            ),
-            base AS (
-                -- r8: INTEGER epoch-day window key (mirrors the Spark
-                -- side; identical ordering, no DATE window-sort path)
-                SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
-                       sum(rev_cents) OVER w AS rolling_7d_cents,
-                       count(*) OVER w AS n_days_in_window
-                FROM daily
-                WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
-                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-            ),
-            chk AS (
-                SELECT CAST(coalesce(((sum(CAST(rev_cents AS HUGEINT)) % 101) + 101) % 101, 0) AS BIGINT) AS c_a,
-                       CAST(coalesce(((sum(CAST(rolling_7d_cents AS HUGEINT)) % 97) + 97) % 97, 0) AS BIGINT) AS c_b
-                FROM base
-            ),
-            ver AS (
-                SELECT least(greatest(coalesce(
-                         (TRY_CAST(regexp_extract(version(), '(\\d+)\\.(\\d+)', 1) AS INT) - 1) * 10
-                         + least(TRY_CAST(regexp_extract(version(), '(\\d+)\\.(\\d+)', 2) AS INT), 9),
-                       14), 0), 14) AS vcode
-            ),
-            pn AS (SELECT c_a + 101 * c_b + 9797 * vcode AS c FROM chk, ver)
-            SELECT * FROM base
-            UNION ALL
-            SELECT '~probe' AS day,
-                   CAST(-1 AS BIGINT) AS rev_cents,
-                   CAST(-1 AS BIGINT) AS rolling_7d_cents,
-                   CAST(-1 AS BIGINT) AS n_days_in_window
-            FROM range(150000) t(i), pn WHERE t.i < pn.c
+            )
+            -- r8: INTEGER epoch-day window key (mirrors the Spark
+            -- side; identical ordering, no DATE window-sort path)
+            SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
+                   CAST(sum(rev_cents) OVER w AS BIGINT) AS rolling_7d_cents,
+                   count(*) OVER w AS n_days_in_window
+            FROM daily
+            WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "stream_stream_join": """
             SELECT p.user_id,
@@ -10355,7 +10191,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type,
                count(*) AS n_with_k,
                min(k) AS min_k, max(k) AS max_k,
-               CAST(sum(k) AS DECIMAL(38,0)) AS sum_k
+               TRY_CAST(sum(k) AS BIGINT) AS sum_k
         FROM k WHERE k IS NOT NULL
         GROUP BY event_type
     """
@@ -11167,12 +11003,12 @@ def oracle_sql() -> dict[str, str]:
             FROM pts GROUP BY event_type
         )
         SELECT event_type, n,
-               n * sxy - sx * sy AS slope_num_q4,
+               TRY_CAST(n * sxy - sx * sy AS BIGINT) AS slope_num_q4,
                CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-               ((n * sxy - sx * sy) * 1000000
+               TRY_CAST(((n * sxy - sx * sy) * 1000000
                 - ((n * sxy - sx * sy) * 1000000)
                   % nullif(n * sxx - sx * sx, 0))
-                   // nullif(n * sxx - sx * sx, 0)
+                   // nullif(n * sxx - sx * sx, 0) AS BIGINT)
                    AS slope_micro_q4_per_day
         FROM mom
     """
@@ -12880,7 +12716,94 @@ def oracle_sql() -> dict[str, str]:
         FROM cv JOIN part p ON cv.l_partkey = p.p_partkey
         GROUP BY 1
     """
-    return {name: _java_ws(sql) for name, sql in out.items()}
+    return {
+        name: _java_ws(_emit_bigint(name, sql)) for name, sql in out.items()
+    }
+
+
+# r9 emission-type doctrine (VERDICT r8 #3): DuckDB promotes integer
+# sums to HUGEINT (INT128) and exact sums to DECIMAL — types Spark
+# never emits. The r8 probe decode proved the seven-round driver-red
+# pair diverged ONLY in the harness's value normalization of exactly
+# such columns (values equal, rows/schema match, hash fails). Every
+# oracle output column must therefore be a Spark-emittable type; the
+# columns below (enumerated by tools/lint_oracle_types.py, pinned by
+# tests/test_oracle_types.py) are integer sums whose values fit int64
+# on every fixture (sf0.001/0.01/0.1/1.0 + hostile) — CAST is loud on
+# a future overflow, by design.
+_EMIT_BIGINT = {
+    "ab_experiment_report": ("conv_a", "conv_b", "rate_a_ppm", "rate_b_ppm", "lift_ppm"),
+    "abc_classification": ("class_rev_cents",),
+    "abuse_suspects": ("error_ppm",),
+    "benford_digit_audit": ("share_ppm", "deviation_ppm"),
+    "bpe_pair_counts": ("n",),
+    "budget_apportionment": ("rev_cents",),
+    "chained_window_rollup": ("n_events", "sum_value_q4"),
+    "cohort_ltv_curves": ("rev_cents",),
+    "conversion_funnel": ("total_funnel_lag_us",),
+    "curation_funnel": ("n_tokens_kept",),
+    "daily_cusum_drift": ("ref_q4", "max_cusum_q4"),
+    "decile_gains_table": ("n_converted", "cum_users", "cum_converted", "capture_ppm", "lift_ppm"),
+    "doc_perplexity": ("nll_micro",),
+    "event_dow_mutual_info": ("mi_micronat_weighted",),
+    "eventgen_source_stats": ("sum_value_micro",),
+    "gopher_quality_filter": ("n_pass", "n_fail_words", "n_fail_mean_wl", "n_fail_alpha", "n_fail_stopwords"),
+    "incremental_agg_orders": ("sum_cents",),
+    "interarrival_histogram": ("total_gap_us",),
+    "linear_attribution_credit": ("total_credit_millis",),
+    "lorenz_curve_deciles": ("decile_cents", "cum_pop_ppm", "cum_spend_ppm"),
+    "market_basket_rules": ("lift_ppm",),
+    "monthly_growth_rates": ("rev_cents", "prev_cents", "delta_cents"),
+    "monthly_revenue_calendar": ("rev_cents", "mom_delta_cents"),
+    "nation_share_of_region": ("rev_cents", "share_of_region_ppm", "share_of_global_ppm"),
+    "new_vs_returning_revenue": ("rev_cents",),
+    "nullsafe_props_join": ("sum_value_cents",),
+    "open_order_aging": ("total_cents",),
+    "price_band_window": ("band_cents_sum",),
+    "promo_overlap_stats": ("rev_cents",),
+    "q12_late_priority_lines": ("high_line_count", "low_line_count"),
+    "region_nation_rollcall": ("n_suppliers",),
+    "revenue_band_breakouts": ("vq",),
+    "revenue_waterfall": ("gross_cents", "discount_cents", "tax_cents", "net_cents"),
+    "rfm_segments": ("cell_cents",),
+    "scd1_delete_merge": ("n_updated", "rev_cents"),
+    "scd2_user_state": ("island",),
+    "session_bounce_profile": ("n_bounces", "bounce_ppm"),
+    "source_ks_drift": ("ks_d_ppm",),
+    "sparse_cosine_pairs": ("sum_cos_micro",),
+    "stream_outer_join_report": ("n_unmatched", "sum_gap_us"),
+    "stream_static_enrichment": ("sum_value_cents",),
+    "stream_stream_join": ("sum_gap_us",),
+    "supplier_price_dispersion": ("mean_cv_ppm",),
+    "survival_first_purchase": ("log_survival_micronat",),
+    "touch_attribution": ("revenue_q4",),
+    "trending_event_scores": ("decayed_count_micro",),
+    "uniform_lang_keep_plan": ("weight_ppm", "n_keep"),
+    "user_busy_time": ("busy_seconds",),
+    "user_feature_snapshot": ("n_view", "n_click", "n_purchase", "n_signup", "n_error", "purchase_vq_total", "mean_purchase_vq"),
+    "user_pagerank": ("pr_micro",),
+    "user_purchase_streaks": ("n_active_days",),
+    "weekly_ohlc": ("volume_q4",),
+    "weighted_median_price": ("total_w", "n_lines"),
+    "wilson_return_rates": ("n_returned",),
+    "winsorized_value_stats": ("winsorized_mean_q4",),
+}
+
+
+def _emit_bigint(name: str, sql: str) -> str:
+    """Wrap an oracle so its pinned integer-sum columns EMIT BIGINT.
+
+    `SELECT * REPLACE` keeps every other column and the row set
+    byte-identical — only the declared type of the named columns
+    narrows from HUGEINT to the int64 Spark actually emits. Values
+    are proven in-range on every fixture; CAST (not TRY_CAST) so a
+    future overflow fails the sweep loudly instead of silently
+    diverging NULL-vs-value."""
+    cols = _EMIT_BIGINT.get(name)
+    if not cols:
+        return sql
+    repl = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) __emit"
 
 
 def _java_ws(sql: str) -> str:
@@ -12892,10 +12815,35 @@ def _java_ws(sql: str) -> str:
     — they disagree on VERTICAL TAB (\\x0B). Every mirrored oracle
     regex therefore spells the Java class out explicitly so both
     engines match the identical byte set; the Spark side keeps `\\s`
-    (which IS that class in Java). Class-internal occurrences like
-    `[^\\w\\s]` merge into the surrounding class first so brackets
-    never nest. \\x0B-bearing text/props is exercised by the hostile
-    fixture (tools/make_hostile_data.py)."""
-    return sql.replace(r"\s]", r" \t\n\x0B\f\r]").replace(
-        r"\s", r"[ \t\n\x0B\f\r]"
-    )
+    (which IS that class in Java). \\x0B-bearing text/props is
+    exercised by the hostile fixture (tools/make_hostile_data.py).
+
+    r9: class-aware scan instead of the old blanket str.replace. The
+    old form only merged `\\s` into a surrounding character class when
+    it ENDED the class (`\\s]`); a class-leading `[\\sX]` would have
+    produced nested brackets — silently-wrong regex. This version
+    tracks bracket state: a `\\s` inside `[...]` merges bare (no
+    brackets), outside it wraps in its own class; all other escape
+    pairs (`\\d`, `\\[`, ...) pass through untouched and never toggle
+    the state. Pinned by tests/test_java_ws.py."""
+    out: list[str] = []
+    in_class = False
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "\\" and i + 1 < n:
+            if sql[i + 1] == "s":
+                out.append(
+                    r" \t\n\x0B\f\r" if in_class else r"[ \t\n\x0B\f\r]"
+                )
+            else:
+                out.append(sql[i : i + 2])
+            i += 2
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "]":
+            in_class = False
+        out.append(ch)
+        i += 1
+    return "".join(out)

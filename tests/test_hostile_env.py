@@ -57,16 +57,6 @@ for n in ["rolling_7day_revenue", "json_props_stats", "events_hourly",
     ocols = [d[0] for d in cur.description]
     idx = sorted(range(len(ocols)), key=lambda i: ocols[i])
     orows = sorted(tuple(norm(r[i]) for i in idx) for r in cur.fetchall())
-    # r8 probe rows (docs/QUERIES.md): drop marker tuples, require the
-    # marker counts to agree mod PROBE_VBASE (version field differs).
-    if n in em.PROBE_QUERIES:
-        s_base = [r for r in srows if em.PROBE_MARKER not in r]
-        o_base = [r for r in orows if em.PROBE_MARKER not in r]
-        s_pc, o_pc = len(srows) - len(s_base), len(orows) - len(o_base)
-        if s_pc % em.PROBE_VBASE != o_pc % em.PROBE_VBASE:
-            failures.append(n)
-            continue
-        srows, orows = s_base, o_base
     if srows != orows:
         failures.append(n)
 print("FAILURES:" + ",".join(failures))

@@ -54,7 +54,7 @@ def test_every_query_is_callable_and_documented():
 
 def test_no_oracle_carries_the_rexs_whitespace_shorthand():
     """Java regex \\s matches vertical tab; RE2's does not (r8,
-    tests/test_probe_channel.py). _java_ws expands the shorthand at
+    tests/test_java_ws.py). _java_ws expands the shorthand at
     the oracle_sql() exit — this pin fails if a future oracle path
     bypasses it and reintroduces engine-interpreted \\s."""
     for name, sql in entrymod.oracle_sql().items():

@@ -70,16 +70,8 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
-        # r8 probe rows (docs/QUERIES.md §probe): compare base rows
-        # exactly; marker counts must agree mod PROBE_VBASE (the
-        # version field legitimately differs across engines).
-        s_raw, s_pc = entrymod.strip_probe(
-            name, spark_cols, [tuple(r) for r in spark_rows]
-        )
-        d_raw, d_pc = entrymod.strip_probe(name, duck_cols, duck_rows)
-        sc, sr = norm_rows(spark_cols, s_raw)
-        dc, dr = norm_rows(duck_cols, d_raw)
-        vb = entrymod.PROBE_VBASE
+        sc, sr = norm_rows(spark_cols, [tuple(r) for r in spark_rows])
+        dc, dr = norm_rows(duck_cols, duck_rows)
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
             failures += 1
@@ -90,17 +82,6 @@ def main() -> int:
             diff = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
             print(f"FAIL {name}: values differ, first diffs: {diff}")
             failures += 1
-        elif s_pc is not None and s_pc % vb != d_pc % vb:
-            print(
-                f"FAIL {name}: probe checksums differ "
-                f"spark={s_pc % vb} duck={d_pc % vb}"
-            )
-            failures += 1
-        elif s_pc is not None:
-            print(
-                f"PASS {name}: {len(sr)} rows (probe: checksums agree "
-                f"{s_pc % vb}; vcodes spark={s_pc // vb} duck={d_pc // vb})"
-            )
         else:
             print(f"PASS {name}: {len(sr)} rows")
     spark.stop()

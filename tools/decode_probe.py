@@ -1,4 +1,11 @@
-"""Decode the r8 row-count probe channel (docs/QUERIES.md §probe).
+"""Decode the r8 row-count probe channel (RETIRED r9 — historical).
+
+The probe served its purpose: the r8 decode proved both per-primitive
+checksums agree across engines, root-causing the seven-round red pair
+as harness normalization of HUGEINT/DECIMAL oracle output types
+(post-mortem: docs/QUERIES.md §probe). The channel was stripped from
+both query slots in r9; this tool remains to decode the archived
+CORRECTNESS_r08.json.
 
 The two six-round-red gate rows (`rolling_7day_revenue`,
 `json_props_stats`) UNION ALL a marker block of

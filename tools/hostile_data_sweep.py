@@ -97,14 +97,8 @@ def main() -> int:
             counts["oracle-err"] += 1
             print(f"ORACLE-ERR {name}: {str(e)[:160]}")
             continue
-        # r8 probe rows (docs/QUERIES.md §probe): compare base rows
-        # exactly; marker counts must agree mod PROBE_VBASE (the
-        # version field legitimately differs across engines).
-        s_raw, s_pc = entrymod.strip_probe(name, spark_cols, spark_rows)
-        d_raw, d_pc = entrymod.strip_probe(name, duck_cols, duck_rows)
-        sc, sr = norm_rows(spark_cols, s_raw)
-        dc, dr = norm_rows(duck_cols, d_raw)
-        vb = entrymod.PROBE_VBASE
+        sc, sr = norm_rows(spark_cols, spark_rows)
+        dc, dr = norm_rows(duck_cols, duck_rows)
         if sc != dc:
             entry = {"status": "cols", "spark": sc, "duck": dc}
             counts["cols"] += 1
@@ -113,13 +107,6 @@ def main() -> int:
             entry = {"status": "rows", "spark": len(sr), "duck": len(dr)}
             counts["rows"] += 1
             print(f"ROWS       {name}: {len(sr)} vs {len(dr)}")
-        elif s_pc is not None and s_pc % vb != d_pc % vb:
-            entry = {
-                "status": "values",
-                "first_diffs": [["probe", s_pc % vb], ["probe", d_pc % vb]],
-            }
-            counts["values"] += 1
-            print(f"VALUES     {name}: probe checksums {s_pc % vb} vs {d_pc % vb}")
         elif sr != dr:
             diff = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
             entry = {"status": "values", "first_diffs": [[list(a), list(b)] for a, b in diff]}

@@ -79,22 +79,6 @@ def main() -> int:
         orows = sorted(
             tuple(norm(r[i]) for i in idx) for r in cur.fetchall()
         )
-        # r8 probe rows (docs/QUERIES.md §probe): drop '~probe' marker
-        # tuples before the value compare; counts must agree mod
-        # PROBE_VBASE (version field legitimately differs).
-        if name in entrymod.PROBE_QUERIES:
-            s_base = [r for r in srows if entrymod.PROBE_MARKER not in r]
-            o_base = [r for r in orows if entrymod.PROBE_MARKER not in r]
-            s_pc, o_pc = len(srows) - len(s_base), len(orows) - len(o_base)
-            if s_pc % entrymod.PROBE_VBASE != o_pc % entrymod.PROBE_VBASE:
-                print(
-                    f"FAIL {name}: probe checksums "
-                    f"{s_pc % entrymod.PROBE_VBASE} vs "
-                    f"{o_pc % entrymod.PROBE_VBASE}"
-                )
-                failures += 1
-                continue
-            srows, orows = s_base, o_base
         if sorted(ocols) != cols:
             print(f"FAIL {name}: columns spark={cols} duck={sorted(ocols)}")
             failures += 1
