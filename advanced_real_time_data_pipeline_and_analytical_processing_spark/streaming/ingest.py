@@ -51,6 +51,9 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators.
     RuleSet,
     validate,
 )
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.sinks.bootstrap import (
+    bootstrap_ingest_dirs,
+)
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.sinks.writers import (
     AuditRecord,
     write_audit,
@@ -219,7 +222,10 @@ def process_batch(cfg: IngestConfig) -> Callable[[DataFrame, int], None]:
 def start_ingest(spark: SparkSession, cfg: IngestConfig):
     """Start the streaming query. With trigger=availableNow this drains
     the existing backlog and stops (backfill mode); with processingTime
-    it runs continuously (reference T1)."""
+    it runs continuously (reference T1). Storage locations are
+    bootstrapped first (K6 — the reference's ``initialize_bucket`` at
+    ``code/Main.py:34`` holds the same pre-stream slot)."""
+    bootstrap_ingest_dirs(spark, cfg)
     stream = build_stream(spark, cfg)
     writer = (
         stream.writeStream.foreachBatch(process_batch(cfg))
