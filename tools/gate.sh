@@ -6,6 +6,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 python -m pytest tests/test_registry.py -q
+python tools/lint_oracle_types.py
 python -m pytest tests/ -x -q
 python tools/check_oracle.py /root/testdata/sf0.01
 if [[ "${1:-}" != "--quick" ]]; then
