@@ -60,6 +60,55 @@ def test_emit_bigint_pins_exist_in_their_oracles():
             ), f"{name}.{c} not cast in emitted oracle"
 
 
+def test_every_oracle_pandas_fetch_is_normalization_clean():
+    """Simulate the driver's suspected fetch layer directly: execute
+    every oracle and pull it through DuckDB's pandas path.
+
+    Measured on DuckDB 1.0.0 (the probe-decoded driver version):
+    `.df()` renders HUGEINT and DECIMAL(38,0) columns as FLOAT64 — so
+    the driver compared Spark's int64 `2399` against oracle `2399.0`:
+    every value equal, rows/schema matching, hash failing. That exact
+    asymmetric degradation is what the DESCRIBE lint above bans at the
+    type level (a float64 that SHOULD be int64 is indistinguishable
+    here from a legitimate DOUBLE, so this test cannot catch it
+    alone). What this test adds: no oracle may fetch to an exotic
+    dtype or to object cells beyond str/bytes/list/date/None —
+    guarding the Decimal-as-object and unforeseen-type classes on the
+    same code path the driver uses."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    ok_kinds = set("iufbOM")  # int/uint/float/bool/object/datetime
+    bad = []
+    for name, sql in em.oracle_sql().items():
+        df = con.execute(sql).df()
+        for col in df.columns:
+            kind = df[col].dtype.kind
+            if kind not in ok_kinds:
+                bad.append(f"{name}.{col}: dtype {df[col].dtype}")
+                continue
+            if kind == "O":
+                for v in df[col]:
+                    if v is None or isinstance(
+                        v, (str, bytes, list, dict, np.ndarray, datetime.date)
+                    ):
+                        continue
+                    if isinstance(v, float) and v != v:  # NaN filler
+                        continue
+                    bad.append(
+                        f"{name}.{col}: object cell {type(v).__name__}"
+                    )
+                    break
+                if df[col].map(lambda v: isinstance(v, decimal.Decimal)).any():
+                    bad.append(f"{name}.{col}: Decimal cells")
+    assert not bad, f"driver-normalization hazards: {bad}"
+
+
 def _no_decimal(dt) -> list:
     from pyspark.sql import types as T
 
