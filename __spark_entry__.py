@@ -12798,7 +12798,18 @@ def _emit_bigint(name: str, sql: str) -> str:
     narrows from HUGEINT to the int64 Spark actually emits. Values
     are proven in-range on every fixture; CAST (not TRY_CAST) so a
     future overflow fails the sweep loudly instead of silently
-    diverging NULL-vs-value."""
+    diverging NULL-vs-value.
+
+    ADVICE r9 — the overflow failure mode is ASYMMETRIC: DuckDB's
+    CAST raises (ORACLE-ERR, loud), but the mirrored Spark
+    sum(bigint) silently WRAPS under non-ANSI semantics, so the
+    Spark value itself is wrong and un-flagged. Response protocol if
+    a sweep ever shows this oracle erroring on CAST overflow: do NOT
+    just widen the cast — re-audit the Spark side for int64 wrap and
+    either rescale the pinned column's units (the q4/micro/ppm fixed-
+    point convention exists precisely to keep sums in range) or widen
+    the Spark accumulator to DecimalType with TRY_CAST emission, as
+    json_props_stats does."""
     cols = _EMIT_BIGINT.get(name)
     if not cols:
         return sql
@@ -12825,12 +12836,52 @@ def _java_ws(sql: str) -> str:
     tracks bracket state: a `\\s` inside `[...]` merges bare (no
     brackets), outside it wraps in its own class; all other escape
     pairs (`\\d`, `\\[`, ...) pass through untouched and never toggle
-    the state. Pinned by tests/test_java_ws.py."""
+    the state.
+
+    r10 (ADVICE r9): the scan is restricted to SINGLE-QUOTED STRING
+    LITERALS — the only place regex patterns live in oracle SQL.
+    Outside literals, `[`/`]` are DuckDB array indexing / list
+    literals (`arr[1]`, `['a','b']`); letting them toggle the class
+    state could merge a nearby `\\s` bare into non-class context —
+    a silently-wrong regex. Bracket state resets at each literal
+    boundary; `''` (escaped quote) stays inside the literal; SQL
+    comments (`-- ...`, `/* ... */`) are skipped whole so a prose
+    apostrophe ("DuckDB's") can't flip the literal state. Pinned
+    by tests/test_java_ws.py."""
     out: list[str] = []
+    in_str = False
     in_class = False
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
+        if not in_str:
+            if ch == "-" and sql[i : i + 2] == "--":
+                j = sql.find("\n", i)
+                j = n if j < 0 else j
+                out.append(sql[i:j])
+                i = j
+                continue
+            if ch == "/" and sql[i : i + 2] == "/*":
+                j = sql.find("*/", i + 2)
+                j = n if j < 0 else j + 2
+                out.append(sql[i:j])
+                i = j
+                continue
+            if ch == "'":
+                in_str = True
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "'":
+            if i + 1 < n and sql[i + 1] == "'":  # SQL-escaped quote
+                out.append("''")
+                i += 2
+                continue
+            in_str = False
+            out.append(ch)
+            i += 1
+            continue
         if ch == "\\" and i + 1 < n:
             if sql[i + 1] == "s":
                 out.append(

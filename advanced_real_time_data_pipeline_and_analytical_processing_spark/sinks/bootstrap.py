@@ -46,14 +46,22 @@ def initialize_layout(
     HPath = jvm.org.apache.hadoop.fs.Path
     root = HPath(base)
     fs = root.getFileSystem(hconf)
-    if not fs.mkdirs(root) and not fs.getFileStatus(root).isDirectory():
-        raise IOError(f"base layout path exists and is not a directory: {base}")
+    _ensure_dir(fs, root)
     out = {"": root.toString()}
     for folder in folders:
         p = HPath(root, folder)
-        fs.mkdirs(p)  # no-op success when it already exists
+        _ensure_dir(fs, p)
         out[folder] = p.toString()
     return out
+
+
+def _ensure_dir(fs, p) -> None:
+    """mkdirs-or-verify: some Hadoop FileSystems return ``false``
+    instead of raising when the path exists as a FILE, so the return
+    value must be checked on every path — a silent false here would
+    hand a file URI to a sink expecting a directory prefix."""
+    if not fs.mkdirs(p) and not fs.getFileStatus(p).isDirectory():
+        raise IOError(f"layout path exists and is not a directory: {p.toString()}")
 
 
 def bootstrap_ingest_dirs(spark: SparkSession, cfg) -> None:
@@ -73,4 +81,4 @@ def bootstrap_ingest_dirs(spark: SparkSession, cfg) -> None:
     ):
         if d:
             p = HPath(d)
-            p.getFileSystem(hconf).mkdirs(p)
+            _ensure_dir(p.getFileSystem(hconf), p)

@@ -51,3 +51,30 @@ def save_schema(schema: StructType, schema_dir: str, dataset_name: str) -> str:
     with open(path, "w") as fh:
         json.dump(schema.jsonValue(), fh, indent=2)
     return path
+
+
+def load_schema_any(spark, schema_dir: str, data_file: str) -> StructType | None:
+    """``load_schema`` for ANY Hadoop-resolvable URI — the form the
+    cluster job uses, where the schema prefix is ``s3a://bucket/schema``
+    (the reference read its schema documents from the same MinIO bucket
+    it watched for data, ``code/utils.py:81-101``). Plain paths take the
+    local fast path; URIs stream through ``FileSystem.open``."""
+    fname = derive_schema_filename(data_file)
+    if "://" not in schema_dir and not schema_dir.startswith("file:"):
+        return load_schema(schema_dir, fname)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    p = HPath(schema_dir.rstrip("/") + "/" + fname)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # IOUtils drains the Hadoop input stream to a byte array without
+        # guessing the length; decode as UTF-8 JSON.
+        raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    doc = json.loads(bytes(raw).decode("utf-8"))
+    return StructType.fromJson(normalize_struct_json(doc))

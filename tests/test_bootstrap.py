@@ -54,3 +54,27 @@ def test_initialize_layout_rejects_file_base(spark, tmp_path, monkeypatch):
     open(base, "w").write("file in the way")
     with pytest.raises(Exception):
         bootstrap.initialize_layout(spark, base)
+
+
+def test_initialize_layout_rejects_file_folder(spark, tmp_path, monkeypatch):
+    # ADVICE r9: mkdirs on a path that exists as a FILE returns false
+    # on some FileSystems instead of raising — every per-folder call
+    # must apply the mkdirs-or-isDirectory guard, not just the base.
+    monkeypatch.setattr(writers.time, "sleep", lambda _s: None)
+    base = str(tmp_path / "pipeline")
+    os.makedirs(base)
+    open(os.path.join(base, "audit"), "w").write("file where folder goes")
+    with pytest.raises(Exception):
+        bootstrap.initialize_layout(spark, base)
+
+
+def test_bootstrap_ingest_dirs_rejects_file_collision(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(writers.time, "sleep", lambda _s: None)
+    src = str(tmp_path / "src_is_file")
+    open(src, "w").write("x")
+
+    class Cfg:
+        source_dir = src
+
+    with pytest.raises(Exception):
+        bootstrap.bootstrap_ingest_dirs(spark, Cfg())

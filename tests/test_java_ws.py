@@ -100,3 +100,43 @@ def test_vtab_props_agree_under_hardened_oracle(spark, tmp_path):
     # the parse/sum diverges — the signature _java_ws exists to close
     legacy = hardened.replace(rf"[{JW}]", r"\s")
     assert srows != _duck_rows(legacy, sf_dir)
+
+
+def test_java_ws_array_brackets_outside_literals_do_not_corrupt_state():
+    # ADVICE r9 latent trap: DuckDB array indexing / list literals use
+    # [ ] OUTSIDE string literals; they must not toggle regex-class
+    # state, else an adjacent in-literal \s merges bare into non-class
+    # context. The r10 scan restricts itself to single-quoted literals.
+    sql = r"SELECT arr[1], regexp_matches(t, '\s+') FROM x"
+    assert em._java_ws(sql) == (
+        rf"SELECT arr[1], regexp_matches(t, '[{JW}]+') FROM x"
+    )
+    sql2 = r"SELECT ['a','b'][1] AS l, regexp_replace(t, '\s', '') FROM x"
+    assert em._java_ws(sql2) == (
+        rf"SELECT ['a','b'][1] AS l, regexp_replace(t, '[{JW}]', '') FROM x"
+    )
+
+
+def test_java_ws_escaped_quote_stays_in_literal():
+    # '' inside a literal is a SQL-escaped quote, not a terminator:
+    # the \s after it is still inside the pattern literal
+    assert em._java_ws(r"'a''b\s'") == rf"'a''b[{JW}]'"
+
+
+def test_java_ws_bracket_state_resets_per_literal():
+    # an unclosed [ in one literal must not leak class-state into the
+    # next literal's \s
+    assert em._java_ws(r"'[abc' || '\s'") == rf"'[abc' || '[{JW}]'"
+
+
+def test_java_ws_comment_apostrophe_does_not_flip_literal_state():
+    # a prose apostrophe inside a SQL comment must not open a string
+    # literal (else the following real pattern is skipped unexpanded)
+    sql = "-- DuckDB's exact sum\nSELECT regexp_replace(t, '\\s', '') FROM x"
+    assert em._java_ws(sql) == (
+        f"-- DuckDB's exact sum\nSELECT regexp_replace(t, '[{JW}]', '') FROM x"
+    )
+    blk = "/* it's exact */ SELECT regexp_replace(t, '\\s', '') FROM x"
+    assert em._java_ws(blk) == (
+        f"/* it's exact */ SELECT regexp_replace(t, '[{JW}]', '') FROM x"
+    )

@@ -136,3 +136,24 @@ def test_bootstrap_layout_creates_reference_folder_set(spark, tmp_path):
         f.write("x")
     layout.bootstrap_layout(spark, base)
     assert os.path.exists(probe)
+
+
+def test_load_schema_any_via_hadoop_uri(spark, tmp_path):
+    # the cluster job's path: schema prefix addressed as a URI, read
+    # through Hadoop FileSystem.open (works unchanged against s3a://)
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.sources.schema_registry import (
+        load_schema_any,
+        save_schema,
+    )
+
+    schema = T.StructType([
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("temperature_C", T.DoubleType()),
+    ])
+    save_schema(schema, str(tmp_path), "sensors")
+
+    via_uri = load_schema_any(spark, f"file://{tmp_path}", "data/sensors.csv")
+    assert via_uri == schema
+    via_path = load_schema_any(spark, str(tmp_path), "data/sensors.json")
+    assert via_path == schema
+    assert load_schema_any(spark, f"file://{tmp_path}", "absent.csv") is None
