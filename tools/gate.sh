@@ -1,7 +1,11 @@
 #!/usr/bin/env bash
 # One-command replica of every local gate, in the order that fails
 # fastest: registry pins (1 s), full pytest (~4 min), sf0.01 oracle
-# sweep (~15 min), sf0.1 batched scale sweep (~25 min), bench.
+# sweep (~15 min), FULL-REGISTRY driver-gate replica under typed
+# Arrow-fetch semantics (~15 min — the r9 lesson: check_oracle's str()
+# compare cannot see what the driver's typed fetch sees, so every
+# registry entry must also pass the replica), sf0.1 batched scale
+# sweep (~25 min), bench.
 # Usage: bash tools/gate.sh [--quick]   (--quick stops after sf0.01)
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -9,6 +13,7 @@ python -m pytest tests/test_registry.py -q
 python tools/lint_oracle_types.py
 python -m pytest tests/ -x -q
 python tools/check_oracle.py /root/testdata/sf0.01
+python tools/driver_gate_replica.py /root/testdata/sf0.01 220 docs/GATE_REPLICA_full.json
 if [[ "${1:-}" != "--quick" ]]; then
     python tools/scale_sweep.py
     python bench.py
