@@ -201,3 +201,36 @@ def test_job_build_configs_composes_real_ingest_configs(spark, tmp_path):
     # K6 side effect: the layout prefixes exist
     for folder in ("data", "processed", "audit", "quarantine", "schema"):
         assert os.path.isdir(os.path.join(base, folder)), folder
+
+
+def test_compose_file_structure():
+    # R3 analogue: same three-service topology as the reference stack,
+    # env surface consistent with what job_ingest.py actually reads
+    import yaml
+
+    doc = yaml.safe_load(open(os.path.join(REPO, "deploy", "docker-compose.yml")))
+    assert set(doc["services"]) == {"minio", "postgres", "spark"}
+    spark_svc = doc["services"]["spark"]
+    # every env var job_ingest.py reads must be injected by compose
+    job_src = open(os.path.join(REPO, "deploy", "job_ingest.py")).read()
+    for var in re.findall(r'os\.environ(?:\[|\.get\()"([A-Z_]+)"', job_src):
+        assert var in spark_svc["environment"], f"compose missing {var}"
+    # the engine waits for healthy deps like the reference stack did
+    assert spark_svc["depends_on"]["minio"]["condition"] == "service_healthy"
+    assert spark_svc["depends_on"]["postgres"]["condition"] == "service_healthy"
+    for svc in ("minio", "postgres"):
+        assert "healthcheck" in doc["services"][svc], svc
+    # credentials only via ${...} interpolation, never literal
+    raw = open(os.path.join(REPO, "deploy", "docker-compose.yml")).read()
+    for key in ("MINIO_ROOT_USER", "MINIO_ROOT_PASSWORD", "POSTGRES_PASSWORD"):
+        line = next(l for l in raw.splitlines() if key in l)
+        assert "${" in line, f"{key} must interpolate from .env"
+
+
+def test_dockerfile_copies_real_paths():
+    body = open(os.path.join(REPO, "deploy", "Dockerfile")).read()
+    # every COPY source must exist in the build context (repo root)
+    for m in re.finditer(r"^COPY\s+(\S+)\s+", body, re.M):
+        assert os.path.exists(os.path.join(REPO, m.group(1))), m.group(1)
+    assert "FROM apache/spark:4" in body  # engine is built on Spark 4
+    assert 'ENTRYPOINT ["bash", "deploy/submit.sh"]' in body
