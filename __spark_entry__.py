@@ -3047,7 +3047,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("c_ts") - F.unix_micros("p_ts")).alias("gap_us"),
     )
     drained = stateful.drain_to_parquet(
-        spark, pairs, shuffle_partitions=8, output_mode="append"
+        spark, pairs, shuffle_partitions=4, output_mode="append"
     )
     _shutil.rmtree(stage_dir, ignore_errors=True)
     return (
@@ -3154,7 +3154,7 @@ def q_stream_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("c_ts") - F.unix_micros("p_ts")).alias("gap_us"),
     )
     drained = stateful.drain_to_parquet(
-        spark, rows, shuffle_partitions=8, output_mode="append"
+        spark, rows, shuffle_partitions=4, output_mode="append"
     )
     _shutil.rmtree(stage_dir, ignore_errors=True)
     return (
@@ -3256,7 +3256,7 @@ def q_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         small="1 hour", big="1 day", watermark=None,  # watermark already set
     )
     drained = stateful.drain_to_parquet(
-        spark, rolled, shuffle_partitions=8, output_mode="append"
+        spark, rolled, shuffle_partitions=2, output_mode="append"
     )
     _shutil.rmtree(stage_dir, ignore_errors=True)
     # null-safe: a real NULL-event_type group must survive this filter
