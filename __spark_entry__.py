@@ -2434,6 +2434,10 @@ def q_stateful_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, key_col="user_id", ts_col="ts", gap_seconds=gap_s
     )
     drained = stateful.drain_to_parquet(
+        # 8 state partitions — ADJUDICATED r10: 4 and 2 measured WORSE
+        # (7.3/9.4 s vs 6.1-6.9 @8; 16 no better). The bill here is the
+        # key-parallel pandas stateful operator over every event in
+        # batch 1, not store commits — see docs/BENCH_NOTES.md r10.
         spark, closed, shuffle_partitions=8, output_mode="append"
     )
     _shutil.rmtree(stage_dir, ignore_errors=True)
@@ -3047,6 +3051,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("c_ts") - F.unix_micros("p_ts")).alias("gap_us"),
     )
     drained = stateful.drain_to_parquet(
+        # 4 state partitions (r10 A/B: 3.52 s @8 -> 2.80 @4): a
+        # stream-stream join commits FOUR state stores per partition
+        # per micro-batch, so the per-batch bill is 4*partitions.
         spark, pairs, shuffle_partitions=4, output_mode="append"
     )
     _shutil.rmtree(stage_dir, ignore_errors=True)
@@ -3154,6 +3161,8 @@ def q_stream_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("c_ts") - F.unix_micros("p_ts")).alias("gap_us"),
     )
     drained = stateful.drain_to_parquet(
+        # 4 state partitions (r10 A/B: 6.54 s @8 -> 4.25 @4; 1 is
+        # WORSE, 5.64 — the data batch still wants parallelism)
         spark, rows, shuffle_partitions=4, output_mode="append"
     )
     _shutil.rmtree(stage_dir, ignore_errors=True)
@@ -3256,6 +3265,9 @@ def q_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         small="1 hour", big="1 day", watermark=None,  # watermark already set
     )
     drained = stateful.drain_to_parquet(
+        # 2 state partitions (r10 A/B: 4.95 s @8 -> 4.27 @2): two
+        # chained windowed aggs = 2 store instances per partition over
+        # ~150 keys; tiny state, commit overhead dominates.
         spark, rolled, shuffle_partitions=2, output_mode="append"
     )
     _shutil.rmtree(stage_dir, ignore_errors=True)

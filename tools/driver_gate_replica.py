@@ -19,12 +19,19 @@ Seven rounds of driver history over-determine the fetch model:
   which nullable ints stay green and exactly the two wide-type
   emitters fail. This tool implements that model.
 
-Run over the first N registry entries (the driver gates the head 50).
+Run over the first N registry entries (the driver gates the head 50;
+since r10 this tool is a STANDING GATE in tools/gate.sh over the FULL
+220-entry registry, so the 170 tail queries are also proven under the
+driver's typed fetch — the seven-round saga was precisely a local
+str()-compare blind spot, and check_oracle.py alone cannot close it).
 Measured results (2026-08-15, sf0.01):
 
-- r9 tree: **50/50 GREEN** (docs/GATE_REPLICA_r09.json) — the first
-  full-green head under type-sensitive semantics, including both
-  seven-round-red rows.
+- r10 tree: **220/220 GREEN** full registry
+  (docs/GATE_REPLICA_full_r10.json), byte-identical when re-run after
+  the r10 streaming-drain retune.
+- r9 tree: **50/50 GREEN** head (docs/GATE_REPLICA_r09.json) — the
+  first full-green head under type-sensitive semantics, including
+  both seven-round-red rows.
 - r7 tree (negative control, pre-probe): `rolling_7day_revenue` RED
   with the EXACT driver signature — rows_match=true,
   schema_match=true, hash_match=false, 2399/2399
