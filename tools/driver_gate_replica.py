@@ -44,7 +44,11 @@ Measured results (2026-08-15, sf0.01):
   by the r8/r9 int64 emission, which is type-identical on both sides
   under every normalization.
 
-Usage: python tools/driver_gate_replica.py [sf_dir] [n_head] [out.json]
+Usage: python tools/driver_gate_replica.py [sf_dir] [n_head] [out.json] [exclude,csv]
+
+The optional 4th arg skips named queries — used for the sf0.1 typed
+sweep, where the three brute-force quadratic DuckDB oracles are too
+slow (same exclusion set as tools/scale_sweep.py).
 """
 
 from __future__ import annotations
@@ -85,6 +89,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_head = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    exclude = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
     spark = get_spark("gate-replica", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -93,7 +98,9 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     report: dict[str, dict] = {}
     n_red = 0
-    for name in list(queries)[:n_head]:
+    names = [n for n in list(queries)[:n_head] if n not in exclude]
+    n_head = len(names)
+    for name in names:
         rec: dict = {}
         try:
             sdf = queries[name](spark, sf_dir)
