@@ -32,10 +32,20 @@ fi
 
 # Ship the engine package to the executors. zip of the package dir is
 # the dependency the reference satisfied by volume-mounting ./code
-# (docker-compose.yml:49-50).
+# (docker-compose.yml:49-50). stdlib zipfile: no zip binary required
+# on the submit host.
 PKG=advanced_real_time_data_pipeline_and_analytical_processing_spark
 ZIP="$(mktemp -d)/engine.zip"
-(cd . && zip -qr "$ZIP" "$PKG" -x '*__pycache__*')
+python3 - "$PKG" "$ZIP" <<'PYEOF'
+import os, sys, zipfile
+pkg, out = sys.argv[1], sys.argv[2]
+with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+    for root, dirs, files in os.walk(pkg):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for f in files:
+            p = os.path.join(root, f)
+            z.write(p, p)
+PYEOF
 
 exec spark-submit \
     --properties-file "$CONF" \
