@@ -217,6 +217,22 @@ WINDOW_DISPOSITIONS = {
         "slope operands lf/lr derive from non-null f and row_number; "
         "the a.lr < b.lr join predicate guarantees a nonzero divisor — "
         "non-null by construction",
+    # r10: the three sites below were TOP-LEVEL ORDER BYs until the r9
+    # _EMIT_BIGINT wrapper nested each oracle inside FROM (...) __emit,
+    # which moved them into subquery position where this detector sees
+    # them. Semantics unchanged from their (safe) r8 top-level form.
+    ("bpe_pair_counts", "pair ASC LIMIT 20"):
+        "row-selecting top-k, but both keys non-null by construction: "
+        "n = sum(count(*)) over non-empty groups; pair = substr of a "
+        "split-derived token (NULL text unnests to zero rows); boundary "
+        "ties fully ordered by pair ASC identically on both engines",
+    ("gopher_quality_filter", "lang"):
+        "presentation-only subquery ORDER BY (no LIMIT) introduced by "
+        "the emission wrapper's nesting — row set invariant; the "
+        "comparator sorts rows anyway",
+    ("q12_late_priority_lines", "l_linestatus"):
+        "same: no-LIMIT subquery ORDER BY from the emission wrapper — "
+        "row set invariant",
 }
 
 SCALE_DISPOSITIONS = [
