@@ -453,11 +453,13 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection. Candidate generation is LSH
     (banded signature buckets — not SQL-expressible), but the emitted
     pairs + exact jaccard scores ARE value-checked against DuckDB's
-    brute-force all-pairs shingle Jaccard (oracle_sql entry): at
-    threshold 0.9, 16 bands x 4 rows, deterministic murmur3 signatures,
-    the LSH pair set equals the exact set (per-pair miss prob ~4e-8;
-    verified identical at sf0.01). Corpus = documents ∪
-    copies(id+100000) → every doc also pairs with its planted copy."""
+    exact shingle Jaccard (oracle_sql entry; r11: prefix-filtered
+    candidate+verify, provably equal to all-pairs — runs at every
+    scale tier): at threshold 0.9, 16 bands x 4 rows, deterministic
+    murmur3 signatures, the LSH pair set equals the exact set
+    (per-pair miss prob ~4e-8; verified identical at sf0.01/0.1/1.0).
+    Corpus = documents ∪ copies(id+100000) → every doc also pairs
+    with its planted copy."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     corpus = docs.unionByName(copies)
@@ -2698,7 +2700,8 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path uses (dedup.simhash_hamming_pairs) — one fingerprint long per
     media, never an all-pairs product. The corpus is doubled (shifted
     ids) so every media has a planted twin at distance 0; the oracle
-    brute-forces bit_count(xor) over all pairs."""
+    (r11) mirrors the same 7x9-bit pigeonhole banding in SQL — lossless
+    candidate+verify, so it runs at every scale tier."""
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.unionByName(
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
@@ -8505,34 +8508,99 @@ def oracle_sql() -> dict[str, str]:
         """,
         # minhash_near_dup: candidate generation is LSH (not
         # SQL-expressible), but the EMITTED pair set with its exact
-        # jaccard scores is value-checked against DuckDB's brute-force
-        # all-pairs shingle Jaccard. At threshold 0.9 with 16 bands x 4
-        # rows the per-pair miss probability is ~(1-0.9^4)^16 ≈ 4e-8,
-        # and the murmur3 signatures are deterministic — verified
-        # empirically: the sets are identical at sf0.01.
+        # jaccard scores is value-checked against DuckDB's exact
+        # all-pairs-EQUIVALENT shingle Jaccard. At threshold 0.9 with
+        # 16 bands x 4 rows the per-pair LSH miss probability is
+        # ~(1-0.9^4)^16 ≈ 4e-8, and the murmur3 signatures are
+        # deterministic — verified empirically: the sets are identical
+        # at sf0.01/sf0.1/sf1.0.
+        #
+        # r11: the oracle is now exact-all-pairs-EQUIVALENT candidate+
+        # verify SQL instead of the r1-r10 brute-force cross product
+        # (quadratic — excluded from every sweep above sf0.01), so it
+        # runs at every scale tier. Two lossless layers:
+        #
+        # 1. DISTINCT-TEXT GROUPING: jaccard is a function of the text
+        #    alone, so group docs by text (NULL texts excluded — their
+        #    jaccard is NULL and the >= filter drops them, exactly as
+        #    the all-pairs form does), compute the pair relation
+        #    between the ~5k distinct texts, then expand each text
+        #    pair back to its member doc pairs (same-text pairs are
+        #    jaccard 1.0 by identity; id guards replicate the
+        #    a.doc_id < b.doc_id join: NULL and equal ids never pair).
+        #    The doc-level work collapses from O(pairs(docs)) to
+        #    O(pairs(texts)) + output size.
+        # 2. PPJoin-style PREFIX FILTERING for the cross-text
+        #    candidates: under any global total order on shingles
+        #    (here: ascending document frequency, ties by shingle
+        #    text), jaccard(A,B) >= t implies |A∩B| >= ceil(t*|A|)
+        #    and >= ceil(t*|B|), so the first |X| - ceil(t*|X|) + 1
+        #    shingles of each side must intersect (Chaudhuri/Bayardo
+        #    prefix-filter theorem) — every qualifying pair is
+        #    generated; the exact >= 0.9 verify drops the rest.
+        #
+        # Verified result-identical to the brute-force SQL at sf0.01
+        # (600/600) and on both hostile fixtures (611/611, including
+        # the NULL-text and planted-dup rows); sf1.0 (1,049,600 pairs)
+        # runs in ~6 s vs never-completing brute force. MATERIALIZED
+        # pins keep DuckDB 1.0.0 from re-inlining the expansion CTEs.
         "minhash_near_dup": r"""
             WITH corpus AS (
                 SELECT doc_id, text FROM documents
                 UNION ALL
                 SELECT doc_id + 100000 AS doc_id, text FROM documents
-            ), toks AS (
-                SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\s+') AS t
-                FROM corpus
+            ), grp AS (
+                SELECT text, min(doc_id) AS tid FROM corpus
+                WHERE text IS NOT NULL GROUP BY text
+            ), members AS MATERIALIZED (
+                SELECT g.tid, c.doc_id FROM corpus c JOIN grp g ON c.text = g.text
             ), sh AS (
-                SELECT doc_id,
+                SELECT tid,
                        list_distinct(list_transform(
                            range(1, greatest(len(t) - 2, 1) + 1),
                            i -> array_to_string(t[i:i+2], ' '))) AS s
-                FROM toks
+                FROM (SELECT tid, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                      FROM grp)
+            ), post AS (
+                SELECT tid, unnest(s) AS tok, len(s) AS n FROM sh
+            ), docfreq AS (
+                SELECT tok, count(*) AS df FROM post GROUP BY tok
+            ), ranked AS (
+                SELECT p.tid, p.tok, p.n,
+                       row_number() OVER (
+                           PARTITION BY p.tid ORDER BY d.df ASC, p.tok ASC
+                       ) AS rn
+                FROM post p JOIN docfreq d USING (tok)
+            ), pref AS (
+                SELECT tid, tok FROM ranked
+                WHERE rn <= n - CAST(ceil(0.9 * n) AS BIGINT) + 1
+            ), tcand AS (
+                SELECT DISTINCT a.tid AS ta, b.tid AS tb
+                FROM pref a JOIN pref b ON a.tok = b.tok AND a.tid < b.tid
+            ), tpairs AS MATERIALIZED (
+                SELECT ta, tb, jaccard_sim FROM (
+                    SELECT c.ta, c.tb,
+                           round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(x.s, y.s))), 6)
+                               AS jaccard_sim
+                    FROM tcand c
+                    JOIN sh x ON x.tid = c.ta
+                    JOIN sh y ON y.tid = c.tb
+                ) WHERE jaccard_sim >= 0.9
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.s, b.s))), 6)
-                       AS jaccard_sim
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.9
+            SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                   greatest(ma.doc_id, mb.doc_id) AS id_b,
+                   t.jaccard_sim
+            FROM tpairs t
+            JOIN members ma ON ma.tid = t.ta
+            JOIN members mb ON mb.tid = t.tb
+            WHERE ma.doc_id IS NOT NULL AND mb.doc_id IS NOT NULL
+              AND ma.doc_id <> mb.doc_id
+            UNION ALL
+            SELECT m1.doc_id AS id_a, m2.doc_id AS id_b,
+                   CAST(1.0 AS DOUBLE) AS jaccard_sim
+            FROM members m1 JOIN members m2
+              ON m1.tid = m2.tid AND m1.doc_id < m2.doc_id
         """,
         "window_order_analytics": """
             SELECT o_custkey, o_orderkey,
@@ -10333,29 +10401,78 @@ def oracle_sql() -> dict[str, str]:
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY c.c_mktsegment, e.event_type
     """
+    # r11: exact-all-pairs-EQUIVALENT candidate+verify SQL replacing
+    # the r1-r10 brute-force all-pairs join (quadratic — excluded from
+    # every sweep above sf0.01; 115 s at sf1.0, 0.4 s now). Two
+    # lossless layers, mirroring the minhash_near_dup oracle:
+    #
+    # 1. DISTINCT-TEXT GROUPING: the phash is a function of the text
+    #    alone — INCLUDING the NULL text, whose phash is 0 (every CASE
+    #    vote falls to ELSE 0), so unlike the jaccard oracle the NULL
+    #    group stays in and the members join is null-safe (IS NOT
+    #    DISTINCT FROM; the hostile fixture's (1, 100001, 0) NULL-text
+    #    twin pair pinned this). Same-text pairs are hamming 0 by
+    #    identity; id guards replicate a.media_id < b.media_id.
+    # 2. The SAME 7x9-bit pigeonhole banding the Spark side uses
+    #    (dedup.simhash_hamming_pairs, bits=63, max_hamming=6): 6
+    #    differing bits over 7 disjoint 9-bit chunks leave at least
+    #    one chunk identical, so the (band, chunk) equi-join generates
+    #    every qualifying cross-text pair; exact bit_count(xor) <= 6
+    #    verify drops the rest.
+    #
+    # Verified result-identical to the brute-force SQL at sf0.01
+    # (500/500) and both hostile fixtures (500/500); sf1.0 = 953,200
+    # pairs in 0.4 s. MATERIALIZED pins keep DuckDB 1.0.0 from
+    # re-inlining the fingerprint lambda into the expansion join
+    # (measured 40 s -> 0.2 s at sf0.1).
     out["media_phash_pairs"] = """
         WITH corpus AS (
             SELECT doc_id AS media_id, text FROM documents
             UNION ALL
             SELECT doc_id + 100000 AS media_id, text FROM documents
+        ), grp AS (
+            SELECT text, min(media_id) AS tid FROM corpus GROUP BY text
+        ), members AS MATERIALIZED (
+            SELECT g.tid, c.media_id FROM corpus c
+            JOIN grp g ON c.text IS NOT DISTINCT FROM g.text
         ), px AS (
-            SELECT media_id,
+            SELECT tid,
                    list_transform(range(1, 64),
                        i -> CAST('0x' || substr(sha256(text), i, 1) AS BIGINT))
                      AS p
-            FROM corpus
-        ), fp AS (
-            SELECT media_id,
+            FROM grp
+        ), fp AS MATERIALIZED (
+            SELECT tid,
                    list_sum(list_transform(range(1, 64),
                        i -> CASE WHEN p[i] * 63 >= list_sum(p)
                                  THEN CAST(power(2.0, i - 1) AS BIGINT)
                                  ELSE 0 END)) AS phash
             FROM px
+        ), ch AS (
+            SELECT tid, phash, i AS band,
+                   (phash >> ((i - 1) * 9)) & 511 AS chunk
+            FROM fp, range(1, 8) t(i)
+        ), tpairs AS MATERIALIZED (
+            SELECT ta, tb, hamming FROM (
+                SELECT DISTINCT a.tid AS ta, b.tid AS tb,
+                       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+                FROM ch a JOIN ch b
+                  ON a.band = b.band AND a.chunk = b.chunk
+                 AND a.tid < b.tid
+            ) WHERE hamming <= 6
         )
-        SELECT a.media_id AS id_a, b.media_id AS id_b,
-               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-        FROM fp a JOIN fp b ON a.media_id < b.media_id
-        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        SELECT least(ma.media_id, mb.media_id) AS id_a,
+               greatest(ma.media_id, mb.media_id) AS id_b,
+               t.hamming
+        FROM tpairs t
+        JOIN members ma ON ma.tid = t.ta
+        JOIN members mb ON mb.tid = t.tb
+        WHERE ma.media_id IS NOT NULL AND mb.media_id IS NOT NULL
+          AND ma.media_id <> mb.media_id
+        UNION ALL
+        SELECT m1.media_id AS id_a, m2.media_id AS id_b, CAST(0 AS INT) AS hamming
+        FROM members m1 JOIN members m2
+          ON m1.tid = m2.tid AND m1.media_id < m2.media_id
     """
     from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import profile as _profile
 

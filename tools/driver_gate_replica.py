@@ -46,9 +46,11 @@ Measured results (2026-08-15, sf0.01):
 
 Usage: python tools/driver_gate_replica.py [sf_dir] [n_head] [out.json] [exclude,csv]
 
-The optional 4th arg skips named queries — used for the sf0.1 typed
-sweep, where the three brute-force quadratic DuckDB oracles are too
-slow (same exclusion set as tools/scale_sweep.py).
+The optional 4th arg skips named queries. Since r11 the standing gates
+pass NO exclusions at any tier: the three formerly brute-force
+quadratic oracles were rewritten as lossless candidate+verify SQL
+(prefix filtering / pigeonhole banding), so the full 220-entry
+registry runs at sf0.01, sf0.1 and sf1.0 alike.
 """
 
 from __future__ import annotations

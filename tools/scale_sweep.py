@@ -4,11 +4,14 @@ invocation under the driver's per-command limits).
 
     python tools/scale_sweep.py [sf_dir] [batch_size]
 
-Excludes the queries whose DuckDB oracle is brute-force quadratic
-(fine at the sf0.01 gate, too slow at sf0.1) — their sf0.1 behavior is
-covered by pytest planted-case tests instead. Everything else must
-PASS at sf0.1 too: this sweep is what catches partition-order float
-drift that the smaller gate can miss (see verify SKILL.md)."""
+r11: sweeps the FULL registry — no exclusions. The three formerly
+brute-force quadratic DuckDB oracles (minhash_near_dup,
+ngram_jaccard_pairs, media_phash_pairs) were rewritten in round 11 as
+lossless candidate+verify SQL (prefix filtering / pigeonhole banding —
+see their oracle_sql comments in __spark_entry__.py), so every oracle
+now runs at every scale tier. This sweep is what catches
+partition-order float drift that the smaller gate can miss (see
+verify SKILL.md)."""
 
 from __future__ import annotations
 
@@ -20,18 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 
-# brute-force (all-pairs) oracles: quadratic in corpus size
-QUADRATIC_ORACLES = {
-    "minhash_near_dup",
-    "ngram_jaccard_pairs",
-    "media_phash_pairs",
-}
-
-
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    names = [n for n in entrymod.queries() if n not in QUADRATIC_ORACLES]
+    names = list(entrymod.queries())
     here = os.path.dirname(os.path.abspath(__file__))
     failures = 0
     for i in range(0, len(names), batch):
