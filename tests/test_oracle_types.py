@@ -134,3 +134,52 @@ def test_every_spark_query_schema_is_decimal_free(spark):
             for b in _no_decimal(field.dataType):
                 bad.append(f"{name}.{field.name}: {b}")
     assert not bad, f"Spark DecimalType emitters: {bad}"
+
+
+# ---- r11: int64-headroom lint (VERDICT r10 #4) --------------------
+# The emission doctrine's residual channel: a >int64 oracle sum errors
+# loudly DuckDB-side (CAST) while Spark's sum(bigint) silently WRAPS.
+# tools/lint_oracle_types.headroom_lint projects every pinned column's
+# magnitude to sf1.0 and fails while there is still 10x headroom —
+# BEFORE a new query gets near the edge.
+
+from tools.lint_oracle_types import (  # noqa: E402
+    HEADROOM_FACTOR,
+    INT64_MAX,
+    headroom_lint,
+    project_sf1,
+)
+
+
+def test_project_sf1_math():
+    # flat column (a max / fingerprint): projects at its measured value
+    assert project_sf1(1000, 1000) == 1000.0
+    # shrinking column still projects flat, never below sf0.01
+    assert project_sf1(2000, 1000) == 1000.0
+    # linear column (a sum): one decade of 10x -> two more decades
+    assert project_sf1(100, 1000) == 100_000.0
+    # quadratic column (pair counts): 100x/decade -> 10_000x more
+    assert project_sf1(10, 1000) == 10_000_000.0
+    # empty at sf0.001: conservative 100x/decade floor
+    assert project_sf1(0, 50) == 500_000.0
+    # empty everywhere: no projection
+    assert project_sf1(0, 0) == 0.0
+
+
+def test_headroom_trips_on_planted_near_edge_column():
+    # a linear column measured at 1e16 at sf0.01 projects to 1e18;
+    # x10 headroom crosses 2^63 ~ 9.22e18 -> must trip
+    m01 = 10**16
+    proj = project_sf1(10**15, m01)
+    assert proj * HEADROOM_FACTOR > INT64_MAX
+    # same magnitude but flat (growth 1.0) keeps 900x headroom -> clear
+    assert project_sf1(m01, m01) * HEADROOM_FACTOR < INT64_MAX
+
+
+def test_registry_headroom_all_clear():
+    """Every _EMIT_BIGINT-pinned column's sf1.0 projection keeps 10x
+    headroom under 2^63 (measured sf0.001 -> sf0.01 growth). A new
+    query whose pinned sum approaches the edge fails HERE, before the
+    asymmetric-overflow channel can open at a bigger tier."""
+    bad = headroom_lint("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    assert not bad, "\n".join(bad)

@@ -8,6 +8,20 @@ differently than int64 even when every value is equal. Local string
 comparison masks it. This lint makes the class extinct: every
 oracle_sql() entry must emit ONLY Spark-emittable types.
 
+r11 (VERDICT r10 #4) adds the int64-HEADROOM lint on top: the
+emission doctrine's residual channel is ASYMMETRIC overflow — a
+future >int64 oracle sum errors loudly on DuckDB's CAST while the
+mirrored Spark sum(bigint) silently WRAPS (non-ANSI), so the sweep
+would flag the oracle, not the wrong Spark value. This phase fires
+BEFORE a query gets near the edge: for every _EMIT_BIGINT-pinned
+column (the integer-sum emissions — the only accumulation channel),
+measure max(abs) at sf0.001 and sf0.01, derive the per-decade growth
+factor, project two more decades to sf1.0, and fail if the projection
+is within 10x of 2^63. Columns that don't grow (maxes, fingerprints)
+project flat; quadratic pair counts project with their measured
+super-linear growth. The projection floor for a column empty at
+sf0.001 is 100x/decade (conservative).
+
 Usage: python tools/lint_oracle_types.py [sf_dir]
 Prints one line per offending column; exit 1 if any.
 """
@@ -54,6 +68,63 @@ def type_ok(t: str) -> bool:
     return bool(_ALLOWED_SCALAR.match(t))
 
 
+INT64_MAX = 2**63 - 1
+HEADROOM_FACTOR = 10  # projection must stay 10x under 2^63
+DEFAULT_GROWTH = 100.0  # per-decade floor when sf0.001 is empty/zero
+
+
+def project_sf1(m001: int, m01: int) -> float:
+    """Projected max |value| at sf1.0 from the sf0.001/sf0.01 pair.
+
+    growth = per-decade magnitude ratio (floored at 1.0: a column
+    that shrinks still projects flat — never below its measured
+    sf0.01 value); sf1.0 is two decades above sf0.01, so project
+    m01 * growth^2. A column empty at sf0.001 gets the conservative
+    DEFAULT_GROWTH (super-linear) because its growth is unmeasured.
+    """
+    if m01 == 0:
+        return 0.0
+    growth = (m01 / m001) if m001 > 0 else DEFAULT_GROWTH
+    growth = max(growth, 1.0)
+    return m01 * growth * growth
+
+
+def _pinned_maxima(sf_dir: str) -> dict[tuple[str, str], int]:
+    """max(abs(col)) for every _EMIT_BIGINT-pinned column at sf_dir."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = entrymod.oracle_sql()
+    out: dict[tuple[str, str], int] = {}
+    for name, cols in entrymod._EMIT_BIGINT.items():
+        sel = ", ".join(
+            f"coalesce(max(abs(CAST({c} AS BIGINT))), 0)" for c in cols
+        )
+        row = con.execute(f"SELECT {sel} FROM ({oracles[name]})").fetchone()
+        for c, v in zip(cols, row):
+            out[(name, c)] = int(v)
+    return out
+
+
+def headroom_lint(sf_small: str, sf_big: str) -> list[str]:
+    """One line per pinned column whose sf1.0 projection is within
+    HEADROOM_FACTOR of 2^63. Empty list = all clear."""
+    m_small = _pinned_maxima(sf_small)
+    m_big = _pinned_maxima(sf_big)
+    bad = []
+    for key in sorted(m_big):
+        proj = project_sf1(m_small.get(key, 0), m_big[key])
+        if proj * HEADROOM_FACTOR > INT64_MAX:
+            name, col = key
+            bad.append(
+                f"HEADROOM {name}.{col}: sf0.001={m_small.get(key, 0)} "
+                f"sf0.01={m_big[key]} projected_sf1={proj:.3g} "
+                f"(x{HEADROOM_FACTOR} exceeds 2^63) — rescale the "
+                f"column's fixed-point units before it overflows"
+            )
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     con = duckdb.connect()
@@ -71,6 +142,9 @@ def main() -> int:
             if not type_ok(typ):
                 print(f"BAD  {name}.{col}: {typ}")
                 bad += 1
+    for line in headroom_lint("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        print(line)
+        bad += 1
     print(f"lint_oracle_types: {bad} offending columns")
     return 1 if bad else 0
 
