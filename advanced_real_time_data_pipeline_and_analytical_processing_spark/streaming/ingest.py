@@ -80,6 +80,14 @@ class IngestConfig:
     # moves): clean_source in {"archive", "delete"}.
     clean_source: str | None = None
     source_archive_dir: str | None = None
+    # K1/K2 composition hook: called once per micro-batch with the
+    # enriched GOOD frame (data cols + file_path + ingestion_ts +
+    # row_hash) and the batch id, AFTER the parquet good sink — the
+    # slot deploy/job_ingest.py uses to add the staged JDBC MERGE
+    # (reference Main.py wrote each batch to Postgres). Must be
+    # idempotent under foreachBatch's at-least-once replay contract
+    # (upsert_jdbc keyed on row_hash is; a blind append is not).
+    on_good: Callable[[DataFrame, int], None] | None = None
 
 
 def build_stream(spark: SparkSession, cfg: IngestConfig) -> DataFrame:
@@ -168,6 +176,12 @@ def process_batch(cfg: IngestConfig) -> Callable[[DataFrame, int], None]:
             )
             metrics = obs.get  # filled by the write above — no count jobs
             total, bad_count = int(metrics["total"]), int(metrics["bad"])
+
+            if cfg.on_good is not None:
+                # K1/K2 slot (e.g. staged JDBC MERGE): recomputes from
+                # the persisted `marked`, so no second source scan; the
+                # Observation already captured its metrics above.
+                cfg.on_good(enriched, batch_id)
 
             if bad_count:
                 (

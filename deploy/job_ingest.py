@@ -18,17 +18,23 @@ typed rule engine (P1–P7) splitting good/quarantine, observe()-exact
 audit (K4/A6), processed-file moves (K5) — all inside
 ``streaming.ingest`` — supervised with checkpoint restarts (T5/T6),
 and the good stream upserted to the warehouse per micro-batch via the
-staged JDBC MERGE (K1/K2).
+staged JDBC MERGE (K1/K2) whenever DB_URL is injected (compose always
+injects it; a bare local submit without it runs parquet-only).
 """
 
 from __future__ import annotations
 
 import os
+import threading
+from typing import Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators.validation import (
     reference_ruleset,
+)
+from advanced_real_time_data_pipeline_and_analytical_processing_spark.sinks.jdbc_upsert import (
+    upsert_jdbc,
 )
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.session import (
     configure_session,
@@ -46,6 +52,36 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming.supervision import (
     run_supervised,
 )
+
+
+def jdbc_good_sink(fmt: str) -> Callable[[DataFrame, int], None] | None:
+    """K1/K2: per-batch staged MERGE into the warehouse (reference
+    Main.py wrote every good batch to Postgres via write_jdbc). Reads
+    the compose env surface (docker-compose.yml DB_URL/DB_USER/
+    DB_PASSWORD); returns None — parquet-only ingest — when no DB_URL
+    is injected, so local/backfill submits need no database. Keyed on
+    row_hash: replays MERGE-match and leave the target unchanged
+    (ADVICE r10: these vars were documented but never read)."""
+    url = os.environ.get("DB_URL")
+    if not url:
+        return None
+    props = {}
+    if os.environ.get("DB_USER"):
+        props["user"] = os.environ["DB_USER"]
+    if os.environ.get("DB_PASSWORD"):
+        props["password"] = os.environ["DB_PASSWORD"]
+
+    def _sink(good: DataFrame, batch_id: int) -> None:
+        upsert_jdbc(
+            good,
+            url=url,
+            table=f"good_{fmt}",
+            key_cols=["row_hash"],
+            properties=props,
+            column_types={"row_hash": "VARCHAR(64)"},
+        )
+
+    return _sink
 
 
 def build_configs(spark: SparkSession, base: str, trigger_s: int) -> list[IngestConfig]:
@@ -70,6 +106,7 @@ def build_configs(spark: SparkSession, base: str, trigger_s: int) -> list[Ingest
                 checkpoint_dir=f"{layout['']}/checkpoints/{fmt}",
                 processed_dir=layout["processed"],
                 trigger={"processingTime": f"{trigger_s} seconds"},
+                on_good=jdbc_good_sink(fmt),
             )
         )
     return cfgs
@@ -89,14 +126,25 @@ def main() -> None:
     # (run_supervised restarts from the checkpoint with bounded
     # backoff), one thread per format since the queries are concurrent
     # — the S7 dispatch shape of start_multi_format_ingest, made
-    # individually restartable.
-    import threading
+    # individually restartable. A loop that exhausts its restart
+    # budget FAILS THE WHOLE JOB (ADVICE r10: previously the exception
+    # died with its thread and the driver kept running half-degraded
+    # with exit code 0; the reference's supervision loop fails the
+    # process): the wrapper records the failure and stops the sibling
+    # queries so every join() returns promptly.
+    failures: list[tuple[str, BaseException]] = []
+
+    def _supervise(cfg: IngestConfig) -> None:
+        try:
+            run_supervised(lambda: start_ingest(spark, cfg))
+        except BaseException as exc:  # noqa: BLE001 — propagated below
+            failures.append((cfg.fmt, exc))
+            for q in spark.streams.active:
+                q.stop()
 
     threads = [
         threading.Thread(
-            target=run_supervised,
-            args=(lambda c=cfg: start_ingest(spark, c),),
-            name=f"supervise-{cfg.fmt}",
+            target=_supervise, args=(cfg,), name=f"supervise-{cfg.fmt}"
         )
         for cfg in cfgs
     ]
@@ -104,6 +152,9 @@ def main() -> None:
         t.start()
     for t in threads:
         t.join()
+    if failures:
+        detail = "; ".join(f"{fmt}: {exc!r}" for fmt, exc in failures)
+        raise SystemExit(f"ingest supervision exhausted restarts — {detail}")
 
 
 if __name__ == "__main__":

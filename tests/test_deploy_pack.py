@@ -18,13 +18,13 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import stat
 import subprocess
 import sys
 
-sys.path.insert(0, "/root/repo")
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # ADVICE r10: was a hardcoded absolute path
 TEMPLATE = os.path.join(REPO, "deploy", "spark-submit.conf.template")
 SESSION_PY = os.path.join(
     REPO,
@@ -124,37 +124,57 @@ def test_cluster_md_documents_every_template_section():
         assert claim in md.replace("\n  ", ""), claim
 
 
-def test_submit_sh_guards():
+def _sandbox_deploy(tmp_path, with_pkg: bool = False) -> str:
+    """Copy deploy/ (and optionally the engine package) into a sandbox
+    repo tree so submit-path tests NEVER touch the real deploy/ —
+    deploy/spark-submit.conf is the documented gitignored location for
+    a developer's REAL filled credentials (ADVICE r10: the old test
+    overwrote and deleted it)."""
+    sandbox = tmp_path / "repo"
+    shutil.copytree(
+        os.path.join(REPO, "deploy"),
+        sandbox / "deploy",
+        ignore=shutil.ignore_patterns("spark-submit.conf"),
+    )
+    if with_pkg:
+        pkg = "advanced_real_time_data_pipeline_and_analytical_processing_spark"
+        shutil.copytree(
+            os.path.join(REPO, pkg),
+            sandbox / pkg,
+            ignore=shutil.ignore_patterns("__pycache__"),
+        )
+    return str(sandbox)
+
+
+def test_submit_sh_guards(tmp_path):
     script = os.path.join(REPO, "deploy", "submit.sh")
-    assert stat.S_IXUSR & os.stat(script).st_mode or True  # content checks below
+    assert os.stat(script).st_mode & stat.S_IXUSR  # ADVICE r10: was dead
     body = open(script).read()
     assert "spark-submit" in body
     assert "--properties-file" in body
     assert "spark-submit.conf" in body
-    # guard 1: refuses to run with no conf file
+    # guard 1: refuses to run with no conf file — exercised in a
+    # sandbox copy so the test passes even when the developer's real
+    # deploy/spark-submit.conf legitimately exists (ADVICE r10)
+    sandbox = _sandbox_deploy(tmp_path)
     r = subprocess.run(
-        ["bash", script], capture_output=True, text=True,
-        cwd=REPO, env={**os.environ, "PATH": os.environ["PATH"]},
+        ["bash", os.path.join(sandbox, "deploy", "submit.sh")],
+        capture_output=True, text=True,
     )
     assert r.returncode == 2
     assert "spark-submit.conf.template" in r.stderr
 
 
 def test_submit_sh_rejects_unfilled_placeholders(tmp_path):
-    # copy the repo's deploy/ into a sandbox tree with the template
-    # "installed" unfilled — the guard must refuse
-    import shutil
-
-    sandbox = tmp_path / "repo"
-    (sandbox / "deploy").mkdir(parents=True)
-    for f in ("submit.sh", "spark-submit.conf.template", "job_ingest.py"):
-        shutil.copy(os.path.join(REPO, "deploy", f), sandbox / "deploy" / f)
+    # sandbox tree with the template "installed" unfilled — the guard
+    # must refuse
+    sandbox = _sandbox_deploy(tmp_path)
     shutil.copy(
-        os.path.join(REPO, "deploy", "spark-submit.conf.template"),
-        sandbox / "deploy" / "spark-submit.conf",
+        os.path.join(sandbox, "deploy", "spark-submit.conf.template"),
+        os.path.join(sandbox, "deploy", "spark-submit.conf"),
     )
     r = subprocess.run(
-        ["bash", str(sandbox / "deploy" / "submit.sh")],
+        ["bash", os.path.join(sandbox, "deploy", "submit.sh")],
         capture_output=True, text=True,
     )
     assert r.returncode == 2
@@ -213,8 +233,15 @@ def test_compose_file_structure():
     spark_svc = doc["services"]["spark"]
     # every env var job_ingest.py reads must be injected by compose
     job_src = open(os.path.join(REPO, "deploy", "job_ingest.py")).read()
-    for var in re.findall(r'os\.environ(?:\[|\.get\()"([A-Z_]+)"', job_src):
+    read_vars = set(re.findall(r'os\.environ(?:\[|\.get\()"([A-Z_]+)"', job_src))
+    for var in read_vars:
         assert var in spark_svc["environment"], f"compose missing {var}"
+    # ...and the reverse (ADVICE r10): every var compose injects must
+    # actually be READ by the job — an injected-but-unread var is a
+    # silently dropped feature (r10's DB_URL/DB_USER/DB_PASSWORD were
+    # documented, injected, and ignored; the JDBC sink never ran)
+    for var in spark_svc["environment"]:
+        assert var in read_vars, f"compose injects {var} but job never reads it"
     # the engine waits for healthy deps like the reference stack did
     assert spark_svc["depends_on"]["minio"]["condition"] == "service_healthy"
     assert spark_svc["depends_on"]["postgres"]["condition"] == "service_healthy"
@@ -240,44 +267,66 @@ def test_submit_sh_builds_package_zip_and_submits(tmp_path):
     # run the FULL submit path against a stub spark-submit: the filled
     # conf passes the guards, the engine zip is built via stdlib
     # zipfile (no zip binary needed), and spark-submit receives
-    # --properties-file + --py-files + the job
-    import shutil
+    # --properties-file + --py-files + the job. Runs entirely in a
+    # sandbox copy of deploy/ + the package tree — the repo's own
+    # deploy/spark-submit.conf (a developer's real credentials) is
+    # never written or deleted (ADVICE r10).
     import zipfile
 
-    conf = tmp_path / "spark-submit.conf"
+    sandbox = _sandbox_deploy(tmp_path, with_pkg=True)
     filled = [
         l for l in open(TEMPLATE)
         if not l.strip().startswith("#") and l.strip()
     ]
-    conf.write_text(
-        "".join(
-            l.replace("<MINIO_ENDPOINT e.g. http://minio:9000>", "http://m:9000")
-             .replace("<MINIO_ACCESS_KEY>", "k").replace("<MINIO_SECRET_KEY>", "s")
-            for l in filled
+    with open(os.path.join(sandbox, "deploy", "spark-submit.conf"), "w") as f:
+        f.write(
+            "".join(
+                l.replace("<MINIO_ENDPOINT e.g. http://minio:9000>", "http://m:9000")
+                 .replace("<MINIO_ACCESS_KEY>", "k").replace("<MINIO_SECRET_KEY>", "s")
+                for l in filled
+            )
         )
-    )
-    shutil.copy(conf, os.path.join(REPO, "deploy", "spark-submit.conf"))
     stub_bin = tmp_path / "bin"
     stub_bin.mkdir()
     log = tmp_path / "submit_args.txt"
     stub = stub_bin / "spark-submit"
     stub.write_text(f"#!/bin/bash\necho \"$@\" > {log}\n")
     stub.chmod(0o755)
-    try:
-        r = subprocess.run(
-            ["bash", os.path.join(REPO, "deploy", "submit.sh")],
-            capture_output=True, text=True, cwd=REPO,
-            env={**os.environ, "PATH": f"{stub_bin}:{os.environ['PATH']}"},
-        )
-        assert r.returncode == 0, r.stderr
-        args = open(log).read().split()
-        assert "--properties-file" in args and "--py-files" in args
-        zip_path = args[args.index("--py-files") + 1]
-        names = zipfile.ZipFile(zip_path).namelist()
-        pkg = "advanced_real_time_data_pipeline_and_analytical_processing_spark"
-        assert f"{pkg}/session.py" in names
-        assert f"{pkg}/streaming/ingest.py" in names
-        assert not any("__pycache__" in n for n in names)
-        assert args[-1] == "deploy/job_ingest.py"
-    finally:
-        os.remove(os.path.join(REPO, "deploy", "spark-submit.conf"))
+    r = subprocess.run(
+        ["bash", os.path.join(sandbox, "deploy", "submit.sh")],
+        capture_output=True, text=True,
+        env={**os.environ, "PATH": f"{stub_bin}:{os.environ['PATH']}"},
+    )
+    assert r.returncode == 0, r.stderr
+    args = open(log).read().split()
+    assert "--properties-file" in args and "--py-files" in args
+    zip_path = args[args.index("--py-files") + 1]
+    names = zipfile.ZipFile(zip_path).namelist()
+    pkg = "advanced_real_time_data_pipeline_and_analytical_processing_spark"
+    assert f"{pkg}/session.py" in names
+    assert f"{pkg}/streaming/ingest.py" in names
+    assert not any("__pycache__" in n for n in names)
+    assert args[-1] == "deploy/job_ingest.py"
+
+
+def test_job_wires_jdbc_sink_from_env(monkeypatch):
+    # ADVICE r10: DB_URL/DB_USER/DB_PASSWORD were injected by compose
+    # and documented but never read — the deployed job silently
+    # dropped the reference pipeline's Postgres sink. Now: DB_URL
+    # present -> a callable on_good sink; absent -> parquet-only.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "job_ingest_env", os.path.join(REPO, "deploy", "job_ingest.py")
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    monkeypatch.delenv("DB_URL", raising=False)
+    assert job.jdbc_good_sink("csv") is None
+
+    monkeypatch.setenv("DB_URL", "jdbc:derby:memory:x;create=true")
+    monkeypatch.setenv("DB_USER", "u")
+    monkeypatch.setenv("DB_PASSWORD", "p")
+    sink = job.jdbc_good_sink("csv")
+    assert callable(sink)

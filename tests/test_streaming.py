@@ -629,3 +629,25 @@ def test_orc_streaming_ingest(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT * FROM orc_ingest_out").collect()
     assert sorted(r.sensor_id for r in rows) == ["s1", "s2"]
+
+
+def test_on_good_hook_receives_enriched_good_rows(spark, dirs):
+    """r11 (ADVICE r10): the on_good composition slot — the K1/K2 JDBC
+    MERGE's attachment point in deploy/job_ingest.py — fires once per
+    micro-batch with the ENRICHED good frame (data cols + file_path +
+    ingestion_ts + row_hash) and never sees quarantined rows."""
+    write_file(dirs, "a.csv", CSV_GOOD)
+    write_file(dirs, "b.csv", CSV_MIXED)
+    seen: list[tuple[int, int, set]] = []
+
+    def recorder(df, batch_id):
+        rows = df.collect()
+        seen.append((batch_id, len(rows), set(df.columns)))
+        assert all(r["sensor_id"] in {"s1", "s2", "s4"} for r in rows)
+
+    cfg = make_cfg(dirs)
+    cfg.on_good = recorder
+    run_ingest_once(spark, cfg)
+    assert sum(n for _, n, _ in seen) == 3  # the good rows only
+    for _, _, cols in seen:
+        assert {"sensor_id", "file_path", "ingestion_ts", "row_hash"} <= cols
