@@ -46,11 +46,14 @@ Measured results (2026-08-15, sf0.01):
 
 Usage: python tools/driver_gate_replica.py [sf_dir] [n_head] [out.json] [exclude,csv]
 
-The optional 4th arg skips named queries. Since r11 the standing gates
-pass NO exclusions at any tier: the three formerly brute-force
-quadratic oracles were rewritten as lossless candidate+verify SQL
-(prefix filtering / pigeonhole banding), so the full 220-entry
-registry runs at sf0.01, sf0.1 and sf1.0 alike.
+The optional 4th arg skips named queries, or — with an ``only:``
+prefix — runs ONLY the named queries (used by tools/typed_scale_sweep
+to batch the registry across subprocesses at big tiers, one Spark
+session per batch, the scale_sweep.py pattern). Since r11 the
+standing gates pass NO exclusions at any tier: the three formerly
+brute-force quadratic oracles were rewritten as lossless
+candidate+verify SQL (prefix filtering / pigeonhole banding), so the
+full 220-entry registry runs at sf0.01, sf0.1 and sf1.0 alike.
 """
 
 from __future__ import annotations
@@ -91,7 +94,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_head = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
-    exclude = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
+    arg4 = sys.argv[4] if len(sys.argv) > 4 else ""
+    only = set(arg4[5:].split(",")) if arg4.startswith("only:") else None
+    exclude = set(arg4.split(",")) if (arg4 and only is None) else set()
     spark = get_spark("gate-replica", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -100,7 +105,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     report: dict[str, dict] = {}
     n_red = 0
-    names = [n for n in list(queries)[:n_head] if n not in exclude]
+    names = [
+        n
+        for n in list(queries)[:n_head]
+        if n not in exclude and (only is None or n in only)
+    ]
     n_head = len(names)
     for name in names:
         rec: dict = {}
