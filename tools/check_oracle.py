@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -42,6 +43,10 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
+    # Per-process spill dir: DuckDB's in-memory default is ./.tmp, and two
+    # concurrent sweep processes in the same cwd corrupt each other's
+    # temp_storage files (observed 2026-08-16 at sf1.0: IOException mid-spill).
+    con.execute(f"SET temp_directory = '.tmp/pid{os.getpid()}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 

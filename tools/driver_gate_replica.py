@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -99,6 +100,10 @@ def main() -> int:
     exclude = set(arg4.split(",")) if (arg4 and only is None) else set()
     spark = get_spark("gate-replica", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
+    # Per-process spill dir: DuckDB's in-memory default is ./.tmp, and two
+    # concurrent sweep processes in the same cwd corrupt each other's
+    # temp_storage files (observed 2026-08-16 at sf1.0: IOException mid-spill).
+    con.execute(f"SET temp_directory = '.tmp/pid{os.getpid()}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     queries = entrymod.queries()

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -62,6 +63,10 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = configure_session(get_spark("hostile-data", cpus=8, shuffle_partitions=8))
     con = duckdb.connect()
+    # Per-process spill dir: DuckDB's in-memory default is ./.tmp, and two
+    # concurrent sweep processes in the same cwd corrupt each other's
+    # temp_storage files (observed 2026-08-16 at sf1.0: IOException mid-spill).
+    con.execute(f"SET temp_directory = '.tmp/pid{os.getpid()}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -119,8 +124,6 @@ def main() -> int:
     spark.stop()
     summary = {"fixture": sf_dir, "counts": counts, "queries": report}
     if not only:
-        import os
-
         tag = os.path.basename(sf_dir.rstrip("/"))
         with open(f"/root/repo/docs/HOSTILE_DATA_SWEEP_{tag}.json", "w") as f:
             json.dump(summary, f, indent=1, sort_keys=True)
