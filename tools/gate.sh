@@ -6,7 +6,13 @@
 # compare cannot see what the driver's typed fetch sees, so every
 # registry entry must also pass the replica), sf0.1 batched scale
 # sweep (~25 min), bench.
-# Usage: bash tools/gate.sh [--quick]   (--quick stops after sf0.01)
+# Usage: bash tools/gate.sh [--quick|--full]
+#   --quick  stops after the sf0.01 typed replica
+#   --full   additionally runs the r11 big-tier battery: hostile
+#            no-NaN sweep, sf1.0 str sweep + typed replica
+#            (regenerates testdata_big/sf1.0 if absent; ~2 h extra).
+#            Sweeps run SEQUENTIALLY — see docs/BENCH_NOTES.md r11 for
+#            the concurrent-spill caveat the per-pid temp dirs close.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 python -m pytest tests/test_registry.py -q
@@ -16,6 +22,12 @@ python tools/check_oracle.py /root/testdata/sf0.01
 python tools/driver_gate_replica.py /root/testdata/sf0.01 220 docs/GATE_REPLICA_full.json
 if [[ "${1:-}" != "--quick" ]]; then
     python tools/scale_sweep.py
+    if [[ "${1:-}" == "--full" ]]; then
+        python tools/hostile_data_sweep.py testdata_hostile_nonan
+        [[ -d testdata_big/sf1.0 ]] || python tools/make_scale_data.py
+        python tools/scale_sweep.py "$PWD/testdata_big/sf1.0"
+        python tools/typed_scale_sweep.py "$PWD/testdata_big/sf1.0" docs/GATE_REPLICA_sf1.0.json
+    fi
     python bench.py
 fi
 echo "ALL GATES GREEN"
