@@ -174,6 +174,15 @@ def classify_key(key: str, sql: str) -> str:
 # (honest) line here. Keys: (query, normalized key text) for windows;
 # ordered regex rules over the snippet for scalings (first match wins).
 WINDOW_DISPOSITIONS = {
+    ("minhash_near_dup", "d.df ASC"):
+        "r11 candidate+verify oracle: df = count(*) from the docfreq "
+        "aggregate — non-null by construction; full order pinned by the "
+        "p.tok ASC tiebreaker",
+    ("minhash_near_dup", "p.tok ASC"):
+        "tok is an unnested shingle built by array_to_string over a "
+        "split of WHERE-text-IS-NOT-NULL rows (grp filters), and the "
+        "USING(tok) equi-join to docfreq drops any NULL anyway — "
+        "non-null by construction",
     ("event_burstiness", "epoch_us(ts)"):
         "lag-gap over a BIGINT key: gaps touching a NULL-positioned row "
         "are NULL and filtered (WHERE g IS NOT NULL) on both sides; NULL "
