@@ -202,3 +202,78 @@ def test_mutant_decimal_emission_q1(spark, oracle_con):
         "typed comparator failed to distinguish Decimal('n') from n — "
         "the str()-compare blind spot has been reintroduced"
     )
+
+
+# --- r11 session extension: three more always-firing bug classes ----------
+# (6) wrong join key, (7) wrong money-scale constant, (8) sort-direction
+# flip in a ranked selection. 6 explodes rows; 7 and 8 are SILENT-VALUES
+# mutants (rows+schema stay green, only the typed hash sees them) — the
+# channel the whole replica exists to guard.
+
+
+def test_mutant_wrong_join_key_q5(spark, oracle_con):
+    # seeded bug: customer joined on c_nationkey instead of c_custkey —
+    # the classic copy-paste fanout (both columns are BIGINT, so the
+    # plan compiles and runs; only the result is garbage)
+    region = em._t(spark, SF, "region").filter(F.col("r_name") == "ASIA")
+    nation = em._t(spark, SF, "nation")
+    cust = em._t(spark, SF, "customer")
+    sup = em._t(spark, SF, "supplier")
+    orders = em._t(spark, SF, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = em._t(spark, SF, "lineitem")
+    mutant = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_nationkey)  # <- mutation
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                em._cents("l_extendedprice") * (100 - em._pct2("l_discount"))
+            ).alias("revenue_e4")
+        )
+    )
+    v = replica_verdict(mutant, oracle_con, em.oracle_sql()["q5_region_revenue"])
+    assert not is_green(v), "replica failed to flag a wrong join key"
+
+
+def test_mutant_wrong_money_scale_q1(spark, oracle_con):
+    # seeded bug: one money column scaled x10 (a wrong _cents-style
+    # constant). Rows and schema stay identical; every value in one
+    # column shifts — only the value hash can see it.
+    true_df = em.queries()["q1_pricing_summary"](spark, SF)
+    mutant = true_df.withColumn(
+        "sum_base_price_cents",
+        (F.col("sum_base_price_cents") * 10).cast("long"),  # <- mutation
+    )
+    v = replica_verdict(mutant, oracle_con, em.oracle_sql()["q1_pricing_summary"])
+    assert v["rows_match"] and v["schema_match"]
+    assert not v["hash_match"], "replica failed to flag a x10 money-scale bug"
+
+
+def test_mutant_sort_direction_topk(spark, oracle_con):
+    # seeded bug: top-3 by price ASCENDING — selects the WRONG 3 rows
+    # per customer but the same NUMBER of rows with the same schema, so
+    # rows_match and schema_match stay green and only the hash flags it
+    # (ties aside: a customer with <=3 orders contributes the same set,
+    # which is why the assert is on the hash, not on row count).
+    orders = em._t(spark, SF, "orders")
+    mutant = topk.topk_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],  # <- mutation
+        k=3,
+    )
+    v = replica_verdict(
+        mutant, oracle_con, em.oracle_sql()["top3_orders_per_customer"]
+    )
+    assert v["rows_match"] and v["schema_match"]
+    assert not v["hash_match"], "replica failed to flag a sort-direction flip"
