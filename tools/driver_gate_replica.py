@@ -59,9 +59,11 @@ full 220-entry registry runs at sf0.01, sf0.1 and sf1.0 alike.
 from __future__ import annotations
 
 import hashlib
+import atexit
 import json
-import os
+import shutil
 import sys
+import tempfile
 
 sys.path.insert(0, "/root/repo")
 
@@ -103,7 +105,11 @@ def main() -> int:
     # Per-process spill dir: DuckDB's in-memory default is ./.tmp, and two
     # concurrent sweep processes in the same cwd corrupt each other's
     # temp_storage files (observed 2026-08-16 at sf1.0: IOException mid-spill).
-    con.execute(f"SET temp_directory = '.tmp/pid{os.getpid()}'")
+    # mkdtemp (not cwd/pid) so repeated runs leave no stale dirs and pid
+    # reuse can never resurrect one; removed on exit.
+    spill = tempfile.mkdtemp(prefix="duckspill-replica-")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    con.execute(f"SET temp_directory = '{spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     queries = entrymod.queries()

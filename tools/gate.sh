@@ -4,8 +4,9 @@
 # sweep (~15 min), FULL-REGISTRY driver-gate replica under typed
 # Arrow-fetch semantics (~15 min — the r9 lesson: check_oracle's str()
 # compare cannot see what the driver's typed fetch sees, so every
-# registry entry must also pass the replica), sf0.1 batched scale
-# sweep (~25 min), bench.
+# registry entry must also pass the replica), the independent
+# from-scratch comparator (r12: standing tier, ~15 min), sf0.1 batched
+# scale sweep (~25 min), bench.
 # Usage: bash tools/gate.sh [--quick|--full]
 #   --quick  stops after the sf0.01 typed replica
 #   --full   additionally runs the r11 big-tier battery: hostile
@@ -20,6 +21,10 @@ python tools/lint_oracle_types.py
 python -m pytest tests/ -x -q
 python tools/check_oracle.py /root/testdata/sf0.01
 python tools/driver_gate_replica.py /root/testdata/sf0.01 220 docs/GATE_REPLICA_full.json
+# Independent from-scratch comparator (zero shared code with the two
+# tools above; tests/test_indep_check.py pins that) — a comparator bug
+# in the standing family would have to be reproduced here to hide.
+python tools/indep_check.py /root/testdata/sf0.01 | tee docs/INDEP_SWEEP.txt
 if [[ "${1:-}" != "--quick" ]]; then
     python tools/scale_sweep.py
     if [[ "${1:-}" == "--full" ]]; then

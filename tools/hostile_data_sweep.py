@@ -25,10 +25,13 @@ Writes docs/HOSTILE_DATA_SWEEP.json and prints a summary.
 
 from __future__ import annotations
 
+import atexit
 import json
 import math
 import os
+import shutil
 import sys
+import tempfile
 
 sys.path.insert(0, "/root/repo")
 
@@ -66,7 +69,11 @@ def main() -> int:
     # Per-process spill dir: DuckDB's in-memory default is ./.tmp, and two
     # concurrent sweep processes in the same cwd corrupt each other's
     # temp_storage files (observed 2026-08-16 at sf1.0: IOException mid-spill).
-    con.execute(f"SET temp_directory = '.tmp/pid{os.getpid()}'")
+    # mkdtemp (not cwd/pid) so repeated runs leave no stale dirs and pid
+    # reuse can never resurrect one; removed on exit.
+    spill = tempfile.mkdtemp(prefix="duckspill-hostile-")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    con.execute(f"SET temp_directory = '{spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
