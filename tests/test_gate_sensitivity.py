@@ -55,8 +55,12 @@ def oracle_con():
 def replica_verdict(sdf, con, oracle_sql):
     """The driver-gate replica's comparison, verbatim semantics:
     Spark collect() vs DuckDB Arrow fetch, type-sensitive hash."""
-    s_rows = [tuple(r) for r in sdf.collect()]
-    s_cols = sdf.columns
+    return replica_verdict_rows(
+        sdf.columns, [tuple(r) for r in sdf.collect()], con, oracle_sql
+    )
+
+
+def replica_verdict_rows(s_cols, s_rows, con, oracle_sql):
     o_tbl = con.execute(oracle_sql).arrow()
     o_cols = o_tbl.column_names
     cols_py = [o_tbl.column(c).to_pylist() for c in o_cols]
@@ -277,3 +281,114 @@ def test_mutant_sort_direction_topk(spark, oracle_con):
     )
     assert v["rows_match"] and v["schema_match"]
     assert not v["hash_match"], "replica failed to flag a sort-direction flip"
+
+
+# --- r12 extension (VERDICT r11 #2): ORACLE-side mutants ------------------
+# All 8 classes above mutate the SPARK builder; the symmetric claim —
+# a wrong ORACLE (bad SQL constant, lossy candidate filter, broken
+# join guard in the DuckDB text) is also flagged — was asserted but
+# untested. That matters most for the r11 candidate+verify rewrites
+# (commit 5734202): their losslessness arguments (PPJoin prefix
+# theorem, pigeonhole banding, distinct-text grouping) live entirely
+# in SQL text and could regress silently. Each mutation below was
+# verified to CHANGE the oracle's sf0.001 result before being planted
+# (an inert mutant proves nothing); the replacement asserts catch a
+# mutant silently un-planted by a future oracle edit.
+#
+# Note on direction: the r11 verdict suggested threshold 0.9 -> 0.89,
+# but no pair has jaccard in [0.89, 0.9) at sf0.001/sf0.01 (measured:
+# the cross-text band starts at 0.91), so that mutant is INERT and
+# would vacuously "pass". 0.9 -> 0.95 provably fires (8 qualifying
+# pairs fall out at sf0.001); tightening vs loosening is symmetric
+# for comparator-sensitivity purposes.
+
+
+@pytest.fixture(scope="module")
+def minhash_spark_result(spark):
+    sdf = em.queries()["minhash_near_dup"](spark, SF)
+    return sdf.columns, [tuple(r) for r in sdf.collect()]
+
+
+@pytest.fixture(scope="module")
+def ngram_spark_result(spark):
+    sdf = em.queries()["ngram_jaccard_pairs"](spark, SF)
+    return sdf.columns, [tuple(r) for r in sdf.collect()]
+
+
+def _mutated(name: str, old: str, new: str) -> str:
+    sql = em.oracle_sql()[name]
+    assert old in sql, f"mutation site vanished from {name} oracle: {old!r}"
+    return sql.replace(old, new)
+
+
+def test_oracle_control_pair_queries_green(
+    oracle_con, minhash_spark_result, ngram_spark_result
+):
+    for (cols, rows), name in [
+        (minhash_spark_result, "minhash_near_dup"),
+        (ngram_spark_result, "ngram_jaccard_pairs"),
+    ]:
+        v = replica_verdict_rows(cols, rows, oracle_con, em.oracle_sql()[name])
+        assert is_green(v), f"control {name} must be green: {v}"
+
+
+def test_oracle_mutant_prefix_filter_off_by_one(oracle_con, minhash_spark_result):
+    # seeded bug: PPJoin prefix length |X| - ceil(t*|X|) + 1 loses its
+    # "+ 1" — the prefix no longer guarantees every qualifying pair
+    # shares a token, so candidate generation silently LOSES pairs
+    # (sf0.001: 4 cross-text pairs vanish). This is the exact failure
+    # mode the prefix-filter theorem exists to rule out.
+    cols, rows = minhash_spark_result
+    sql = _mutated(
+        "minhash_near_dup",
+        "WHERE rn <= n - CAST(ceil(0.9 * n) AS BIGINT) + 1",
+        "WHERE rn <= n - CAST(ceil(0.9 * n) AS BIGINT)",
+    )
+    v = replica_verdict_rows(cols, rows, oracle_con, sql)
+    assert not is_green(v), "replica failed to flag a lossy prefix filter"
+    assert not v["rows_match"]  # pairs are missing, not mis-valued
+
+
+def test_oracle_mutant_verify_threshold(oracle_con, minhash_spark_result):
+    # seeded bug: exact-verify threshold 0.9 -> 0.95 (a wrong SQL
+    # constant); the borderline qualifying pairs drop out of the
+    # oracle while Spark still emits them.
+    cols, rows = minhash_spark_result
+    sql = _mutated(
+        "minhash_near_dup",
+        "WHERE jaccard_sim >= 0.9",
+        "WHERE jaccard_sim >= 0.95",
+    )
+    v = replica_verdict_rows(cols, rows, oracle_con, sql)
+    assert not is_green(v), "replica failed to flag a wrong verify threshold"
+    assert not v["rows_match"]
+
+
+def test_oracle_mutant_same_text_pair_guard(oracle_con, minhash_spark_result):
+    # seeded bug: the distinct-text expansion's id guard < becomes <=,
+    # emitting (d, d) self-pairs — the guard replicates the all-pairs
+    # form's a.doc_id < b.doc_id join, so breaking it breaks the
+    # losslessness argument of the r11 rewrite.
+    cols, rows = minhash_spark_result
+    sql = _mutated(
+        "minhash_near_dup",
+        "ON m1.tid = m2.tid AND m1.doc_id < m2.doc_id",
+        "ON m1.tid = m2.tid AND m1.doc_id <= m2.doc_id",
+    )
+    v = replica_verdict_rows(cols, rows, oracle_con, sql)
+    assert not is_green(v), "replica failed to flag a broken pair guard"
+    assert not v["rows_match"]  # sf0.001: 608 -> 1608 rows
+
+
+def test_oracle_mutant_ngram_band_join_guard(oracle_con, ngram_spark_result):
+    # seeded bug, second rewritten oracle: the pigeonhole band join's
+    # dedup guard < becomes <= — self-pairs at jaccard 1.0 flood in.
+    cols, rows = ngram_spark_result
+    sql = _mutated(
+        "ngram_jaccard_pairs",
+        "ON a.blk = b.blk AND a.doc_id < b.doc_id",
+        "ON a.blk = b.blk AND a.doc_id <= b.doc_id",
+    )
+    v = replica_verdict_rows(cols, rows, oracle_con, sql)
+    assert not is_green(v), "replica failed to flag a broken band-join guard"
+    assert not v["rows_match"]
