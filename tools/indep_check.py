@@ -15,10 +15,15 @@ before hashing, so ordering is outside the driver's contract). To
 shrink that shared blind spot, queries whose ORACLE SQL declares a
 top-level ORDER BY additionally get an ordered row-list compare. A
 declared ORDER BY need not be a total order, so an ordered mismatch
-with a matching multiset can be benign tie reordering; such a query is
-reported `tie` and counted red only under --strict-order. The r12
-sf0.01 sweep (docs/INDEP_SWEEP_r12.txt) records how many of the
-declared-ORDER-BY oracles compare order-identical in practice.
+with a matching multiset can be benign tie reordering — or, when a
+sort key is NULL, the engines' opposite ORDER BY defaults (Spark ASC
+= NULLS FIRST, DuckDB ASC = NULLS LAST: the one r12 hostile-fixture
+hit, stratified_split's NULL-lang group, diagnosed 2026-08-16). Both
+are engine-placement semantics outside the driver's order-insensitive
+contract; such a query is reported `tie` and counted red only under
+--strict-order. The r12 sf0.01 sweep (docs/INDEP_SWEEP_r12.txt)
+records how many of the declared-ORDER-BY oracles compare
+order-identical in practice.
 
 Usage: python tools/indep_check.py [sf_dir] [query ...] [--strict-order]
 """
@@ -139,7 +144,10 @@ def main() -> int:
                     print(f"RED  {n}: ordered diff at row {first} (multiset equal)")
                     bad += 1
                 else:
-                    print(f"tie  {n}: {len(s_rows)} rows (order differs within ties)")
+                    print(
+                        f"tie  {n}: {len(s_rows)} rows (order differs; "
+                        "multiset equal — tie or NULL-placement)"
+                    )
             else:
                 suffix = " +order" if has_top_level_order_by(os_[n]) else ""
                 print(f"ok   {n}: {sum(s_ms.values())} rows{suffix}")
