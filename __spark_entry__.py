@@ -8909,7 +8909,7 @@ def oracle_sql() -> dict[str, str]:
                   AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
               )
             GROUP BY o_orderpriority
-            ORDER BY o_orderpriority
+            ORDER BY o_orderpriority NULLS FIRST
         """,
         "q6_revenue_forecast": """
             SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -8999,7 +8999,7 @@ def oracle_sql() -> dict[str, str]:
                   HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
             JOIN orders ON big.l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
-            ORDER BY totalprice_cents DESC, o_orderkey ASC
+            ORDER BY totalprice_cents DESC NULLS LAST, o_orderkey ASC
             LIMIT 20
         """,
         "q19_disjunctive_revenue": """
@@ -9024,7 +9024,7 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_mktsegment
-            ORDER BY c_mktsegment
+            ORDER BY c_mktsegment NULLS FIRST
         """,
         "q8_market_share": """
             SELECT year(o_orderdate) AS order_year,
@@ -9133,7 +9133,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT label, round(avg(cosv), 6) AS avg_cosine,
                    count(*) AS n_vectors
-            FROM cosines GROUP BY label ORDER BY label
+            FROM cosines GROUP BY label ORDER BY label NULLS FIRST
         """,
         "pack_sequences": """
             SELECT doc_id, lang, n_tokens,
@@ -9276,7 +9276,7 @@ def oracle_sql() -> dict[str, str]:
             FROM offers o
             WHERE unit_price = (SELECT min(unit_price) FROM offers i
                                 WHERE i.p_partkey = o.p_partkey)
-            ORDER BY acctbal DESC, s_name, p_partkey
+            ORDER BY acctbal DESC NULLS LAST, s_name, p_partkey
             LIMIT 20
         """,
         "q16_supplier_count_by_part": """
@@ -9327,7 +9327,7 @@ def oracle_sql() -> dict[str, str]:
                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
                  + (strpos('0123456789abcdef',
                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 < 25
-            GROUP BY lang ORDER BY lang
+            GROUP BY lang ORDER BY lang NULLS FIRST
         """,
         "rolling_7day_revenue": """
             -- r9: every integer sum is CAST back to BIGINT before
@@ -9408,7 +9408,7 @@ def oracle_sql() -> dict[str, str]:
                          % 100 AS bucket
                 FROM documents
             )
-            GROUP BY 1, 2 ORDER BY 1, 2
+            GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
         """,
         "skew_profile_events": """
             WITH counts AS (
@@ -9420,7 +9420,7 @@ def oracle_sql() -> dict[str, str]:
                      AS share,
                    round(n_rows / (SELECT avg(n_rows) FROM counts), 6) AS skew_ratio
             FROM counts
-            ORDER BY n_rows DESC, key ASC
+            ORDER BY n_rows DESC, key ASC NULLS FIRST
             LIMIT 10
         """,
         "stateful_running_counts": """

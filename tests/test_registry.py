@@ -62,3 +62,35 @@ def test_no_oracle_carries_the_rexs_whitespace_shorthand():
             f"{name}: RE2 \\s shorthand reached DuckDB — route the "
             "oracle through _java_ws or spell the Java class out"
         )
+
+
+NULLABLE_ORDER_KEY_PINS = {
+    # oracle name -> required explicit-NULLS fragment in its top-level
+    # ORDER BY. Spark ASC defaults to NULLS FIRST while DuckDB defaults
+    # to NULLS LAST in both directions, so every nullable sort key in a
+    # declared-ORDER-BY oracle must pin placement explicitly (r12's one
+    # hostile-fixture C3 `tie`: stratified_split's NULL-lang group).
+    # Nullability evidence: testdata_hostile_nonan NULL census (r13).
+    "q4_late_orders": "o_orderpriority NULLS FIRST",
+    "q18_large_orders": "totalprice_cents DESC NULLS LAST",
+    "q22_idle_rich_customers": "c_mktsegment NULLS FIRST",
+    "centroid_cohesion": "label NULLS FIRST",
+    "q2_min_unit_price_supplier": "acctbal DESC NULLS LAST",
+    "hash_sample_by_lang": "lang NULLS FIRST",
+    "stratified_split": "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST",
+    "skew_profile_events": "key ASC NULLS FIRST",
+}
+
+
+def test_nullable_order_keys_pin_null_placement():
+    """Every declared-ORDER-BY oracle whose sort key can be NULL (per
+    the hostile-fixture NULL census) spells NULLS FIRST/LAST out, so
+    the C3 ordered compare (tools/indep_check.py --strict-order) stays
+    exact on NULL-bearing fixtures instead of tying on the engines'
+    opposite placement defaults."""
+    oracles = entrymod.oracle_sql()
+    for name, fragment in NULLABLE_ORDER_KEY_PINS.items():
+        assert fragment in oracles[name], (
+            f"{name}: nullable sort key lost its explicit NULLS "
+            f"placement (expected '{fragment}' in the oracle ORDER BY)"
+        )

@@ -21,9 +21,13 @@ sort key is NULL, the engines' opposite ORDER BY defaults (Spark ASC
 hit, stratified_split's NULL-lang group, diagnosed 2026-08-16). Both
 are engine-placement semantics outside the driver's order-insensitive
 contract; such a query is reported `tie` and counted red only under
---strict-order. The r12 sf0.01 sweep (docs/INDEP_SWEEP_r12.txt)
-records how many of the declared-ORDER-BY oracles compare
-order-identical in practice.
+--strict-order. r13 closed the NULL-placement channel by pinning
+explicit NULLS FIRST/LAST on every nullable sort key in the
+declared-ORDER-BY oracles (8 pinned; matched Spark-side by the
+orderBy defaults already in use), so gate.sh now runs this tool with
+--strict-order on the clean fixtures AND the hostile no-NaN fixture.
+The r12 sf0.01 sweep (docs/INDEP_SWEEP_r12.txt) records how many of
+the declared-ORDER-BY oracles compare order-identical in practice.
 
 Usage: python tools/indep_check.py [sf_dir] [query ...] [--strict-order]
 """
