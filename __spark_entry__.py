@@ -8999,7 +8999,8 @@ def oracle_sql() -> dict[str, str]:
                   HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
             JOIN orders ON big.l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
-            ORDER BY totalprice_cents DESC NULLS LAST, o_orderkey ASC
+            ORDER BY totalprice_cents DESC NULLS LAST,
+                     o_orderkey ASC NULLS FIRST
             LIMIT 20
         """,
         "q19_disjunctive_revenue": """
@@ -9276,7 +9277,8 @@ def oracle_sql() -> dict[str, str]:
             FROM offers o
             WHERE unit_price = (SELECT min(unit_price) FROM offers i
                                 WHERE i.p_partkey = o.p_partkey)
-            ORDER BY acctbal DESC NULLS LAST, s_name, p_partkey
+            ORDER BY acctbal DESC NULLS LAST, s_name NULLS FIRST,
+                     p_partkey NULLS FIRST
             LIMIT 20
         """,
         "q16_supplier_count_by_part": """
@@ -9420,7 +9422,7 @@ def oracle_sql() -> dict[str, str]:
                      AS share,
                    round(n_rows / (SELECT avg(n_rows) FROM counts), 6) AS skew_ratio
             FROM counts
-            ORDER BY n_rows DESC, key ASC NULLS FIRST
+            ORDER BY n_rows DESC NULLS LAST, key ASC NULLS FIRST
             LIMIT 10
         """,
         "stateful_running_counts": """

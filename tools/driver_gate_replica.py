@@ -66,8 +66,11 @@ import sys
 import tempfile
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 import duckdb
+
+import run_meta
 
 import __spark_entry__ as entrymod
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.catalog import TABLES
@@ -156,8 +159,12 @@ def main() -> int:
         report[name] = rec
     spark.stop()
     if out_path:
+        # provenance header (ADVICE r13 #3): ties the artifact to the
+        # exact tree that produced it; underscore key sorts apart from
+        # query names and is skipped by typed_scale_sweep's per-name merge
+        report_out = {"_meta": run_meta.meta(), **report}
         with open(out_path, "w") as f:
-            json.dump(report, f, indent=1)
+            json.dump(report_out, f, indent=1)
     print(f"gate replica: {n_head - n_red}/{n_head} green")
     return 1 if n_red else 0
 

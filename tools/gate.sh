@@ -23,6 +23,14 @@
 # Artifact convention (docs/ARTIFACTS.md): the unsuffixed docs/ paths
 # written here are WORKING COPIES, gitignored; each round's keepers are
 # committed as _r{N}-suffixed snapshots and indexed in ARTIFACTS.md.
+# r14 (ADVICE r13 #3): every output now carries a run-provenance
+# record (HEAD, sha256 of `git diff HEAD`, timestamp — tools/run_meta.py):
+# the JSON reports embed it as "_meta"; the tee'd sweep .txt files get
+# it as a header line here (kept OUT of indep_check.py so the C3
+# comparator still shares zero code with the rest of the gate family).
+# A committed _r{N} snapshot is thus verifiably tied to the tree that
+# produced it — a stale or hand-renamed working copy can't pass as a
+# fresh re-run.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 python -m pytest tests/test_registry.py -q
@@ -33,18 +41,18 @@ python tools/driver_gate_replica.py /root/testdata/sf0.01 220 docs/GATE_REPLICA_
 # Independent from-scratch comparator (zero shared code with the two
 # tools above; tests/test_indep_check.py pins that) — a comparator bug
 # in the standing family would have to be reproduced here to hide.
-python tools/indep_check.py /root/testdata/sf0.01 --strict-order | tee docs/INDEP_SWEEP.txt
+{ python tools/run_meta.py && python tools/indep_check.py /root/testdata/sf0.01 --strict-order; } | tee docs/INDEP_SWEEP.txt
 if [[ "${1:-}" != "--quick" ]]; then
-    python tools/scale_sweep.py
+    { python tools/run_meta.py && python tools/scale_sweep.py; } | tee docs/SCALE_SWEEP_sf0.1.txt
     if [[ "${1:-}" == "--full" ]]; then
         python tools/hostile_data_sweep.py testdata_hostile_nonan
-        python tools/indep_check.py "$PWD/testdata_hostile_nonan" --strict-order | tee docs/INDEP_SWEEP_hostile.txt
+        { python tools/run_meta.py && python tools/indep_check.py "$PWD/testdata_hostile_nonan" --strict-order; } | tee docs/INDEP_SWEEP_hostile.txt
         python tools/typed_scale_sweep.py /root/testdata/sf0.1 docs/GATE_REPLICA_sf0.1.json
-        python tools/indep_check.py /root/testdata/sf0.1 --strict-order | tee docs/INDEP_SWEEP_sf0.1.txt
+        { python tools/run_meta.py && python tools/indep_check.py /root/testdata/sf0.1 --strict-order; } | tee docs/INDEP_SWEEP_sf0.1.txt
         [[ -d testdata_big/sf1.0 ]] || python tools/make_scale_data.py
-        python tools/scale_sweep.py "$PWD/testdata_big/sf1.0"
+        { python tools/run_meta.py && python tools/scale_sweep.py "$PWD/testdata_big/sf1.0"; } | tee docs/SF1_SWEEP.txt
         python tools/typed_scale_sweep.py "$PWD/testdata_big/sf1.0" docs/GATE_REPLICA_sf1.0.json
-        python tools/indep_check.py "$PWD/testdata_big/sf1.0" --strict-order | tee docs/INDEP_SWEEP_sf1.0.txt
+        { python tools/run_meta.py && python tools/indep_check.py "$PWD/testdata_big/sf1.0" --strict-order; } | tee docs/INDEP_SWEEP_sf1.0.txt
     fi
     python bench.py
 fi

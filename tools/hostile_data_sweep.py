@@ -34,8 +34,11 @@ import sys
 import tempfile
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 import duckdb
+
+import run_meta
 
 import __spark_entry__ as entrymod
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.catalog import TABLES
@@ -129,7 +132,12 @@ def main() -> int:
             counts["PASS"] += 1
         report[name] = entry
     spark.stop()
-    summary = {"fixture": sf_dir, "counts": counts, "queries": report}
+    summary = {
+        "_meta": run_meta.meta(),  # provenance (ADVICE r13 #3)
+        "fixture": sf_dir,
+        "counts": counts,
+        "queries": report,
+    }
     if not only:
         tag = os.path.basename(sf_dir.rstrip("/"))
         with open(f"/root/repo/docs/HOSTILE_DATA_SWEEP_{tag}.json", "w") as f:

@@ -23,8 +23,10 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+import run_meta
 
 
 def main() -> int:
@@ -78,8 +80,10 @@ def main() -> int:
                 print(f"RED   {name}: {json.dumps(rec)[:200]}", flush=True)
             else:
                 print(f"GREEN {name}: {rec.get('spark_rows')} rows", flush=True)
+    # provenance header (ADVICE r13 #3) — see tools/run_meta.py
+    report_out = {"_meta": run_meta.meta(), **report}
     with open(out_path, "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(report_out, f, indent=1)
     print(f"typed scale sweep: {len(names) - failures}/{len(names)} green -> {out_path}")
     return 1 if failures else 0
 
