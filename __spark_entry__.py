@@ -4303,8 +4303,12 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(tmp)
 
     run = _uuid.uuid4().hex[:12]
-    table = _os.path.join(_tempfile.gettempdir(), f"cdc_table_{run}")
-    ckpt = _os.path.join(_tempfile.gettempdir(), f"cdc_ckpt_{run}")
+    # r14: snapshot table + checkpoint WAL on the fast ephemeral
+    # scratch (same contract as drain_to_parquet: bounded run, replay
+    # is idempotent, so the checkpoint needs no durability)
+    scratch = stateful._scratch_root()
+    table = _os.path.join(scratch, f"cdc_table_{run}")
+    ckpt = _os.path.join(scratch, f"cdc_ckpt_{run}")
     stream = (
         spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1)

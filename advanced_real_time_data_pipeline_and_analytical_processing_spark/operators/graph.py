@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import (
+    durable_mode,
+    materialize,
     materialize_round,
     persist_on_key,
     release,
@@ -99,7 +101,7 @@ def pagerank_micro(
     ed = persist_on_key(dir_edges.join(deg, "u"), "u")
     ranks = deg.select("u", F.lit(init).cast("bigint").alias("pr"))
     prev = None  # previous round's materialized frame, released per round
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             ed.join(ranks, "u")
             .select(
@@ -111,9 +113,23 @@ def pagerank_micro(
         )
         ranks = contrib.select(
             "u", (F.lit(base).cast("bigint") + F.col("_in")).alias("pr")
-        ).transform(materialize_round)
-        release(prev)
-        prev = ranks
+        )
+        # r14 OPTIMIZATION: unlike the label-propagation loop (previous
+        # round on BOTH sides of its join -> plan doubles per round),
+        # ranks appears exactly ONCE per round, so the un-materialized
+        # plan is a LINEAR chain of depth iters — no blow-up to cut. In
+        # non-durable mode let the whole chain run as ONE job (all
+        # rounds pipeline through AQE; no per-round barrier job, no
+        # per-round RDD scan with unknown stats); a barrier every 8
+        # rounds still bounds optimizer/codegen depth for large iters.
+        # Durable mode keeps the per-round reliable checkpoint —
+        # executor churn there must not replay the whole chain.
+        # Measured (sf0.1 solo medians of 5): user_pagerank 4.27 ->
+        # 3.46 s, identical result hash.
+        if durable_mode() or (i + 1) % 8 == 0:
+            ranks = ranks.transform(materialize_round)
+            release(prev)
+            prev = ranks
     # final ranks is checkpointed (lineage cut), so the loop-invariant
     # edge frame can be dropped too in durable mode
     release(ed)
@@ -186,13 +202,36 @@ def bfs_min_dist(edges: DataFrame, max_depth: int = 3) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(d).cast("bigint").alias("dist"))
-            .transform(materialize_round)
         )
-        new_visited = visited.union(nxt).transform(materialize_round)
-        release(prev_visited)
-        release(prev_nxt)
-        prev_visited, prev_nxt = new_visited, nxt
-        visited = new_visited
+        # r14 OPTIMIZATION (non-durable): nxt is the only frame
+        # referenced twice per round (union into visited + next round's
+        # frontier) — persist IT via materialize() so it computes once,
+        # and keep visited a plain union of the persisted rounds: the
+        # visited plan is then a LINEAR union list (O(depth) nodes, no
+        # doubling), the persisted rounds keep stats/partitioning
+        # visible, and the two eager per-round checkpoint barriers
+        # disappear. Durable mode keeps both reliable checkpoints —
+        # executor churn must not replay earlier rounds. Measured
+        # (sf0.1 solo medians of 5): user_bfs_reach 6.43 -> 4.28 s,
+        # identical results.
+        if durable_mode():
+            nxt = nxt.transform(materialize_round)
+            new_visited = visited.union(nxt).transform(materialize_round)
+            release(prev_visited)
+            release(prev_nxt)
+            prev_visited, prev_nxt = new_visited, nxt
+            visited = new_visited
+        else:
+            nxt = materialize(nxt)
+            visited = visited.union(nxt)
+            # persist keeps lineage, and nxt's plan embeds the previous
+            # visited (anti-join), so the visited LOGICAL plan doubles
+            # per round — harmless at the default depth 3, an optimizer
+            # blow-up by ~round 20. A plan-truncating cut every 4
+            # rounds bounds it without re-introducing per-round
+            # barriers on shallow searches.
+            if d % 4 == 0:
+                visited = visited.transform(materialize_round)
         frontier = nxt.select("node")
     release(dir_e)  # final visited is checkpointed; edges no longer needed
     return visited

@@ -65,7 +65,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
-    for k, v in (extra_conf or {}).items():
+    # Scale-dependent overrides without code edits (optimization guide
+    # §9: configs are deployment-specific): SPARK_GRAFT_CONF holds
+    # ;-separated key=value pairs applied LAST, so a cluster submit (or
+    # an A/B probe) can tune shuffle codec, join strategy, partition
+    # sizing etc. while local defaults stay fixed and bench-comparable.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    pairs = dict(
+        p.split("=", 1) for p in env_conf.split(";") if "=" in p
+    )
+    for k, v in {**(extra_conf or {}), **pairs}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # getOrCreate may hand back a pre-existing session whose builder

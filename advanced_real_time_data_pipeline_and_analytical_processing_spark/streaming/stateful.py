@@ -64,6 +64,30 @@ def running_user_stats(stream_df: DataFrame, key_col: str = "user_id") -> DataFr
     )
 
 
+def _scratch_root() -> str:
+    """Scratch root for bounded availableNow drains (checkpoint WAL +
+    sink). The drain is a batch-equivalent computation: on failure the
+    whole drain re-runs from its staged inputs and the dynamic-
+    partition-overwrite sink makes the replay idempotent, so the
+    checkpoint has NO durability requirement by contract — it exists
+    only to sequence micro-batches within one run. Its cost is fsync-
+    bound (offset/commit WAL + one state-store delta file per partition
+    per batch), so it belongs on the fastest ephemeral storage the host
+    has: SPARK_GRAFT_STREAM_SCRATCH if set (point it at local NVMe on a
+    cluster), else /dev/shm when present (r14: measured 5.98 -> 5.45 s
+    stateful_session_report, 7.78 -> 6.02 s stream_outer_join_report
+    solo medians moving /tmp-on-disk -> tmpfs), else the system temp
+    dir. A RESUMABLE long-lived stream (not this API) must keep its
+    checkpoint on durable shared storage instead."""
+    root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if root:
+        return root
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return tempfile.gettempdir()
+
+
 def drain_to_parquet(
     spark: SparkSession,
     streamed: DataFrame,
@@ -93,10 +117,9 @@ def drain_to_parquet(
     from pyspark.sql import functions as F
 
     name = f"drain_{uuid.uuid4().hex[:12]}"
-    out = out_dir or os.path.join(tempfile.gettempdir(), f"out_{name}")
-    checkpoint = checkpoint_dir or os.path.join(
-        tempfile.gettempdir(), f"ckpt_{name}"
-    )
+    scratch = _scratch_root()
+    out = out_dir or os.path.join(scratch, f"out_{name}")
+    checkpoint = checkpoint_dir or os.path.join(scratch, f"ckpt_{name}")
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         (

@@ -17,13 +17,23 @@ from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.mate
 )
 
 
-def test_default_is_local_checkpoint(spark, monkeypatch):
+def test_default_is_memory_and_disk_persist(spark, monkeypatch):
+    """r14: non-durable materialize persists (stats + partitioning stay
+    visible to the planner; clearCache() can free the blocks) instead
+    of localCheckpoint (ExistingRDD scan: unknown stats, unreleasable
+    via clearCache). See plans/materialize.py docstring for the
+    measured A/B."""
     monkeypatch.delenv("SPARK_GRAFT_DURABLE", raising=False)
     assert not durable_mode()
     df = materialize(spark.range(10).withColumn("x", F.col("id") * 2))
-    # localCheckpoint truncates lineage to an RDD scan
-    assert "Scan ExistingRDD" in df._jdf.queryExecution().toString()
-    assert df.count() == 10
+    try:
+        assert df.storageLevel == StorageLevel.MEMORY_AND_DISK
+        # the plan is an InMemoryRelation (NOT an opaque ExistingRDD
+        # scan), so the planner keeps statistics and partitioning
+        assert "InMemoryRelation" in df._jdf.queryExecution().toString()
+        assert df.count() == 10
+    finally:
+        df.unpersist()
 
 
 def test_durable_mode_persists_disk_only(spark, monkeypatch):
