@@ -2594,16 +2594,26 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = text.gopher_quality_flags(docs, "doc_id", "text")
     quality_ids = flags.filter(F.col("passes")).select("doc_id")
     survivors = docs.join(quality_ids, "doc_id", "left_semi")
-    fps = survivors.select(
-        "doc_id",
-        "source",
-        text.fingerprint(F.col("text")).alias("fp"),
-        text.token_count(F.col("text")).alias("ntok"),
+    # r14 OPTIMIZATION: fps feeds FOUR consumers (keep, kept, the
+    # n_quality count, and via kept the n_unique/token roll-up); un-
+    # materialized, each re-ran the full quality-flag + fingerprint +
+    # token-count lineage — 14 parquet scans of the corpus in one plan
+    # (plans/r14/curation_funnel_before.txt). One persist computes it
+    # once; n_quality now counts fps rows directly (fps is a 1:1
+    # projection of survivors, so the count is identical by
+    # construction). After: 3 corpus scans, solo median 2.33 -> 1.43 s.
+    fps = materialize(
+        survivors.select(
+            "doc_id",
+            "source",
+            text.fingerprint(F.col("text")).alias("fp"),
+            text.token_count(F.col("text")).alias("ntok"),
+        )
     )
     keep = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = fps.join(keep, ["fp", "doc_id"])
     n_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
-    n_q = survivors.groupBy("source").agg(
+    n_q = fps.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_quality")
     )
     n_k = kept.groupBy("source").agg(
@@ -3397,6 +3407,11 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact integer microseconds."""
     events = _t(spark, sf_dir, "events")
     base = events.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    # r14: examined for the repeated-lineage pattern (each stage frame
+    # feeds the next stage AND its own count). The stage frames are
+    # hash aggregates, so physical-plan ReuseExchange already dedups
+    # the shared shuffle; an added persist barrier A/B-measured SLOWER
+    # at sf0.1 (serializes branches + cache write) — left lazy.
     t_view = (
         base.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -4040,6 +4055,11 @@ def q_event_dow_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7
         ).alias("dow"),
     )
+    # r14: examined the derive-marginals-from-cells rewrite (with and
+    # without persist) — A/B-measured slower at sf0.1 (0.95 -> 1.64 s
+    # median) than the original concurrent marginal aggregates, same
+    # adjudication as priority_segment_chi2. Left as independent
+    # aggregates.
     cxy = e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("cxy"))
     cx = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cx"))
     cy = e.groupBy("dow").agg(F.count(F.lit(1)).alias("cy"))
@@ -4400,6 +4420,9 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("_us")
     )
+    # r14: same adjudication as conversion_funnel — stage frames are
+    # aggregates (ReuseExchange dedups the shared shuffle); an added
+    # persist A/B-measured slower at sf0.1. Left lazy.
     v = (
         events.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -6057,6 +6080,8 @@ def q_doc_length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") <= F.col("mid")).alias("ref"),
         F.expr("least(n_chars div 64, 9)").alias("bin"),
     )
+    # r14: cells feeds totals AND terms; it is an aggregate, so the
+    # shared Exchange is reused without a persist (A/B: persist slower)
     cells = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("ref"), 1).otherwise(0)).alias("a"),
         F.sum(F.when(~F.col("ref"), 1).otherwise(0)).alias("b"),
@@ -6111,6 +6136,10 @@ def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     join never goes quadratic in users; per-type audience sizes ride
     in on a broadcast."""
     events = _t(spark, sf_dir, "events")
+    # r14: examined — tu feeds three consumers, but it is a distinct
+    # aggregate, so ReuseExchange dedups the shared shuffle; an added
+    # persist A/B-measured 2.8x SLOWER at sf0.1 (cache write +
+    # serialized branches). Left lazy.
     tu = events.select("event_type", "user_id").distinct()
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = tu.alias("a")
@@ -6282,6 +6311,9 @@ def q_linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("t"),
         "event_id",
     )
+    # r14: examined — purchases/qual each feed two consumers; their
+    # feeding exchanges are deduped by ReuseExchange and an added
+    # persist A/B-measured slower at sf0.1. Left lazy.
     purchases = base.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("t").alias("pt"), F.col("event_id").alias("pid")
     )
@@ -7036,6 +7068,11 @@ def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("n_chars").isNotNull()
     )
+    # r14: examined the derive-from-histogram rewrite (cum_all/n_s/
+    # n_tot as sums of csl) with and without a persist on csl — both
+    # A/B-measured slower at sf0.1 than the original independent
+    # aggregates (1.36 -> 1.71 s median; concurrent branches beat the
+    # serialized derived chain locally). Left as independent aggregates.
     csl = docs.groupBy("source", "n_chars").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -7169,6 +7206,12 @@ def q_priority_segment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select(F.col("o_orderpriority").alias("p"), F.col("c_mktsegment").alias("g"))
+    # r14: examined the derive-marginals-from-cells rewrite (one fact
+    # lineage + sums of the 25-row cell table) and an added persist on
+    # cells — BOTH A/B-measured slower at sf0.1 than the original
+    # independent marginal aggregates (1.32 -> 1.78 s median): the four
+    # branches run as concurrent stages, while the deeper derived chain
+    # serializes on the cells aggregate. Left as independent aggregates.
     cells = base.groupBy("p", "g").agg(F.count(F.lit(1)).alias("o"))
     rows_ = base.groupBy("p").agg(F.count(F.lit(1)).alias("r"))
     cols_ = base.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
