@@ -4339,6 +4339,9 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _shutil.rmtree(feed, ignore_errors=True)
+    # drained: the checkpoint WAL is dead weight on the scratch fs
+    # (the snapshot table below is all the final read needs)
+    _shutil.rmtree(ckpt, ignore_errors=True)
 
     final = merge_sink.read_table(spark, table)
     return final.groupBy("o_orderstatus").agg(

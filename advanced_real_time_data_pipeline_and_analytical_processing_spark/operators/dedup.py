@@ -217,9 +217,10 @@ def minhash_near_dup(
     (id_a, id_b, jaccard_sim) with jaccard_sim >= threshold.
 
     The (id, shingles) frame feeds three consumers (signature build,
-    verify join id_a side, verify join id_b side); localCheckpoint
-    materializes it once in executor storage so the shingling runs
-    once, not three times (measured 2x cold at sf0.1). Same trade as
+    verify join id_a side, verify join id_b side); materialize()
+    (persist since r14) computes it once in executor storage so the
+    shingling runs once, not three times (measured 2x cold at sf0.1;
+    persist vs localCheckpoint A/B in OPTIMIZATION_r14.md). Same trade as
     duplicate_clusters: blocks are freed when the driver GCs the
     plan; on a fault-tolerant cluster run, swap for persist(DISK) if
     executor loss must be survivable mid-query."""
@@ -573,7 +574,7 @@ def ngram_jaccard_pairs(
     scheme). Returns (id_a, id_b, jaccard_sim) >= threshold.
 
     Same fetch-payload-late shape as minhash_near_dup: the shingled
-    frame is materialized once (localCheckpoint), the blocked
+    frame is materialized once (materialize(): persist), the blocked
     self-join shuffles only light (id, block, bucket, tag) rows, and
     the shingle arrays come back via id joins for the verify only."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, num_partitions)

@@ -2,9 +2,12 @@
 
 PageRank here is the template for EVERY iterative algorithm on this
 engine (label propagation, connected components, k-means): a driver
-loop over a joined-and-aggregated DataFrame, with localCheckpoint
-cutting the lineage each round so plan size and scheduler overhead
-stay constant no matter how many iterations run. Each iteration is
+loop over a joined-and-aggregated DataFrame. Rounds whose plan grows
+LINEARLY (ranks referenced once per round) chain lazily and run as one
+job, with a periodic plan-truncating cut bounding optimizer depth;
+rounds that reference the previous frame more than once (label
+propagation) keep a per-round materialize_round cut, since their plan
+would double per iteration (r14 adjudication). Each iteration is
 one shuffle (contributions grouped by destination); the edge list
 with out-degrees is built once and reused.
 

@@ -21,6 +21,7 @@ applyInPandasWithState, which covers the same arbitrary-state surface.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from typing import Any, Iterator, Tuple
@@ -145,6 +146,14 @@ def drain_to_parquet(
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the drain is complete: its checkpoint (offset/commit WAL +
+        # state store) has served its purpose and would otherwise
+        # accumulate on the scratch filesystem across a long-lived
+        # engine's many drains (r14: scratch defaults to tmpfs). The
+        # SINK dir must outlive us — the returned frame reads it
+        # lazily — but only if the caller didn't pick it explicitly.
+        if checkpoint_dir is None:
+            shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.read.parquet(out).drop("_batch_id")
 
 
