@@ -92,6 +92,31 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
+def _spread_for_fanout(
+    spark: SparkSession, df: DataFrame, fanout: int, target_bytes: int = 64 << 20
+) -> DataFrame:
+    """Size-adaptive variant of :func:`_spread` for generator stages
+    that AMPLIFY their input ×``fanout``: partition count derives from
+    (estimated input bytes × fanout) / target task size, clamped to
+    [1, defaultParallelism] — guide §2.1 partition sizing, made
+    scale-adaptive instead of a constant. On tiny local fixtures this
+    collapses to 1-2 tasks (r14 scaling block: spreading a 1 MB scan
+    across 32 slots made 32 cores 2× SLOWER than 8 — pure scheduler
+    latency); on a 100 TB table the estimate clamps to full
+    parallelism and behaves exactly like _spread."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        est = target_bytes * par  # unknown -> full spread
+    want = int(min(par, max(1, (est * fanout) // target_bytes)))
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
 # --------------------------------------------------------------------------
 # Queries (Spark side)
 # --------------------------------------------------------------------------
@@ -982,17 +1007,10 @@ def _ann_corpus(emb: DataFrame) -> DataFrame:
     return corpus
 
 
-def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: hyperplane-LSH bucket join instead of the brute
-    cross join. Candidate generation depends on 512 md5-derived plane
-    literals (not SQL-expressible), but the EMITTED top-3 lists are
-    value-checked: with three planted exact copies per query the index
-    answer provably equals the brute-force answer (see _ann_corpus),
-    so the oracle brute-forces the same corpus. Recall vs brute force
-    on non-planted corpora stays covered by tests/test_similarity.py.
-    Queries = vec_id < 8."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = _ann_corpus(emb)
+def _lsh_ann_topk_from(emb: DataFrame, corpus: DataFrame) -> DataFrame:
+    """LSH leg over caller-provided embeddings/corpus frames — shared
+    by the declared query (fresh frames) and ann_planted_truth (one
+    materialized corpus feeding BOTH index legs, r15 VERDICT #3)."""
     queries = emb.filter(F.col("vec_id") < 8)
     planes = similarity.deterministic_planes(n_planes=8, dim=64)
     return similarity.lsh_cosine_topk(
@@ -1000,17 +1018,9 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path #2: IVF — corpus partitioned into nearest-centroid
-    cells (16 deterministic seed centroids + one distributed Lloyd
-    refinement), queries probe their 3 best cells. Cell membership
-    depends on the learned centroids (not SQL-expressible), but the
-    EMITTED top-3 lists are value-checked via the planted-copy corpus
-    (see _ann_corpus): identical vectors share the query's cell, so the
-    probed top-3 provably equals brute force and the oracle brute-forces
-    the same corpus. Queries = vec_id < 8."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = _ann_corpus(emb)
+def _ivf_ann_topk_from(emb: DataFrame, corpus: DataFrame) -> DataFrame:
+    """IVF leg over caller-provided embeddings/corpus frames (see
+    :func:`_lsh_ann_topk_from`)."""
     queries = emb.filter(F.col("vec_id") < 8)
     seeds = similarity.sample_centroids(emb, "vec_id", "embedding", n_cells=16)
     cents = similarity.lloyd_refine(emb, "embedding", seeds)
@@ -1023,6 +1033,32 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=3,
         k=3,
     )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH bucket join instead of the brute
+    cross join. Candidate generation depends on 512 md5-derived plane
+    literals (not SQL-expressible), but the EMITTED top-3 lists are
+    value-checked: with three planted exact copies per query the index
+    answer provably equals the brute-force answer (see _ann_corpus),
+    so the oracle brute-forces the same corpus. Recall vs brute force
+    on non-planted corpora stays covered by tests/test_similarity.py.
+    Queries = vec_id < 8."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _lsh_ann_topk_from(emb, _ann_corpus(emb))
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF — corpus partitioned into nearest-centroid
+    cells (16 deterministic seed centroids + one distributed Lloyd
+    refinement), queries probe their 3 best cells. Cell membership
+    depends on the learned centroids (not SQL-expressible), but the
+    EMITTED top-3 lists are value-checked via the planted-copy corpus
+    (see _ann_corpus): identical vectors share the query's cell, so the
+    probed top-3 provably equals brute force and the oracle brute-forces
+    the same corpus. Queries = vec_id < 8."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _ivf_ann_topk_from(emb, _ann_corpus(emb))
 
 
 def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2522,9 +2558,19 @@ def q_ann_planted_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact copy at rank 1. The full top-k lists stay rows-only (bucket
     membership is index-specific), but THIS projection of the same
     pipelines is exact — the oracle simply states the planted mapping,
-    so any retrieval regression hash-fails the gate."""
-    lsh = q_lsh_ann_topk(spark, sf_dir).filter(F.col("rank") == 1)
-    ivf = q_ivf_ann_topk(spark, sf_dir).filter(F.col("rank") == 1)
+    so any retrieval regression hash-fails the gate.
+
+    r15 (VERDICT #3, guide §2.4): the two index legs share ONE
+    materialized embeddings frame and ONE materialized corpus frame
+    instead of each rebuilding the scan∪3-copies lineage — the
+    LSH-bucketing and IVF-assignment consumers (and IVF's two eager
+    centroid jobs) read the same InMemoryRelation. Leg internals and
+    emitted values are unchanged (same helper the declared topk
+    queries run)."""
+    emb = materialize(_t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    corpus = materialize(_ann_corpus(emb))
+    lsh = _lsh_ann_topk_from(emb, corpus).filter(F.col("rank") == 1)
+    ivf = _ivf_ann_topk_from(emb, corpus).filter(F.col("rank") == 1)
     return (
         lsh.select(F.lit("lsh").alias("method"), "query_id", F.col("neighbor_id").alias("top1_id"))
         .unionByName(
@@ -2720,7 +2766,7 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the fingerprints once: the banded self-join consumes
     # the frame on both sides and in three expressions — without this
     # the sha256+fold lineage recomputes per consumer (measured 90s vs
-    # 1.2s at sf0.1). Same localCheckpoint trade as minhash shingles.
+    # 1.2s at sf0.1). Same materialize() trade as minhash shingles.
     fp = multimodal.phash63(media).transform(materialize)
     pairs = dedup.simhash_hamming_pairs(
         fp, "media_id", sim_col="phash", max_hamming=6, bits=63
@@ -2746,7 +2792,8 @@ def q_events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank (operators/graph.py) over the same 10-minute
     co-purchase graph as user_triangles: 5 driver-loop rounds, each one
-    shuffle, lineage cut per round by localCheckpoint. Rank mass is
+    shuffle, chained lazily with a periodic plan-truncating cut
+    (graph.pagerank_micro, r14). Rank mass is
     integer micro-probability with div-truncation, so all 5 rounds are
     partition-order-proof and the oracle unrolls the identical rounds
     as chained CTEs — exact bigint equality, no float tolerance."""
@@ -4327,7 +4374,11 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scratch (same contract as drain_to_parquet: bounded run, replay
     # is idempotent, so the checkpoint needs no durability)
     scratch = stateful._scratch_root()
-    table = _os.path.join(scratch, f"cdc_table_{run}")
+    # the snapshot table is read lazily by the returned frame — swept
+    # at interpreter exit like drain sinks (r15 scratch GC)
+    table = stateful.register_scratch_for_exit(
+        _os.path.join(scratch, f"cdc_table_{run}")
+    )
     ckpt = _os.path.join(scratch, f"cdc_ckpt_{run}")
     stream = (
         spark.readStream.schema(base.schema)
@@ -4892,7 +4943,7 @@ def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_real_time_data_pipeline_and_analytical_processing_spark.operators import graph
 
     # cap=64 bounds hot-cell fan-out (graph.cooccurrence_edges); the
-    # oracle mirrors the row_number cap. localCheckpoint: edges feed
+    # oracle mirrors the row_number cap. materialize(): edges feed
     # two joins + a count.
     edges = graph.cooccurrence_edges(cells, cap_per_cell=64).transform(materialize)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
@@ -5522,7 +5573,7 @@ def q_bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One explode+shuffle builds the bigram counts; marginals and N are
     # aggregates OF those counts (sum of c_ab grouped by slot), so the
-    # corpus-sized explode lineage runs ONCE. localCheckpoint pins the
+    # corpus-sized explode lineage runs ONCE. materialize() pins the
     # bigram-grain frame — four downstream consumers would otherwise
     # each replay the full scan+explode (the materialize-once rule;
     # measured 6.9 s -> ~2 s at sf0.1).
@@ -6673,33 +6724,47 @@ def q_embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     vec_id-co-located self-join of the exploded (row, dim, q) frame
     (fan-out d²/2 per row, independent of corpus size), and the
     covariance numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ assembled from exact
-    bigints. The exploded frame is localCheckpointed — both join sides
-    and the per-dimension marginals read it. Production alternative
-    for huge d: per-partition BLAS outer-product accumulation in
-    mapInPandas; at d=64 the join form stays all-JVM."""
-    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
-    qq = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "x")
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("x").cast("double") * 10000)
-        .cast("bigint")
-        .alias("q"),
-    ).transform(materialize)
-    dims = qq.groupBy("i").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("q").alias("s")
+    bigints. r15 REWRITE (guide §2.4 remove shuffles outright): the
+    d²/2 pair fan-out needs no self-join at all — both q_i and q_j
+    live in the SAME row's array, so a per-row generator (posexplode ×
+    tail-slice posexplode) emits every (i≤j, qᵢ·qⱼ) term directly.
+    The r14 shape shuffled the exploded (row,dim,q) frame on vec_id
+    through a persist barrier + 2 join Exchanges; this shape has ZERO
+    row-scale exchanges — the only shuffles carry ≤d(d+1)/2
+    partial-aggregated co-moment rows and d marginal rows, independent
+    of corpus size, and the barrier/cache is gone. It also fixes the
+    r14 8v32-core anti-scaling (0.45 ratio: the join Exchanges at
+    shuffle_partitions=cpus dominated on tiny intermediates).
+    Production alternative for huge d: per-partition BLAS
+    outer-product accumulation in mapInPandas; at d=64 the generator
+    form stays all-JVM."""
+    # generator amplifies each d-element row to d(d+1)/2 terms (~32x
+    # bytes at d=64): size partitions to the POST-fan-out volume
+    emb = _spread_for_fanout(spark, _t(spark, sf_dir, "embeddings"), fanout=32)
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 10000).cast("bigint"),
     )
-    a = qq.alias("a")
-    b = qq.alias("b")
-    comoments = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.i") <= F.col("b.i")),
-        )
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("sij"))
+    base = emb.select(qarr.alias("_qa"))
+    # marginals: identical rows to the old posexplode-derived dims frame
+    # (n counts positions incl. NULL elements; s sum-skips NULLs)
+    dims = (
+        base.select(F.posexplode("_qa").alias("i0", "q"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
+    )
+    pairs = base.select(
+        F.posexplode("_qa").alias("i0", "qi"), F.col("_qa")
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        "qi",
+        # tail slice [i..d]: pairs (i, j>=i) within the row, so j = i + j0
+        F.posexplode(
+            F.slice(F.col("_qa"), F.col("i0") + 1, F.size("_qa"))
+        ).alias("j0", "qj"),
+    )
+    comoments = pairs.groupBy("i", (F.col("i") + F.col("j0")).alias("j")).agg(
+        F.sum(F.col("qi") * F.col("qj")).alias("sij")
     )
     di = dims.select(F.col("i"), F.col("n"), F.col("s").alias("si"))
     dj = dims.select(F.col("i").alias("j"), F.col("s").alias("sj"))

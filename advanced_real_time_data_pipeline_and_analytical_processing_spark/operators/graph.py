@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from advanced_real_time_data_pipeline_and_analytical_processing_spark.plans.materialize import (
     durable_mode,
-    materialize,
     materialize_round,
     persist_on_key,
     release,
@@ -133,8 +132,10 @@ def pagerank_micro(
             ranks = ranks.transform(materialize_round)
             release(prev)
             prev = ranks
-    # final ranks is checkpointed (lineage cut), so the loop-invariant
-    # edge frame can be dropped too in durable mode
+    # durable mode: final ranks came out of a reliable checkpoint, so
+    # the loop-invariant edge frame can be dropped (release is a no-op
+    # non-durably, where ranks is a lazy chain that still reads ed —
+    # the caller/bench clearCache()s when done, see materialize.release)
     release(ed)
     return ranks.select(F.col("u").alias("node"), F.col("pr").alias("pr_micro"))
 
@@ -205,36 +206,30 @@ def bfs_min_dist(edges: DataFrame, max_depth: int = 3) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(d).cast("bigint").alias("dist"))
+            .transform(materialize_round)
         )
-        # r14 OPTIMIZATION (non-durable): nxt is the only frame
-        # referenced twice per round (union into visited + next round's
-        # frontier) — persist IT via materialize() so it computes once,
-        # and keep visited a plain union of the persisted rounds: the
-        # visited plan is then a LINEAR union list (O(depth) nodes, no
-        # doubling), the persisted rounds keep stats/partitioning
-        # visible, and the two eager per-round checkpoint barriers
-        # disappear. Durable mode keeps both reliable checkpoints —
-        # executor churn must not replay earlier rounds. Measured
-        # (sf0.1 solo medians of 5): user_bfs_reach 6.43 -> 4.28 s,
-        # identical results.
-        if durable_mode():
-            nxt = nxt.transform(materialize_round)
-            new_visited = visited.union(nxt).transform(materialize_round)
-            release(prev_visited)
-            release(prev_nxt)
-            prev_visited, prev_nxt = new_visited, nxt
-            visited = new_visited
-        else:
-            nxt = materialize(nxt)
-            visited = visited.union(nxt)
-            # persist keeps lineage, and nxt's plan embeds the previous
-            # visited (anti-join), so the visited LOGICAL plan doubles
-            # per round — harmless at the default depth 3, an optimizer
-            # blow-up by ~round 20. A plan-truncating cut every 4
-            # rounds bounds it without re-introducing per-round
-            # barriers on shallow searches.
-            if d % 4 == 0:
-                visited = visited.transform(materialize_round)
+        # r15 RE-ADJUDICATION (reverts the r14 lazy-visited variant):
+        # r14 replaced the per-round materialize_round barriers with
+        # materialize(nxt) + a lazy visited union, claiming 6.43 ->
+        # 4.28 s — but its "before" arm was measured inside a hostile
+        # host window. Against the calm r13 floor (1.92 s) the lazy
+        # variant is a ~1.5x REGRESSION: interleaved A/B on a calm box
+        # (3 rounds x 3 in-JVM reps, pre-r14 tree db73fb1 vs r14 tree)
+        # measured old medians 2.74/2.85/3.69 s vs new 4.34/4.62/4.66 s,
+        # identical results. Unlike pagerank (ranks referenced ONCE per
+        # round -> linear lazy chain, r14 win confirmed on calm A/B and
+        # kept), nxt here embeds the previous visited on its anti-join
+        # side, so the lazy plan GROWS superlinearly and per-round AQE
+        # replanning of the ever-deeper persisted chain costs more than
+        # the two eager localCheckpoint barriers it saved. Per-round
+        # materialize_round (localCheckpoint non-durable, reliable
+        # checkpoint durable) restored — round N's plan never replays
+        # rounds 1..N-1.
+        new_visited = visited.union(nxt).transform(materialize_round)
+        release(prev_visited)
+        release(prev_nxt)
+        prev_visited, prev_nxt = new_visited, nxt
+        visited = new_visited
         frontier = nxt.select("node")
     release(dir_e)  # final visited is checkpointed; edges no longer needed
     return visited

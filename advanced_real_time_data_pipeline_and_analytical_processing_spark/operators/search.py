@@ -172,7 +172,8 @@ def sparse_tfidf_cosine_pairs(
     # sides of the self-join); un-materialized, each consumer re-runs
     # the whole tokenize→explode→aggregate lineage (the
     # media_phash_pairs recompute hazard — see verify SKILL.md).
-    # localCheckpoint truncates the lineage so it is built once.
+    # materialize() (persist since r14) computes it once and keeps
+    # stats/partitioning visible to the planner.
     w = w.transform(materialize)
     norms = w.groupBy("_id").agg(F.sum(F.col("w") * F.col("w")).alias("ssq"))
     a, b = w.alias("a"), w.alias("b")

@@ -141,8 +141,17 @@ def release(df: DataFrame | None) -> None:
     frame per round, so without this the disk cache grows unboundedly
     over a long-lived session. Call ONLY after every successor that
     reads ``df`` has been eagerly materialized (materialize_round does
-    that). localCheckpoint mode: no-op — checkpoint blocks are freed by
-    the ContextCleaner when the frame is garbage collected."""
+    that).
+
+    Non-durable mode: deliberately a NO-OP. Since r14 materialize()
+    persists via the CacheManager, and at several call sites release()
+    runs while a LAZY successor still references the frame (pagerank's
+    edge list under the lazy rank chain) — unpersisting here would
+    silently recompute those lineages. The caller therefore owns
+    cleanup in long-lived non-durable sessions: call
+    ``spark.catalog.clearCache()`` between logical jobs (bench.py does
+    this after every timed query); ContextCleaner alone will NOT free
+    persisted frames the CacheManager still pins (ADVICE r14)."""
     if df is not None and durable_mode():
         try:
             df.unpersist()

@@ -70,6 +70,11 @@ def get_spark(
     # ;-separated key=value pairs applied LAST, so a cluster submit (or
     # an A/B probe) can tune shuffle codec, join strategy, partition
     # sizing etc. while local defaults stay fixed and bench-comparable.
+    # Caveats (ADVICE r14): env pairs OVERRIDE a caller's extra_conf on
+    # key collision (deployment beats code — by design); values cannot
+    # contain ';'; and like extra_conf they are builder-time configs, so
+    # a pre-existing session returned by getOrCreate() ignores them
+    # (only the runtime-settable ANSI/sizeOfNull pins below re-apply).
     env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
     pairs = dict(
         p.split("=", 1) for p in env_conf.split(";") if "=" in p

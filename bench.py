@@ -357,8 +357,9 @@ def _single(name: str) -> None:
     med = sorted(reps)[len(reps) // 2] if len(reps) % 2 else round(
         (sorted(reps)[len(reps) // 2 - 1] + sorted(reps)[len(reps) // 2]) / 2, 3
     )
-    print(json.dumps({"name": name, "sec": med, "reps": reps}))
+    # same last-line contract as main(): stop first, artifact line last
     spark.stop()
+    print(json.dumps({"name": name, "sec": med, "reps": reps}), flush=True)
 
 
 def main() -> None:
@@ -434,20 +435,23 @@ def main() -> None:
             spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "mode": "shared",
-                "run_meta": run_meta.meta(),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "mode": "shared",
+            "run_meta": run_meta.meta(),
+        }
     )
+    # stop BEFORE printing so no teardown noise can follow the artifact:
+    # the driver parses the LAST stdout line (VERDICT r14 #2 — r13's
+    # stored tail began mid-JSON and the round-over-round comparison was
+    # lost). Pinned by tests/test_bench_protocol.py.
     spark.stop()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

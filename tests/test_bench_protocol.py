@@ -121,6 +121,43 @@ def test_no_prior_disables_protocol(rig, monkeypatch):
     assert art["noise_protocol"]["prior"] is None
 
 
+def test_shared_bench_emits_json_as_final_stdout_line():
+    """The driver parses the LAST stdout line as the artifact (VERDICT
+    r14 #2: BENCH_r13's stored tail began mid-JSON and the whole
+    round-over-round comparison was lost). Pin the contract end-to-end:
+    a real shared-mode `python bench.py` run — with whatever derby/
+    log4j/JVM noise the environment emits — must put one parseable
+    artifact JSON as the FINAL non-empty stdout line."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_QUERIES="doc_length_histogram,median_price_by_brand",
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        env=env,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    art = json.loads(lines[-1])  # FINAL line must be the artifact
+    assert art["metric"] == "total_query_seconds"
+    assert art["unit"] == "sec"
+    assert art["mode"] == "shared"
+    assert set(art["queries"]) == {
+        "doc_length_histogram",
+        "median_price_by_brand",
+    }
+    assert all(v >= 0 for v in art["queries"].values())
+
+
 def test_prior_default_picks_newest_floor():
     got = bench._prior_floor_path()
     assert got is not None and got.endswith("_floor.json")

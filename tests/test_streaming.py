@@ -206,6 +206,88 @@ def test_stateful_running_counts_across_batches(spark, tmp_path, drain):
     assert rows == {1: (3, 17.0), 2: (1, 1.0), 3: (1, 7.0)}
 
 
+def test_drain_scratch_lifecycle_and_exit_sweep(spark, tmp_path, monkeypatch):
+    """r15 scratch GC: a DEFAULT drain sink lands on the scratch root,
+    its checkpoint WAL is already gone when the drain returns, the sink
+    is registered for the exit sweep (it must outlive the call — the
+    returned frame reads it lazily), and the sweep removes it. An
+    explicit out_dir is the caller's own and must NOT be registered."""
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import stateful
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", str(scratch))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10.0), (2, 1.0)], "user_id bigint, value double"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    final = stateful.drain_to_parquet(spark, stateful.running_user_stats(stream))
+    assert final.count() == 2  # frame readable while the sink lives
+
+    entries = os.listdir(scratch)
+    sinks = [e for e in entries if e.startswith("out_drain_")]
+    assert len(sinks) == 1, entries
+    assert not any(e.startswith("ckpt_") for e in entries)  # WAL swept already
+    sink_path = os.path.join(str(scratch), sinks[0])
+    assert sink_path in stateful._EXIT_SCRATCH
+
+    stateful._sweep_scratch()  # what atexit runs
+    assert not os.path.exists(sink_path)
+    assert stateful._EXIT_SCRATCH == []
+
+    # caller-owned sink: not registered, not swept
+    stream2 = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    mine = tmp_path / "mine"
+    final2 = stateful.drain_to_parquet(
+        spark, stateful.running_user_stats(stream2), out_dir=str(mine)
+    )
+    assert final2.count() == 2
+    assert str(mine) not in stateful._EXIT_SCRATCH
+    stateful._sweep_scratch()
+    assert os.path.exists(str(mine))
+
+
+def test_scratch_root_skips_low_space_devshm(monkeypatch):
+    """r15 (ADVICE r14): /dev/shm is elected only with >= 1 GiB free —
+    a container with Docker's 64 MB default must fall back to the
+    system temp dir instead of ENOSPC-ing mid-drain."""
+    import tempfile
+
+    from advanced_real_time_data_pipeline_and_analytical_processing_spark.streaming import stateful
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SCRATCH", raising=False)
+
+    class TinyFS:
+        f_bavail = 1024
+        f_frsize = 4096  # 4 MB free
+
+    monkeypatch.setattr(os, "statvfs", lambda p: TinyFS())
+    assert stateful._scratch_root() == tempfile.gettempdir()
+
+    class BigFS:
+        f_bavail = 1 << 20
+        f_frsize = 4096  # 4 GiB free
+
+    monkeypatch.setattr(os, "statvfs", lambda p: BigFS())
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        assert stateful._scratch_root() == "/dev/shm"
+
+    # explicit env override is unconditional
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", "/somewhere/else")
+    assert stateful._scratch_root() == "/somewhere/else"
+
+
 def test_file_lifecycle_processed_routing(spark, dirs, tmp_path):
     """K5 (reference code/utils.py:48-78): after a successful batch the
     consumed source files — clean AND dirty, à la the reference's
