@@ -3221,9 +3221,14 @@ def q_stream_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("c_ts") - F.unix_micros("p_ts")).alias("gap_us"),
     )
     drained = stateful.drain_to_parquet(
-        # 4 state partitions (r10 A/B: 6.54 s @8 -> 4.25 @4; 1 is
-        # WORSE, 5.64 — the data batch still wants parallelism)
-        spark, rows, shuffle_partitions=4, output_mode="append"
+        # 2 state partitions — r15 re-tune on the tmpfs scratch
+        # (VERDICT #9: the r10 value 4 was A/B'd against disk-backed
+        # checkpoints where per-partition delta fsync cost less).
+        # Calm solo medians of 3, two passes: @2 4.82/4.28 s,
+        # @4 5.31/4.42, @8 6.13, @1 4.12 (within noise of 2; 2 kept
+        # for data-batch parallelism). stateful_session_report re-A/B'd
+        # the same way: its 8 stays optimal (5.99 @8, 6.57 @4, 6.73 @16).
+        spark, rows, shuffle_partitions=2, output_mode="append"
     )
     _shutil.rmtree(stage_dir, ignore_errors=True)
     return (

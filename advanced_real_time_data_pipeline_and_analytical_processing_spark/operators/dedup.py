@@ -724,9 +724,18 @@ def overlap_coefficient_pairs(
         F.col(id_col), F.size("_shingles").alias("_n"), F.explode("_shingles").alias("_s")
     )
     dfreq = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    # rare feeds TWO consumers (the prefix window and the full posting
+    # side of the candidate join) — un-materialized, each re-runs the
+    # corpus-scale explode + df-count exchange + cap join (the static
+    # plan shows NO ReusedExchange between the two subtrees). r15 calm
+    # A/B (3 interleaved rounds x 3 in-JVM reps): medians 4.0-4.8 ->
+    # 3.6-4.3 s, minima equal — a small local win inside noise, kept
+    # for the structural reason: at scale this halves the heaviest
+    # shuffle (the per-shingle df aggregate), same §2.4 rule as every
+    # other dedup barrier.
     rare = postings.join(
         dfreq.filter(F.col("_df") <= F.lit(int(df_cap))), "_s"
-    )
+    ).transform(materialize)
     w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("_s").asc())
     prefix = (
         rare.withColumn("_rn", F.row_number().over(w))
