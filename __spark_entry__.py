@@ -3460,10 +3460,15 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     base = events.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
     # r14: examined for the repeated-lineage pattern (each stage frame
-    # feeds the next stage AND its own count). The stage frames are
-    # hash aggregates, so physical-plan ReuseExchange already dedups
-    # the shared shuffle; an added persist barrier A/B-measured SLOWER
-    # at sf0.1 (serializes branches + cache write) — left lazy.
+    # feeds the next stage AND its own count); an added persist barrier
+    # A/B-measured SLOWER at sf0.1 (serializes branches + cache write).
+    # r15 (VERDICT #4): re-adjudicated at sf1.0 (10x data) — persist
+    # arm still loses (cur 0.83 vs persist 0.86 median, equal results),
+    # so the lazy shape stands at the larger SF too. Claim correction:
+    # exchange reuse is RUNTIME-only — the static plan shows 3
+    # independent scan chains, but the executed adaptive plan carries
+    # ReusedExchange (1 here) for the identical stage subtrees; the
+    # win comes mainly from the branches running as concurrent stages.
     t_view = (
         base.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -4110,8 +4115,9 @@ def q_event_dow_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: examined the derive-marginals-from-cells rewrite (with and
     # without persist) — A/B-measured slower at sf0.1 (0.95 -> 1.64 s
     # median) than the original concurrent marginal aggregates, same
-    # adjudication as priority_segment_chi2. Left as independent
-    # aggregates.
+    # adjudication as priority_segment_chi2. r15: holds at sf1.0 too
+    # (cur 0.52 vs derived 0.68 median, equal results). Left as
+    # independent aggregates.
     cxy = e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("cxy"))
     cx = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cx"))
     cy = e.groupBy("dow").agg(F.count(F.lit(1)).alias("cy"))
@@ -4479,9 +4485,10 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("_us")
     )
-    # r14: same adjudication as conversion_funnel — stage frames are
-    # aggregates (ReuseExchange dedups the shared shuffle); an added
-    # persist A/B-measured slower at sf0.1. Left lazy.
+    # r14: same adjudication as conversion_funnel — an added persist
+    # A/B-measured slower at sf0.1. r15: re-adjudicated at sf1.0 —
+    # persist still loses (0.71 vs 0.78 median); exchange reuse is
+    # runtime-only (executed plan: 1 ReusedExchange). Left lazy.
     v = (
         events.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -6140,7 +6147,8 @@ def q_doc_length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("least(n_chars div 64, 9)").alias("bin"),
     )
     # r14: cells feeds totals AND terms; it is an aggregate, so the
-    # shared Exchange is reused without a persist (A/B: persist slower)
+    # shared Exchange is reused without a persist (A/B: persist slower).
+    # r15: holds at sf1.0 (cur 0.43 vs persist 0.62 median).
     cells = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("ref"), 1).otherwise(0)).alias("a"),
         F.sum(F.when(~F.col("ref"), 1).otherwise(0)).alias("b"),
@@ -7145,7 +7153,9 @@ def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_tot as sums of csl) with and without a persist on csl — both
     # A/B-measured slower at sf0.1 than the original independent
     # aggregates (1.36 -> 1.71 s median; concurrent branches beat the
-    # serialized derived chain locally). Left as independent aggregates.
+    # serialized derived chain locally). r15: holds at sf1.0 (cur 0.54
+    # vs derived 0.61 median, equal results). Left as independent
+    # aggregates.
     csl = docs.groupBy("source", "n_chars").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -7284,7 +7294,11 @@ def q_priority_segment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cells — BOTH A/B-measured slower at sf0.1 than the original
     # independent marginal aggregates (1.32 -> 1.78 s median): the four
     # branches run as concurrent stages, while the deeper derived chain
-    # serializes on the cells aggregate. Left as independent aggregates.
+    # serializes on the cells aggregate. r15 (VERDICT #4): re-adjudicated
+    # at sf1.0 (10x) — derived shape still loses (cur 1.67 vs 2.07
+    # median, equal results), and the executed adaptive plan shows the
+    # concurrent shape already gets 3 ReusedExchange nodes at runtime
+    # (static plans hide this). Independent aggregates stand.
     cells = base.groupBy("p", "g").agg(F.count(F.lit(1)).alias("o"))
     rows_ = base.groupBy("p").agg(F.count(F.lit(1)).alias("r"))
     cols_ = base.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
